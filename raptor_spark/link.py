@@ -1,0 +1,239 @@
+"""Stage 2: entity linking — MinHash/LSH blocking + candidate-pair join +
+Jaccard verify, all as DataFrame ops.
+
+Spark-first re-expression of the reference's ANN insert-dedup (batch-query new
+vectors, link iff cosine ≥ 0.9 — raptor/qdrant_search_docker/api_insert.py:14,
+130-165) for symbol mentions, with the link rule defined once in
+``raptor_spark.oracle.should_link`` and decomposed here into distributed form:
+
+1. exact block: names sharing the space-stripped normalized identifier link
+   unconditionally (covers camel/snake/Pascal aliases AND head symbols like
+   ``main`` — heads only ever link exactly; skew guard per SURVEY.md §7.4).
+2. fuzzy block: non-head names → char-3-gram shingles → 16 MinHash values
+   (xxhash64, JVM-side) → 4 bands × 4 rows → candidates = self-join on
+   (first_token, band_id, band_hash) → verify with exact Jaccard via
+   ``array_intersect``/``array_union`` sizes (JVM-side, no UDF).
+
+The candidate self-join key includes the normalized FIRST TOKEN, which both
+enforces the prefix-block rule and acts as the salt that spreads band buckets;
+AQE skew-join handles residual hot buckets. Head-symbol names (document
+frequency over repos > 50%) are excluded from fuzzy blocking entirely, so
+``main``/``utils`` can never form a giant LSH bucket.
+
+Scale notes: everything is per-distinct-NAME, not per-mention — the name
+dimension is orders of magnitude smaller than the triple table. Shuffles:
+one distinct, one explode+groupBy for signatures, one band self-join, one
+verify projection. All joins are equi-joins eligible for broadcast when the
+name table is small.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+from raptor_spark.functions import norm_identifier_col
+from raptor_spark.oracle import HEAD_SYMBOL_MAX_DF, JACCARD_THRESHOLD
+from raptor_spark.tokenize import PRED_CALLS, PRED_DEFINES, char_shingles, normalize_identifier
+
+N_MINHASH = 16
+N_BANDS = 8  # 2 rows per band; P(candidate) = 1-(1-j^2)^8 ≈ .9987 at j=.75
+#              (recall-heavy banding is cheap because verification is an exact
+#               JVM-side Jaccard, and the first_token block bounds bucket size)
+
+_NAME_FEATURES_SCHEMA = StructType(
+    [
+        StructField("name", StringType(), False),
+        StructField("norm", StringType(), False),
+        StructField("nospace", StringType(), False),
+        StructField("first_token", StringType(), False),
+        StructField("shingles", ArrayType(StringType()), False),
+    ]
+)
+
+
+def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Vectorized normalization + shingling (the only Python in this stage)."""
+    for pdf in batches:
+        norms = pdf["name"].map(normalize_identifier)
+        yield pd.DataFrame(
+            {
+                "name": pdf["name"],
+                "norm": norms,
+                "nospace": norms.str.replace(" ", "", regex=False),
+                "first_token": norms.str.split(" ").str[0],
+                "shingles": norms.map(lambda s: sorted(char_shingles(s))),
+            }
+        )
+
+
+def defined_names(triples: DataFrame) -> DataFrame:
+    """Distinct defined symbol names with per-repo document frequency."""
+    return (
+        triples.filter(F.col("pred") == PRED_DEFINES)
+        .select(
+            F.split(F.col("obj"), "@").getItem(0).alias("name"),
+            F.col("repo"),
+        )
+        .distinct()
+    )
+
+
+def head_names(names_with_repo: DataFrame) -> DataFrame:
+    """Names defined in more than HEAD_SYMBOL_MAX_DF of all repos — the skew
+    heads (``main``, ``utils``, ``init``) called out by the north rule."""
+    total = names_with_repo.select("repo").distinct().count()
+    return (
+        names_with_repo.groupBy("name")
+        .agg(F.countDistinct("repo").alias("df_repos"))
+        .filter(F.col("df_repos") > HEAD_SYMBOL_MAX_DF * total)
+        .select("name")
+    )
+
+
+def link_edges(triples: DataFrame) -> DataFrame:
+    """(a, b) undirected link edges between defined names, a < b."""
+    names_repo = defined_names(triples)
+    heads = head_names(names_repo)
+    names = names_repo.select("name").distinct()
+    feats = names.mapInPandas(_featurize, schema=_NAME_FEATURES_SCHEMA)
+    feats = feats.persist()
+
+    # -- 1. exact block: same space-stripped normalized identifier ----------
+    exact = (
+        feats.alias("a")
+        .join(feats.alias("b"), on="nospace")
+        .filter(F.col("a.name") < F.col("b.name"))
+        .select(F.col("a.name").alias("a"), F.col("b.name").alias("b"))
+    )
+
+    # -- 2. fuzzy block: MinHash/LSH over non-head names --------------------
+    fuzzy_feats = feats.join(heads, on="name", how="left_anti")
+    sh = fuzzy_feats.select(
+        "name", "first_token", "nospace", F.explode("shingles").alias("shingle")
+    )
+    sig = sh.groupBy("name", "first_token", "nospace").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = sig.select(
+        "name",
+        "first_token",
+        "nospace",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("name", "first_token", "nospace", "band.band_id", "band.band_hash")
+
+    cands = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["first_token", "band_id", "band_hash"])
+        .filter(F.col("a.name") < F.col("b.name"))
+        # space-stripped equals are already linked exactly; skip re-verify
+        .filter(F.col("a.nospace") != F.col("b.nospace"))
+        .select(F.col("a.name").alias("a"), F.col("b.name").alias("b"))
+        .distinct()
+    )
+
+    # -- 3. verify: exact Jaccard on shingle sets, JVM-side -----------------
+    fa = feats.select(F.col("name").alias("a"), F.col("shingles").alias("sh_a"))
+    fb = feats.select(F.col("name").alias("b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cands.join(fa, "a")
+        .join(fb, "b")
+        .withColumn(
+            "jac",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("a", "b")
+    )
+
+    return exact.unionByName(verified).distinct()
+
+
+def canonical_mapping(triples: DataFrame, components: DataFrame) -> DataFrame:
+    """name → canonical, where canonical = min normalized name within the
+    component (matches the oracle). ``components`` is (name, component) from
+    raptor_spark.cc; names not in any component map to their own norm."""
+    names = defined_names(triples).select("name").distinct()
+    feats = names.mapInPandas(_featurize, schema=_NAME_FEATURES_SCHEMA).select(
+        "name", "norm"
+    )
+    with_comp = feats.join(components, on="name", how="left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col("name"))
+    )
+    canon = with_comp.groupBy("component").agg(F.min("norm").alias("canonical"))
+    return with_comp.join(canon, on="component").select("name", "canonical")
+
+
+def apply_linking(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Stage-2 output: triples + subj_canonical/obj_canonical columns.
+
+    * file-defines-symbol: obj_canonical = canonical of the defined name.
+    * symbol-calls-symbol: subj_canonical = canonical of the enclosing def;
+      obj_canonical = canonical of the callee if it is a defined name anywhere,
+      else its own normalized spelling.
+    * other predicates: nulls.
+
+    The mapping table is tiny relative to triples → broadcast joins, no
+    shuffle of the triple table.
+    """
+    m = F.broadcast(mapping)
+
+    defines = triples.filter(F.col("pred") == PRED_DEFINES).withColumn(
+        "def_name", F.split(F.col("obj"), "@").getItem(0)
+    )
+    defines = (
+        defines.join(m.withColumnRenamed("name", "def_name"), on="def_name", how="left")
+        .withColumn("obj_canonical", F.col("canonical"))
+        .withColumn("subj_canonical", F.lit(None).cast("string"))
+        .drop("def_name", "canonical")
+    )
+
+    calls = triples.filter(F.col("pred") == PRED_CALLS).withColumn(
+        "caller", F.element_at(F.split(F.col("subj"), ":"), -1)
+    )
+    calls = (
+        calls.join(
+            m.select(F.col("name").alias("caller"), F.col("canonical").alias("subj_canonical")),
+            on="caller",
+            how="left",
+        )
+        .join(
+            m.select(F.col("name").alias("obj"), F.col("canonical").alias("obj_canonical")),
+            on="obj",
+            how="left",
+        )
+        .drop("caller")
+    )
+    # callee never defined anywhere → canonicalize by normalization alone
+    calls = calls.withColumn(
+        "obj_canonical",
+        F.coalesce(F.col("obj_canonical"), norm_identifier_col("obj")),
+    ).select(*[c for c in defines.columns])
+
+    others = (
+        triples.filter(~F.col("pred").isin(PRED_DEFINES, PRED_CALLS))
+        .withColumn("subj_canonical", F.lit(None).cast("string"))
+        .withColumn("obj_canonical", F.lit(None).cast("string"))
+    )
+    return defines.unionByName(calls).unionByName(others)
