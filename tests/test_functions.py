@@ -1,0 +1,60 @@
+"""JVM-side column helpers must agree bit-for-bit with the Python versions."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from raptor_spark.functions import norm_identifier_col, sha256_col
+from raptor_spark.tokenize import (
+    char_shingles,
+    jaccard,
+    normalize_identifier,
+    sha256_hex,
+)
+
+IDENTIFIERS = [
+    "fooBar", "foo_bar", "FooBar", "FOOBar", "foo-bar", "parseHTTPResponse",
+    "a", "A", "__init__", "snake_case_long_name", "XMLHttpRequest", "main",
+    "x2y", "HTML2Text",
+]
+
+
+def test_norm_identifier_col_matches_python(spark):
+    df = spark.createDataFrame([(s,) for s in IDENTIFIERS], ["s"])
+    got = {r.s: r.n for r in df.select("s", norm_identifier_col("s").alias("n")).collect()}
+    for s in IDENTIFIERS:
+        assert got[s] == normalize_identifier(s), s
+
+
+def test_sha256_col_matches_python(spark):
+    vals = ["", "hello", "ü¶é", "a\nb\tc", "x" * 10000]
+    df = spark.createDataFrame([(s,) for s in vals], ["s"])
+    got = {r.s: r.h for r in df.select("s", sha256_col("s").alias("h")).collect()}
+    for s in vals:
+        assert got[s] == sha256_hex(s)
+
+
+@given(st.text(alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")), min_size=1, max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_normalize_is_idempotent(s):
+    n = normalize_identifier(s)
+    assert normalize_identifier(n.replace(" ", "_")) == n
+
+
+@given(
+    st.sets(st.text(min_size=1, max_size=5), max_size=20),
+    st.sets(st.text(min_size=1, max_size=5), max_size=20),
+)
+@settings(max_examples=200, deadline=None)
+def test_jaccard_properties(a, b):
+    j = jaccard(a, b)
+    assert 0.0 <= j <= 1.0
+    assert jaccard(a, a) == 1.0
+    assert j == jaccard(b, a)
+
+
+def test_shingles_deterministic():
+    assert char_shingles("fetch data") == char_shingles("fetch data")
+    assert char_shingles("ab") == {"^ab$"} or len(char_shingles("ab")) >= 1
