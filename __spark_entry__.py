@@ -1,10 +1,9 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry() smoke query, queries() per-operator DataFrames,
+oracle_sql() DuckDB equivalents (see SURVEY.md §2 for the operator inventory
+each entry exercises, and raptor_spark/operators/* for implementations).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Column names are aliased identically on both sides; floats are rounded on
+both sides before comparison.
 """
 
 from __future__ import annotations
@@ -12,27 +11,744 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from raptor_spark.functions import sha256_col
+from raptor_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    hamming_near_pairs,
+    embedding_near_dup,
+)
+from raptor_spark.operators.interval_join import (
+    interval_overlap_argmax_join,
+    interval_semi_label_join,
+)
+from raptor_spark.operators.relational import (
+    budget_groups,
+    hierarchical_rollup,
+    latest_per_key,
+    topk_per_group,
+)
+from raptor_spark.operators.similarity import brute_force_topk, cosine_col, ann_topk
+from raptor_spark.operators.text import (
+    langid_scores,
+    quality_score_col,
+    stopword_ratio_col,
+    token_count_col,
+)
+from raptor_spark.sources import load_table
+
+SEG_LEN = 600.0  # seconds: event → interval [ts, ts+10min]
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _event_segments(events: DataFrame, etype: str) -> DataFrame:
+    e = events.filter(F.col("event_type") == etype)
+    # parquet stores TIMESTAMP_NTZ; session tz is UTC so epoch matches DuckDB
+    ts = F.col("ts").cast("timestamp").cast("double")
+    return e.select(
+        "event_id", "user_id", "value",
+        ts.alias("start"), (ts + SEG_LEN).alias("end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_interval_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join + per-left argmax (ASR×diarization semantics,
+    kafka_handler.py:60-117) on event time segments."""
+    ev = _t(spark, sf_dir, "events")
+    left = _event_segments(ev, "error")
+    right = (
+        _event_segments(ev, "purchase")
+        .withColumnRenamed("event_id", "match_id")
+        .select("match_id", "user_id", "start", "end")
+    )
+    out = interval_overlap_argmax_join(
+        left, right, left_keys=["user_id"], left_id="event_id",
+        right_payload=["match_id"], broadcast_right=False,
+    )
+    return out.select(
+        "event_id", "user_id", "match_id",
+        F.round(F.coalesce("overlap", F.lit(0.0)), 4).alias("overlap_s"),
+    ).orderBy("event_id")
+
+
+def q_interval_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval semi-join + threshold + set-dedup agg (kafka_handler.py:64-86)."""
+    ev = _t(spark, sf_dir, "events")
+    left = _event_segments(ev, "error")
+    right = _event_segments(ev, "click").select(
+        "user_id", "start", "end",
+        F.col("value").alias("prob"), F.col("event_id").cast("string").alias("label"),
+    ).withColumn("label", F.concat(F.lit("e"), F.col("label")))
+    right = right.withColumn("label", F.col("label"))
+    # label = event bucket: use value-band labels for a small label alphabet
+    right = right.withColumn(
+        "label",
+        F.when(F.col("prob") < 50, "low").when(F.col("prob") < 150, "mid").otherwise("high"),
+    )
+    out = interval_semi_label_join(
+        left, right, left_keys=["user_id"], left_id="event_id",
+        label_col="label", prob_col="prob", threshold=10.0,
+    )
+    return out.select(
+        "event_id", F.array_join("labels", ",").alias("labels")
+    ).orderBy("event_id")
+
+
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-version-per-key window (database.py:146-182)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = latest_per_key(
+        orders, ["o_custkey"], [F.desc("o_orderdate"), F.desc("o_orderkey")]
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    ).orderBy("o_custkey")
+
+
+def q_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (classifier.py:66-75 argsort[:k])."""
+    orders = _t(spark, sf_dir, "orders")
+    out = topk_per_group(
+        orders, ["o_orderpriority"], [F.desc("o_totalprice"), F.asc("o_orderkey")], k=3
+    )
+    return out.select(
+        "o_orderpriority", "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"), "rank",
+    ).orderBy("o_orderpriority", "rank")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped min/max/count/avg aggregates (SURVEY.md §2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_collect_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-dedup aggregate (collect_set, kafka_handler.py:75-86)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_budget_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy cumulative-budget grouping (txt_processor.py:55-101) as a
+    window cumsum."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = budget_groups(
+        li, ["l_orderkey"], [F.asc("l_linenumber")], F.col("l_quantity"), budget=50.0
+    )
+    return out.select("l_orderkey", "l_linenumber", "group_id").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+def q_windowed_event_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window mean (classifier.py:107-131 30s windows → 1h here)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "avg_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+def q_top_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way broadcast join chain + agg (the cross-modal join shape,
+    video_summary.py:203-242, over the star schema)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (checksum short-circuit, client.py:157-177)."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text").orderBy("hash")
+
+
+def q_unique_content_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-detection semi/anti join shape (database.py:583-592)."""
+    docs = _t(spark, sf_dir, "documents")
+    hashes = docs.select("doc_id", "lang", sha256_col("text").alias("h"))
+    uniq = hashes.groupBy("h").agg(F.count("*").alias("n")).filter(F.col("n") == 1)
+    return (
+        hashes.join(uniq, "h", "left_semi")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_unique"))
+        .orderBy("lang")
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-gram Jaccard near-dup pairs on a bounded id range (the
+    verify step of the reference's ANN dedup, api_insert.py:130-165)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pairs = docs.alias("a").join(docs.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+    pairs = pairs.select(
+        F.col("a.doc_id").alias("a"),
+        F.col("b.doc_id").alias("b"),
+        (
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(F.split(F.lower(F.col("a.text")), r"\s+")),
+                    F.array_distinct(F.split(F.lower(F.col("b.text")), r"\s+")),
+                )
+            )
+            / F.size(
+                F.array_union(
+                    F.array_distinct(F.split(F.lower(F.col("a.text")), r"\s+")),
+                    F.array_distinct(F.split(F.lower(F.col("b.text")), r"\s+")),
+                )
+            )
+        ).alias("j"),
+    )
+    return (
+        pairs.filter(F.col("j") >= 0.8)
+        .select("a", "b", F.round("j", 4).alias("jaccard"))
+        .orderBy("a", "b")
+    )
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (scale path; verified in pytest against the
+    exact-Jaccard oracle — no SQL oracle, LSH is sampling-based)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=32, n_bands=16, shingle_n=2,
+        jaccard_threshold=0.5,
+    ).orderBy("a", "b")
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + pigeonhole-blocked hamming pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return hamming_near_pairs(simhash(docs, "doc_id", "text"), max_distance=8).orderBy("a", "b")
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (filtered vector search read path,
+    api_document_search_with_cache.py:157-237)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("vec"))
+    )
+    out = brute_force_topk(corpus, queries, k=5)
+    return out.filter(F.col("qid") != F.col("id")).select(
+        "qid", "id", F.round("cosine", 4).alias("cosine")
+    ).orderBy("qid", F.desc("cosine"), "id")
+
+
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine ≥ τ pair scan on a bounded range (api_insert.py dedup)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", cosine_col(F.col("va"), F.col("vb")).alias("c"))
+        .filter(F.col("c") >= 0.8)
+        .select("a", "b", F.round("c", 4).alias("cosine"))
+        .orderBy("a", "b")
+    )
+
+
+def q_embedding_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only; recall vs brute force is
+    gated in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    return ann_topk(corpus, queries, k=5).select(
+        "qid", "id", F.round("cosine", 4).alias("cosine"), "rank"
+    ).orderBy("qid", "rank")
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + token counting (document_summary.py:20-27 estimator)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        F.round(stopword_ratio_col(F.col("text"), "en"), 6).alias("stop_ratio"),
+        quality_score_col(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language id (lexical replacement of per-object AI
+    tagging, SURVEY.md §2.8)."""
+    docs = _t(spark, sf_dir, "documents")
+    return langid_scores(docs, "text").select(
+        "doc_id",
+        F.round("score_en", 6).alias("score_en"),
+        F.round("score_de", 6).alias("score_de"),
+        "lang_pred",
+    ).orderBy("doc_id")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint = min md5 over word 4-gram shingles (rolling-hash
+    fingerprinting; md5 so DuckDB can replicate)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    shingles = F.when(
+        F.size(w) >= 4,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 4),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, 4))),
+        ),
+    ).otherwise(F.array(F.md5(F.concat_ws(" ", w))))
+    return docs.select("doc_id", F.array_min(shingles).alias("fingerprint")).orderBy("doc_id")
+
+
+def q_chunk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size grouping (5-at-a-time chunk groups,
+    document_summary.py:16-17, 243-249)."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    out = docs.withColumn("g", F.floor((F.row_number().over(w) - 1) / 5))
+    return (
+        out.groupBy("source", "g")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("source", "g")
+    )
+
+
+def q_adaptive_threshold_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quantile cutoff (scene_detection.py:137-144 median+σ pattern):
+    keep events above their type's exact p90."""
+    ev = _t(spark, sf_dir, "events")
+    thr = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.9)").alias("p90")
+    )
+    return (
+        ev.join(F.broadcast(thr), "event_type")
+        .filter(F.col("value") > F.col("p90"))
+        .select("event_type", "event_id", F.round("value", 2).alias("value"))
+        .orderBy("event_type", "event_id")
+    )
+
+
+def q_rollup_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical roll-up to a single record (the RAPTOR tree,
+    document_summary.py:319-366), with a deterministic concat reducer."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    reduced = hierarchical_rollup(
+        docs.select(F.col("doc_id"), F.substring("text", 1, 20).alias("t")),
+        text_col="t", order_col="doc_id",
+        group_size=4, first_group_size=5,
+    )
+    return reduced.select(
+        F.col("idx").cast("long").alias("idx"),
+        F.sha2(F.col("text"), 256).alias("digest"),
+        "levels",
+    )
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship stage-1: triple extraction over the synthetic code corpus
+    (BASELINE.json north_star). Rows-only check; the P/R≥0.95 gate runs in
+    pytest against the shared-tokenizer oracle."""
+    from raptor_spark.extract import extract_triples
+    from raptor_spark.schemas import FILES_SCHEMA
+    from raptor_spark.synth import generate_corpus
+
+    files = spark.createDataFrame(generate_corpus(400), schema=FILES_SCHEMA).repartition(16)
+    return extract_triples(files)
+
+
+def q_kg_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline (extract→link→cc→materialize) node output."""
+    from raptor_spark.cc import connected_components
+    from raptor_spark.extract import extract_triples
+    from raptor_spark.link import apply_linking, canonical_mapping, link_edges
+    from raptor_spark.materialize import build_nodes
+    from raptor_spark.schemas import FILES_SCHEMA
+    from raptor_spark.synth import generate_corpus
+
+    files = spark.createDataFrame(generate_corpus(300), schema=FILES_SCHEMA).repartition(16)
+    triples = extract_triples(files).persist()
+    comps = connected_components(link_edges(triples))
+    linked = apply_linking(triples, canonical_mapping(triples, comps))
+    return build_nodes(linked)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary columns → mapInPandas feature extraction
+    (decode stubbed; schema/batching/error-column real)."""
+    from raptor_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_media_from_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synthesize_media_from_text(docs, "doc_id", "text")
+    return extract_media_features(media).orderBy("media_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "interval_argmax": q_interval_argmax,
+        "interval_labels": q_interval_labels,
+        "latest_order_per_customer": q_latest_order_per_customer,
+        "topk_orders_per_priority": q_topk_orders_per_priority,
+        "pricing_summary": q_pricing_summary,
+        "collect_event_types": q_collect_event_types,
+        "budget_groups": q_budget_groups,
+        "windowed_event_means": q_windowed_event_means,
+        "top_nation_revenue": q_top_nation_revenue,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "unique_content_per_lang": q_unique_content_per_lang,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_topk": q_embedding_topk,
+        "embedding_near_dup_exact": q_embedding_near_dup_exact,
+        "embedding_ann_topk": q_embedding_ann_topk,
+        "doc_quality": q_doc_quality,
+        "langid": q_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "chunk_groups": q_chunk_groups,
+        "adaptive_threshold_events": q_adaptive_threshold_events,
+        "rollup_tree": q_rollup_tree,
+        "kg_triples": q_kg_triples,
+        "kg_graph_nodes": q_kg_graph_nodes,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect, same aliases, same rounding)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    seg = f"{SEG_LEN}"
+    return {
+        "interval_argmax": f"""
+            WITH l AS (
+              SELECT event_id, user_id, epoch(ts) AS s, epoch(ts)+{seg} AS e
+              FROM events WHERE event_type='error'
+            ), r AS (
+              SELECT event_id AS match_id, user_id, epoch(ts) AS s, epoch(ts)+{seg} AS e
+              FROM events WHERE event_type='purchase'
+            ), j AS (
+              SELECT l.event_id, l.user_id, r.match_id,
+                     greatest(least(l.e, r.e) - greatest(l.s, r.s), 0.0) AS ov
+              FROM l LEFT JOIN r
+                ON l.user_id = r.user_id AND l.s < r.e AND r.s < l.e
+            )
+            SELECT event_id, user_id, match_id,
+                   round(coalesce(ov, 0.0), 4) AS overlap_s
+            FROM j
+            QUALIFY row_number() OVER (
+              PARTITION BY event_id ORDER BY ov DESC NULLS LAST, match_id ASC
+            ) = 1
+            ORDER BY event_id
+        """,
+        "interval_labels": f"""
+            WITH l AS (
+              SELECT event_id, user_id, epoch(ts) AS s, epoch(ts)+{seg} AS e
+              FROM events WHERE event_type='error'
+            ), r AS (
+              SELECT user_id, epoch(ts) AS s, epoch(ts)+{seg} AS e, value AS prob,
+                     CASE WHEN value < 50 THEN 'low'
+                          WHEN value < 150 THEN 'mid' ELSE 'high' END AS label
+              FROM events WHERE event_type='click'
+            )
+            SELECT l.event_id,
+                   array_to_string(list_sort(list(DISTINCT r.label)), ',') AS labels
+            FROM l JOIN r
+              ON l.user_id = r.user_id AND l.s < r.e AND r.s < l.e
+            WHERE r.prob > 10.0
+            GROUP BY l.event_id
+            ORDER BY l.event_id
+        """,
+        "latest_order_per_customer": """
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   round(o_totalprice, 2) AS o_totalprice
+            FROM orders
+            QUALIFY row_number() OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+            ) = 1
+            ORDER BY o_custkey
+        """,
+        "topk_orders_per_priority": """
+            SELECT o_orderpriority, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   CAST(row_number() OVER (
+                     PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS INT) AS rank
+            FROM orders
+            QUALIFY rank <= 3
+            ORDER BY o_orderpriority, rank
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(max(l_extendedprice), 2) AS max_price,
+                   round(min(l_extendedprice), 2) AS min_price,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "collect_event_types": """
+            SELECT user_id,
+                   array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "budget_groups": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(floor((sum(l_quantity) OVER (
+                     PARTITION BY l_orderkey ORDER BY l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - l_quantity) / 50.0) AS INT) AS group_id
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "windowed_event_means": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY window_start, event_type
+        """,
+        "top_nation_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name
+        """,
+        "exact_dedup_docs": """
+            SELECT sha256(text) AS hash, min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY 1 ORDER BY hash
+        """,
+        "unique_content_per_lang": """
+            WITH h AS (SELECT doc_id, lang, sha256(text) AS h FROM documents),
+            u AS (SELECT h FROM h GROUP BY h HAVING count(*) = 1)
+            SELECT lang, count(*) AS n_unique
+            FROM h WHERE h.h IN (SELECT h FROM u)
+            GROUP BY lang ORDER BY lang
+        """,
+        "ngram_jaccard_pairs": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS ws
+              FROM documents WHERE doc_id < 150
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(
+                     len(list_filter(a.ws, x -> list_contains(b.ws, x))) * 1.0 /
+                     len(list_distinct(list_concat(a.ws, b.ws))), 4
+                   ) AS jaccard
+            FROM w a JOIN w b ON a.doc_id < b.doc_id
+            WHERE len(list_filter(a.ws, x -> list_contains(b.ws, x))) * 1.0 /
+                  len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+            ORDER BY a, b
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            s AS (
+              SELECT q.qid, e.vec_id AS id,
+                     list_cosine_similarity(e.embedding, q.qv) AS cos
+              FROM embeddings e CROSS JOIN q
+            ), r AS (
+              SELECT qid, id, cos,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS rk
+              FROM s
+            )
+            SELECT qid, id, round(cos, 4) AS cosine
+            FROM r WHERE rk <= 5 AND qid != id
+            ORDER BY qid, cos DESC, id
+        """,
+        "embedding_near_dup_exact": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 500 AND b.vec_id < 500
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+            ORDER BY a, b
+        """,
+        "doc_quality": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x != '') AS ws,
+                     length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk
+              FROM documents
+            ), m AS (
+              SELECT doc_id, text, ws, cjk,
+                     length(text) AS n_chars,
+                     greatest(len(ws), 1) AS n_words,
+                     len(list_filter(ws, x -> list_contains(
+                       ['the','and','of','to','in','is','that','for','with','a'], x)))
+                       AS stops,
+                     length(regexp_replace(text, '[^\.,;:!?]', '', 'g')) AS punct,
+                     length(regexp_replace(text, '[\w\s]', '', 'g')) AS non_alnum
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(ceil(cjk * 1.5 + len(ws) * 1.3) AS BIGINT) AS n_tokens,
+                   round(stops * 1.0 / greatest(len(ws), 1), 6) AS stop_ratio,
+                   round((
+                     (CASE WHEN n_chars BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.3 END) +
+                     (CASE WHEN n_chars * 1.0 / n_words BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.4 END) +
+                     (CASE WHEN punct * 1.0 / greatest(n_chars,1) <= 0.2 THEN 1.0 ELSE 0.5 END) +
+                     (CASE WHEN non_alnum * 1.0 / greatest(n_chars,1) <= 0.3 THEN 1.0 ELSE 0.2 END)
+                   ) / 4.0, 6) AS quality
+            FROM m ORDER BY doc_id
+        """,
+        "langid": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x != '') AS ws
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     len(list_filter(ws, x -> list_contains(
+                       ['the','and','of','to','in','is','that','for','with','a'], x)))
+                       * 1.0 / greatest(len(ws),1) AS score_en,
+                     len(list_filter(ws, x -> list_contains(
+                       ['der','die','das','und','ist','nicht','mit','ein','zu','von'], x)))
+                       * 1.0 / greatest(len(ws),1) AS score_de,
+                     len(list_filter(ws, x -> list_contains(
+                       ['le','la','les','et','est','pas','pour','que','une','dans'], x)))
+                       * 1.0 / greatest(len(ws),1) AS score_fr,
+                     len(list_filter(ws, x -> list_contains(
+                       ['el','la','los','y','es','no','por','que','una','en'], x)))
+                       * 1.0 / greatest(len(ws),1) AS score_es
+              FROM t
+            )
+            SELECT doc_id, round(score_en, 6) AS score_en, round(score_de, 6) AS score_de,
+                   CASE WHEN greatest(score_de, score_en, score_es, score_fr) = 0 THEN 'und'
+                        WHEN score_de = greatest(score_de, score_en, score_es, score_fr) THEN 'de'
+                        WHEN score_en = greatest(score_de, score_en, score_es, score_fr) THEN 'en'
+                        WHEN score_es = greatest(score_de, score_en, score_es, score_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM s ORDER BY doc_id
+        """,
+        "doc_fingerprint": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN len(ws) >= 4 THEN
+                     list_min([md5(array_to_string(ws[i:i+3], ' '))
+                               for i in generate_series(1, len(ws) - 3)])
+                   ELSE md5(array_to_string(ws, ' ')) END AS fingerprint
+            FROM t ORDER BY doc_id
+        """,
+        "chunk_groups": """
+            WITH t AS (
+              SELECT source, doc_id, n_chars,
+                     CAST(floor((row_number() OVER (
+                       PARTITION BY source ORDER BY doc_id) - 1) / 5) AS BIGINT) AS g
+              FROM documents
+            )
+            SELECT source, g, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM t GROUP BY source, g ORDER BY source, g
+        """,
+        "adaptive_threshold_events": """
+            WITH thr AS (
+              SELECT event_type, quantile_cont(value, 0.9) AS p90
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_type, e.event_id, round(e.value, 2) AS value
+            FROM events e JOIN thr ON e.event_type = thr.event_type
+            WHERE e.value > thr.p90
+            ORDER BY e.event_type, e.event_id
+        """,
+    }
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship smoke query at sf0.001
+# ---------------------------------------------------------------------------
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the content-insight read path — dedup the documents table,
+    score quality, aggregate per (lang, source). Exercises hash-dedup,
+    text scoring, and grouped aggregation in one plan."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf_dir, "documents")
+    rep = exact_dedup(docs, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id"), "n_dups"
+    )
+    scored = docs.join(rep, "doc_id").select(
+        "doc_id", "lang", "source", "n_dups",
+        quality_score_col(F.col("text")).alias("quality"),
+        token_count_col(F.col("text")).alias("n_tokens"),
+    )
+    return (
+        scored.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -1,0 +1,109 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also times the KG-construction pipeline itself (extract → link → cc →
+materialize) on a synthetic corpus sized to the sf, and reports files/sec as
+an extra key (the BASELINE.json throughput metric). Two-cluster-size scaling
+is produced by BENCH/run_scaling.sh which invokes this file at two core
+counts via spark-submit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+
+    from raptor_spark.session import build_session
+
+    spark = build_session("raptor_spark.bench", master=f"local[{cpus}]",
+                          shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qfns = entry_mod.queries()
+    bench_queries = [
+        "interval_argmax",
+        "latest_order_per_customer",
+        "pricing_summary",
+        "budget_groups",
+        "windowed_event_means",
+        "top_nation_revenue",
+        "exact_dedup_docs",
+        "minhash_near_dups",
+        "simhash_near_dups",
+        "embedding_topk",
+        "doc_quality",
+        "langid",
+        "doc_fingerprint",
+        "adaptive_threshold_events",
+        "media_features",
+    ]
+    timings: dict[str, float] = {}
+    for name in bench_queries:
+        t0 = time.monotonic()
+        df = qfns[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
+
+    # --- KG pipeline throughput (files/sec) on the synthetic corpus --------
+    from raptor_spark.pipeline import Pipeline
+    from raptor_spark.schemas import FILES_SCHEMA
+    from raptor_spark.synth import generate_corpus
+
+    n_files = max(500, int(sf * 100_000)) if sf > 0 else 2_000  # sf0.1 → 10k
+    rows = generate_corpus(n_files)
+    files = spark.createDataFrame(rows, schema=FILES_SCHEMA).repartition(4 * cpus)
+    files.persist().count()  # exclude generation from the measured window
+    out_dir = tempfile.mkdtemp(prefix="kg_bench_")
+    t0 = time.monotonic()
+    out = Pipeline(spark, out_dir).run(files)
+    n_triples = out["extracted"].count()
+    kg_sec = time.monotonic() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+    files_per_sec = round(len(rows) / kg_sec, 1)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_kg_pipeline_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "kg_files": len(rows),
+                "kg_triples": n_triples,
+                "kg_files_per_sec": files_per_sec,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,256 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Generalizes the reference's insert-time ANN dedup (new record linked/skipped
+iff a neighbor is ≥ 0.9 similar, raptor/qdrant_search_docker/
+api_insert.py:14,130-165) into the standard text-dedup family, all as
+DataFrame ops over a ``(id, text)`` table:
+
+* exact_dedup            — hash-groupBy on sha256(text)
+* minhash_lsh_pairs      — word-shingle MinHash + banded LSH candidate pairs
+                           + exact Jaccard verify (the scale path)
+* simhash                — 64-bit SimHash fingerprints (hamming-near dup)
+* ngram_jaccard_pairs    — exact n-gram Jaccard over a candidate set
+* embedding_near_dup     — cosine ≥ threshold pairs over an embedding column
+
+All shuffles are equi-joins on content-derived keys (shingle hash / band hash
+/ LSH bucket); no cross join ever touches the full table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from raptor_spark.functions import sha256_col
+
+
+def _words(c: Column) -> Column:
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def word_shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string>, pure column exprs
+    (transform over a sequence of start offsets — JVM-side, no UDF)."""
+    w = _words(text)
+    return F.array_distinct(
+        F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", w)))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(hash, keep_id, n_dups): one representative (min id) per identical
+    text — the hash-groupBy analog of the checksum no-change short-circuit
+    (asset_management/client.py:157-177)."""
+    return (
+        df.select(sha256_col(text_col).alias("hash"), F.col(id_col).alias("id"))
+        .groupBy("hash")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs (a, b, jaccard), a < b, via MinHash banding.
+
+    Per row: shingle → n_hashes MinHash values (xxhash64 with seed column) →
+    n_bands band hashes → self-equi-join per band → exact Jaccard verify on
+    the shingle arrays (array_intersect/array_union, JVM-side).
+    """
+    rows_per_band = n_hashes // n_bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles_col(F.col(text_col), shingle_n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    sig = base.select(
+        "id",
+        "sh",
+        *[
+            F.array_min(
+                F.transform(F.col("sh"), lambda s: F.xxhash64(s, F.lit(i)))
+            ).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    bands = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "sh", "band.band_id", "band.band_hash")
+    cands = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_hash"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cands.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """(id, simhash): sign-aggregated word-hash fingerprint. Two texts are
+    near-dups when hamming(simhash_a, simhash_b) is small. Pure column exprs:
+    per bit, sum(sign of word-hash bit) over the word array via aggregate().
+    """
+    words = F.array_distinct(_words(F.col(text_col)))
+    hashes = F.transform(words, lambda s: F.xxhash64(s))
+
+    def bit_sum(i: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    fp = None
+    for i in range(bits):
+        term = F.when(bit_sum(i) > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return df.select(F.col(id_col).alias("id"), fp.alias("simhash"))
+
+
+def hamming_near_pairs(fp: DataFrame, max_distance: int = 3) -> DataFrame:
+    """SimHash blocking: split the 64-bit fingerprint into (max_distance+1)
+    16-bit blocks — by pigeonhole, any pair within hamming distance
+    ``max_distance`` shares at least one exact block → equi-join per block,
+    verify with bit_count(xor)."""
+    n_blocks = max_distance + 1
+    blocks = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("block"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", "b.block_id", "b.block")
+    return (
+        blocks.alias("a")
+        .join(blocks.alias("b"), ["block_id", "block"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["a", "b"])
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    candidate_join: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs. With no candidate set, pairs
+    come from a shared-shingle equi-join (every pair with intersection ≥ 1) —
+    exact but quadratic in bucket size; use minhash_lsh_pairs at scale."""
+    base = df.select(
+        F.col(id_col).alias("id"), word_shingles_col(F.col(text_col), n).alias("sh")
+    )
+    if candidate_join is None:
+        ex = base.select("id", F.explode("sh").alias("s"))
+        candidate_join = (
+            ex.alias("a")
+            .join(ex.alias("b"), "s")
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+            .distinct()
+        )
+    fa = base.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
+    fb = base.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        candidate_join.join(fa, "a")
+        .join(fb, "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH bucketing:
+    bucket = sign bits of dot(vec, plane_i) for deterministic pseudo-planes
+    derived from xxhash64(i, dim); verify exact cosine within buckets.
+    Mirrors the reference's cosine ≥ 0.9 insert dedup (api_insert.py:130-165).
+    """
+    from raptor_spark.operators.similarity import cosine_col, lsh_bucket_col
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    b = v.withColumn("bucket", lsh_bucket_col(F.col("vec"), n_planes))
+    pairs = (
+        b.alias("a")
+        .join(b.alias("b"), "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            cosine_col(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return pairs.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,126 @@
+"""Interval/range joins — the reference's most interesting relational content,
+hand-rolled there as O(n·m) nested loops over in-memory lists (SURVEY.md §2.3).
+
+* interval_overlap_argmax_join — ASR×diarization speaker assignment:
+  for each left segment pick the right segment with MAX time overlap
+  (svc/audio_orchestrator_service/kafka_handler.py:60-62 overlap formula,
+  :106-117 argmax; duplicate impl svc/audio_analysis_service/result_merger.py:22-96).
+* interval_semi_label_join — labels of all right windows overlapping a left
+  segment above a probability threshold, set-deduped
+  (kafka_handler.py:64-86).
+
+Scale strategy: a raw range join is a cartesian-per-key plan, fine when one
+side is small/broadcastable. For two big sides use ``bucketize`` first: bin
+both sides by fixed time buckets (explode intervals to the buckets they touch,
+equi-join on bucket, dedup) — turns the theta-join into an equi-join that
+shuffles on bucket id, the same trick the extractor uses for line-span
+containment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def overlap_col(s1: Column, e1: Column, s2: Column, e2: Column) -> Column:
+    """max(0, min(e1,e2) - max(s1,s2)) — the reference's time_overlap lambda
+    (kafka_handler.py:60-62), as a codegen-friendly column expression."""
+    return F.greatest(F.least(e1, e2) - F.greatest(s1, s2), F.lit(0.0))
+
+
+def interval_overlap_argmax_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    left_id: str,
+    right_payload: list[str],
+    l_start: str = "start",
+    l_end: str = "end",
+    r_start: str = "start",
+    r_end: str = "end",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """For each left row, attach the right row with maximum interval overlap
+    (ties broken by right start then payload for determinism); left rows with
+    no overlapping right row keep nulls (left-outer, ≙ the reference's
+    speaker='' default, result_merger.py:111-142)."""
+    lt, rt = left.alias("l"), right.alias("r")
+    if broadcast_right:
+        rt = F.broadcast(rt)
+    cond = (F.col(f"l.{l_start}") < F.col(f"r.{r_end}")) & (
+        F.col(f"r.{r_start}") < F.col(f"l.{l_end}")
+    )
+    for k in left_keys:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    ov = overlap_col(
+        F.col(f"l.{l_start}"), F.col(f"l.{l_end}"),
+        F.col(f"r.{r_start}"), F.col(f"r.{r_end}"),
+    )
+    joined = lt.join(rt, cond, "left").select(
+        "l.*",
+        *[F.col(f"r.{c}").alias(c) for c in right_payload],
+        ov.alias("overlap"),
+    )
+    w = (
+        Window.partitionBy(F.col(left_id))
+        .orderBy(
+            F.desc_nulls_last("overlap"),
+            *[F.asc(c) for c in right_payload],
+        )
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def interval_semi_label_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: list[str],
+    left_id: str,
+    label_col: str,
+    prob_col: str,
+    threshold: float,
+    l_start: str = "start",
+    l_end: str = "end",
+    r_start: str = "start",
+    r_end: str = "end",
+) -> DataFrame:
+    """Set-deduped labels of all right windows overlapping each left segment
+    with probability above threshold (kafka_handler.py:64-86): range join →
+    filter → collect_set, returned sorted for determinism."""
+    lt, rt = left.alias("l"), right.alias("r")
+    cond = (F.col(f"l.{l_start}") < F.col(f"r.{r_end}")) & (
+        F.col(f"r.{r_start}") < F.col(f"l.{l_end}")
+    )
+    for k in left_keys:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    return (
+        lt.join(rt, cond, "inner")
+        .filter(F.col(f"r.{prob_col}") > threshold)
+        .groupBy(F.col(f"l.{left_id}").alias(left_id))
+        .agg(
+            F.array_sort(F.collect_set(F.col(f"r.{label_col}"))).alias("labels")
+        )
+    )
+
+
+def bucketize(
+    df: DataFrame, start: str, end: str, bucket_width: float, out: str = "bucket"
+) -> DataFrame:
+    """Explode each interval onto every fixed-width bucket it touches —
+    equi-join enabler for big×big range joins. Caller dedups matches after
+    the bucket join (same pair can meet in several buckets)."""
+    return df.withColumn(
+        out,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start) / bucket_width),
+                F.floor(F.col(end) / bucket_width),
+            )
+        ),
+    )

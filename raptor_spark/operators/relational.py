@@ -1,0 +1,104 @@
+"""Window / top-k / grouping operators mapped from the reference (SURVEY.md
+§2.4-2.6): latest-version lookup, top-k by score, set-dedup aggregates,
+fixed-size grouping, greedy budget grouping, hierarchical roll-up, adaptive
+thresholds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def latest_per_key(df: DataFrame, keys: list[str], order: list[Column]) -> DataFrame:
+    """Latest-version lookup: ``ORDER BY ... DESC LIMIT 1`` per key
+    (asset_management/database.py:146-182). Ties must be broken by a unique
+    column in ``order`` for determinism."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def topk_per_group(
+    df: DataFrame, keys: list[str], order: list[Column], k: int, rank_name: str = "rank"
+) -> DataFrame:
+    """Per-group top-k (≙ np.argsort(probs)[::-1][:k],
+    svc/audio_classifier_service/processors/classifier.py:66-75)."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn(rank_name, F.row_number().over(w)).filter(F.col(rank_name) <= k)
+
+
+def budget_groups(
+    df: DataFrame,
+    partition: list[str],
+    order: list[Column],
+    weight: Column,
+    budget: float,
+    out: str = "group_id",
+) -> DataFrame:
+    """Cumulative-budget grouping: running sum of ``weight`` in ``order`` →
+    ``group = floor((cumsum - weight) / budget)`` — the window-function form of
+    the reference's greedy token packing (txt_processor.py:55-101, batch
+    splitting audio_summary.py:44-65). Subtracting the current weight makes a
+    row that crosses the boundary START the next group, matching greedy
+    packing for weights ≤ budget."""
+    w = Window.partitionBy(*partition).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(weight).over(w)
+    return df.withColumn(out, F.floor((cum - weight) / F.lit(budget)).cast("int"))
+
+
+def hierarchical_rollup(
+    df: DataFrame,
+    text_col: str,
+    order_col: str,
+    group_size: int,
+    reducer: Callable[[Column], Column] | None = None,
+    max_rows: int = 1,
+    first_group_size: int | None = None,
+) -> DataFrame:
+    """The 'RAPTOR tree': iteratively reduce rows in groups of ``group_size``
+    until ≤ ``max_rows`` remain (document_summary.py:251-267 layer calc,
+    319-366 loop; L1 groups of 5 then groups of 4 — pass
+    ``first_group_size=5, group_size=4`` for the exact reference shape).
+
+    ``reducer`` maps collect_list(text) → merged text; default concatenates,
+    the deterministic stand-in for the reference's LLM summarize call (⚠
+    operator, SURVEY.md §2.8). Each level is one groupBy shuffle over data
+    that shrinks by group_size× per level → log_k(n) levels total.
+    """
+    if reducer is None:
+        reducer = lambda c: F.concat_ws(" | ", c)  # noqa: E731
+    level = 0
+    cur = df.select(F.col(order_col).alias("idx"), F.col(text_col).alias("text"))
+    size = first_group_size or group_size
+    # driver-side loop on a fast-shrinking frame; count() per level is cheap
+    while cur.count() > max_rows:
+        cur = (
+            cur.withColumn("g", F.floor(F.col("idx") / size))
+            .groupBy("g")
+            .agg(reducer(F.array_sort(F.collect_list(F.struct("idx", "text"))).text).alias("text"))
+            .select(F.col("g").alias("idx"), "text")
+        )
+        level += 1
+        size = group_size
+        if level > 40:
+            raise RuntimeError("rollup did not converge")
+    return cur.withColumn("levels", F.lit(level))
+
+
+def adaptive_threshold(
+    df: DataFrame, col: str, quantile: float = 0.5, sigma_mult: float = 0.5
+) -> float:
+    """Adaptive cutoff = quantile + sigma_mult·stddev, the scene-detection
+    thresholding pattern (svc/video_scene_detection_service/
+    scene_detection.py:137-144: median + 0.5σ). Uses exact percentile —
+    swap to percentile_approx for very large inputs."""
+    row = df.select(
+        F.expr(f"percentile({col}, {quantile})").alias("q"),
+        F.stddev_pop(col).alias("s"),
+    ).first()
+    return float(row.q) + sigma_mult * float(row.s or 0.0)

@@ -1,0 +1,100 @@
+"""Text-analysis operators for training-data pipelines: language id, quality
+scoring, token counting, document fingerprinting — all pure column
+expressions (whole-stage-codegen friendly; no UDF in any hot path).
+
+These generalize the reference's per-chunk text bookkeeping: char_count /
+element_types enrichment (document_analysis.py:171-184), token estimation by
+regex (document_summary.py:20-27: CJK chars ×1.5 + words ×1.3), and the
+confidence-threshold label filters (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lexicons for the n-gram/stopword-vote heuristic.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "a"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
+    "es": ("el", "la", "los", "y", "es", "no", "por", "que", "una", "en"),
+}
+
+
+def words_col(text: Column) -> Column:
+    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != "")
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count + a CJK adjustment — the reference's estimator
+    (document_summary.py:20-27): CJK chars count ×1.5, latin words ×1.3."""
+    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    words = F.size(words_col(text))
+    return F.ceil(cjk * 1.5 + words * 1.3).cast("long")
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """Sub-word-ish count: splits on whitespace AND punctuation AND
+    camel-case boundaries — a deterministic BPE stand-in."""
+    s = F.regexp_replace(text, r"([a-z])([A-Z])", r"$1 $2")
+    s = F.regexp_replace(s, r"[^\w\s]+", " ")
+    return F.size(F.filter(F.split(F.lower(s), r"\s+"), lambda w: w != "")).cast("long")
+
+
+def stopword_ratio_col(text: Column, lang: str = "en") -> Column:
+    w = words_col(text)
+    stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    return F.size(F.filter(w, lambda x: F.array_contains(stops, x))) / F.greatest(
+        F.size(w), F.lit(1)
+    )
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite [0,1] quality score: length band + punctuation sanity +
+    mean word length band + non-alpha ratio. Deterministic, lexicon-free."""
+    n_chars = F.length(text)
+    w = words_col(text)
+    n_words = F.greatest(F.size(w), F.lit(1))
+    mean_wl = n_chars / n_words
+    punct = F.length(F.regexp_replace(text, r"[^\.,;:!?]", ""))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    non_alnum = F.length(F.regexp_replace(text, r"[\w\s]", ""))
+    non_alnum_ratio = non_alnum / F.greatest(n_chars, F.lit(1))
+    len_band = F.when((n_chars >= 20) & (n_chars <= 100000), 1.0).otherwise(0.3)
+    wl_band = F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), 1.0).otherwise(0.4)
+    punct_band = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.5)
+    sym_band = F.when(non_alnum_ratio <= 0.3, 1.0).otherwise(0.2)
+    return F.round((len_band + wl_band + punct_band + sym_band) / 4.0, 6)
+
+
+def langid_scores(df: DataFrame, text_col: str) -> DataFrame:
+    """Stopword-vote language id: per language, hits per word; predicted =
+    argmax (ties → lexicographic). Adds ``lang_pred`` and per-lang scores."""
+    w = words_col(F.col(text_col))
+    n = F.greatest(F.size(w), F.lit(1))
+    out = df
+    for lang, stops in STOPWORDS.items():
+        arr = F.array(*[F.lit(s) for s in stops])
+        out = out.withColumn(
+            f"score_{lang}", F.size(F.filter(w, lambda x: F.array_contains(arr, x))) / n
+        )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in STOPWORDS])
+    pred = F.lit(None).cast("string")
+    for lang in sorted(STOPWORDS):  # first lexicographic winner takes ties
+        pred = F.coalesce(pred, F.when(F.col(f"score_{lang}") == best, F.lit(lang)))
+    return out.withColumn("lang_pred", F.when(best > 0, pred).otherwise(F.lit("und")))
+
+
+def fingerprint_col(text: Column, n_grams: int = 4) -> Column:
+    """Document fingerprint: xxhash64 of the winnowed shingle min — a cheap
+    rolling-hash fingerprint (content-derived, stable across partitions)."""
+    w = words_col(text)
+    shingles = F.when(
+        F.size(w) >= n_grams,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n_grams),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i + 1, n_grams))),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", w))))
+    return F.array_min(shingles)

@@ -1,0 +1,60 @@
+"""Structured Streaming variants of the pipeline's aggregations.
+
+The reference is request-driven (Kafka messages per asset); the streaming
+analog of its windowed work is expressed here with ``readStream`` +
+watermarked windows. Used with the file source + ``Trigger.AvailableNow`` in
+tests (no Kafka in this environment; the topology is source-agnostic).
+
+* windowed_event_counts — per event-type tumbling-window counts with late-data
+  watermark (≙ 30s windowed classifier means, classifier.py:107-131).
+* streaming_triple_extract — the stage-1 extractor bound to a streaming
+  source: mapInPandas works identically on streaming DataFrames, so the SAME
+  extraction code serves batch and streaming (exactly-once into a parquet
+  sink with checkpointLocation — the streaming face of checkpoint-restart).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from raptor_spark.extract import extract_triples
+from raptor_spark.schemas import FILES_SCHEMA
+
+
+def read_file_stream(spark: SparkSession, path: str) -> DataFrame:
+    return spark.readStream.schema(FILES_SCHEMA).parquet(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def streaming_triple_extract(files_stream: DataFrame) -> DataFrame:
+    return extract_triples(files_stream)
+
+
+def run_available_now(
+    df: DataFrame, out_path: str, checkpoint: str, fmt: str = "parquet"
+) -> None:
+    """Drain everything currently available, then stop (test/batch-catchup
+    trigger). outputMode append works for both map-only and watermarked aggs."""
+    q = (
+        df.writeStream.format(fmt)
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
