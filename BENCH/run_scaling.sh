@@ -1,0 +1,80 @@
+#!/usr/bin/env bash
+# Two-cluster-size scaling gate (BASELINE.json north_rule).
+#
+# Packages raptor_spark as a --py-files zip, generates a fixed synthetic
+# corpus once, then runs BENCH/scaling_job.py at local[N] and local[4N] over
+# the SAME parquet input and reports throughput at both plus scaling
+# efficiency = (files_per_sec_4N / files_per_sec_N) / 4.
+#
+# Usage: BENCH/run_scaling.sh [N] [FILES]   (default N=4 → 4 vs 16 cores)
+#
+# Default N=4: the sandbox box reports 32 logical CPUs; throughput scales
+# near-linearly only up to 16 (SMT/bandwidth ceiling above), so N is chosen
+# ≤ physical-cores/4 per SURVEY.md §7.4 risk 6. Full sweep in BASELINE.md.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+N="${1:-4}"
+N4=$((N * 4))
+FILES="${2:-100000}"
+WORK="$(mktemp -d /tmp/kg_scaling.XXXXXX)"
+ZIP="$WORK/raptor_spark.zip"
+CORPUS="$WORK/corpus"
+trap 'rm -rf "$WORK"' EXIT
+
+python - "$ZIP" <<'EOF'
+import sys, zipfile, pathlib
+zip_path = sys.argv[1]
+root = pathlib.Path("raptor_spark")
+with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+    for p in sorted(root.rglob("*.py")):
+        z.write(p, p.as_posix())
+print(f"packaged {zip_path}")
+EOF
+
+SUBMIT_CONF=(
+  --conf spark.sql.adaptive.enabled=true
+  --conf spark.sql.adaptive.skewJoin.enabled=true
+  --conf spark.sql.execution.arrow.pyspark.enabled=true
+  --conf spark.sql.execution.arrow.maxRecordsPerBatch=2048
+  --conf spark.sql.session.timeZone=UTC
+  --conf spark.locality.wait=0
+  --conf spark.driver.memory=8g
+  --conf spark.ui.enabled=false
+)
+
+echo "== generating corpus ($FILES files) ==" >&2
+spark-submit --master "local[$N4]" "${SUBMIT_CONF[@]}" \
+  --py-files "$ZIP" BENCH/gen_corpus.py --files "$FILES" --output "$CORPUS" >&2
+
+run_one() {
+  local cores="$1"
+  spark-submit --master "local[$cores]" "${SUBMIT_CONF[@]}" \
+    --conf "spark.sql.shuffle.partitions=$((2 * cores))" \
+    --py-files "$ZIP" BENCH/scaling_job.py --input "$CORPUS" --mode extract \
+    2>"$WORK/stderr_$cores.log" | tail -1
+}
+
+echo "== local[$N] run ==" >&2
+R1="$(run_one "$N")"
+echo "$R1" >&2
+echo "== local[$N4] run ==" >&2
+R2="$(run_one "$N4")"
+echo "$R2" >&2
+
+python - "$R1" "$R2" "$N" "$N4" <<'EOF'
+import json, sys
+r1, r2 = json.loads(sys.argv[1]), json.loads(sys.argv[2])
+n, n4 = int(sys.argv[3]), int(sys.argv[4])
+eff = (r2["files_per_sec"] / r1["files_per_sec"]) / (n4 / n)
+print(json.dumps({
+    "metric": "triple_extraction_scaling",
+    "n_cores": n, "n4_cores": n4,
+    "files": r1["files"], "triples": r1["triples"],
+    "files_per_sec_n": r1["files_per_sec"],
+    "files_per_sec_4n": r2["files_per_sec"],
+    "wall_sec_n": r1["wall_sec"], "wall_sec_4n": r2["wall_sec"],
+    "scaling_efficiency": round(eff, 3),
+    "pass": eff >= 0.8,
+}))
+EOF

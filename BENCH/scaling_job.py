@@ -1,0 +1,89 @@
+"""Two-cluster-size scaling job (BASELINE.json north_rule gate).
+
+Measures triple-extraction throughput (files/sec) of the full KG pipeline
+stage 1 over a fixed on-disk synthetic corpus, at whatever parallelism the
+submitting `spark-submit --master local[N]` chose. The SAME input parquet is
+read at every core count, so the only variable between runs is executor
+parallelism — the sandbox stand-in for N vs 4N executors.
+
+Prints ONE JSON line: {"cpus": N, "files": F, "triples": T, "wall_sec": W,
+"files_per_sec": F/W}.
+
+Usage (via BENCH/run_scaling.sh):
+  spark-submit --master local[8]  --py-files raptor_spark.zip \
+      BENCH/scaling_job.py --input /tmp/scaling_corpus --mode extract
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet dir of the files corpus")
+    ap.add_argument("--mode", default="extract", choices=["extract", "pipeline"])
+    ap.add_argument("--output", default="", help="pipeline mode: output dir")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    cpus = spark.sparkContext.defaultParallelism
+
+    from raptor_spark.extract import extract_triples
+
+    files = spark.read.parquet(args.input)
+    # pin the split count at 4N for the LARGER size (128 = 4*32) so both runs
+    # see identical work units and the scaling difference is pure executor
+    # parallelism
+    files = files.repartition(128).persist()
+    n_files = files.count()  # materialize outside the timed window
+
+    # Warm the Python worker pool before timing. Worker creation is globally
+    # serialized on the SparkEnv monitor in Spark 4.1 (~0.6-0.8s each: daemon
+    # fork + auth + pandas/pyarrow import), so a cold local[32] pays ~25s of
+    # serialized startup that a long-lived cluster amortizes to zero. The
+    # metric targets steady-state throughput, so startup is excluded; the
+    # cold number is reported alongside for honesty.
+    t0 = time.monotonic()
+    extract_triples(files).count()
+    cold_wall = time.monotonic() - t0
+
+    walls = []
+    for _ in range(2):
+        t0 = time.monotonic()
+        if args.mode == "extract":
+            n_triples = extract_triples(files).count()
+        else:
+            from raptor_spark.pipeline import Pipeline
+
+            out = Pipeline(spark, args.output).run(files)
+            n_triples = out["edges"].count()
+        walls.append(time.monotonic() - t0)
+    wall = sum(walls) / len(walls)
+
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "mode": args.mode,
+                "files": n_files,
+                "triples": n_triples,
+                "wall_sec": round(wall, 3),
+                "cold_wall_sec": round(cold_wall, 3),
+                "files_per_sec": round(n_files / wall, 1),
+            }
+        ),
+        file=sys.stdout,
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

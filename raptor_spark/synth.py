@@ -145,6 +145,39 @@ def _gen_go_file(rng: random.Random, repo_idx: int, file_idx: int) -> str:
     return "\n".join(lines)
 
 
+def _n_repos_for(n_files: int) -> int:
+    return max(4, int((n_files / 10) ** 0.5 * 2.2))
+
+
+def _gen_row(rng: random.Random, i: int, n_repos: int) -> dict:
+    """One corpus row from an rng positioned at this file's draw point.
+
+    Shared by the sequential and the distributed generator; the rng call
+    ORDER here is frozen (sequential determinism depends on it).
+    """
+    repo_idx = i % n_repos
+    repo = f"org{repo_idx % 7}/repo{repo_idx}"
+    file_idx = i // n_repos
+    r = rng.random()
+    if r < 0.70:
+        lang, ext, gen = "python", "py", _gen_python_file
+    elif r < 0.90:
+        lang, ext, gen = "js", "js", _gen_js_file
+    else:
+        lang, ext, gen = "go", "go", _gen_go_file
+    depth = rng.randint(1, 4)
+    parts = [rng.choice(["src", "lib", "pkg", "internal", "app"])]
+    parts += [f"mod{rng.randint(0, 9)}" for _ in range(depth - 1)]
+    path = "/".join(parts) + f"/file_{file_idx}.{ext}"
+    return {
+        "repo": repo,
+        "path": path,
+        "commit": _commit_for(repo),
+        "lang": lang,
+        "content": gen(rng, repo_idx, file_idx),
+    }
+
+
 def generate_corpus(n_files: int = 500, seed: int = 42) -> list[dict]:
     """Generate ``n_files`` rows (plus a handful of fixed edge-case rows).
 
@@ -152,32 +185,10 @@ def generate_corpus(n_files: int = 500, seed: int = 42) -> list[dict]:
     scaling as sqrt so bigger corpora get both more repos and more files/repo.
     """
     rng = random.Random(seed)
-    n_repos = max(4, int((n_files / 10) ** 0.5 * 2.2))
+    n_repos = _n_repos_for(n_files)
     rows: list[dict] = []
     for i in range(n_files):
-        repo_idx = i % n_repos
-        repo = f"org{repo_idx % 7}/repo{repo_idx}"
-        file_idx = i // n_repos
-        r = rng.random()
-        if r < 0.70:
-            lang, ext, gen = "python", "py", _gen_python_file
-        elif r < 0.90:
-            lang, ext, gen = "js", "js", _gen_js_file
-        else:
-            lang, ext, gen = "go", "go", _gen_go_file
-        depth = rng.randint(1, 4)
-        parts = [rng.choice(["src", "lib", "pkg", "internal", "app"])]
-        parts += [f"mod{rng.randint(0, 9)}" for _ in range(depth - 1)]
-        path = "/".join(parts) + f"/file_{file_idx}.{ext}"
-        rows.append(
-            {
-                "repo": repo,
-                "path": path,
-                "commit": _commit_for(repo),
-                "lang": lang,
-                "content": gen(rng, repo_idx, file_idx),
-            }
-        )
+        rows.append(_gen_row(rng, i, n_repos))
 
     # --- fixed edge cases (FIXTURES.md §1) ---
     edge_repo = "org0/repo0"
@@ -206,3 +217,36 @@ def generate_corpus(n_files: int = 500, seed: int = 42) -> list[dict]:
     rows.append({"repo": edge_repo, "path": "edge/versioned.py", "commit": "b" * 40,
                  "lang": "python", "content": "def fetch_data(arg):\n    y = main(arg)\n    return y\n"})
     return rows
+
+
+def generate_corpus_df(spark, n_files: int, seed: int = 42, partitions: int | None = None):
+    """Distributed corpus generator: executors synthesize rows in parallel.
+
+    Per-file determinism comes from seeding an rng per index
+    (``Random(seed<<32 ^ i)``), so the output is stable under any
+    partitioning — but it is a DIFFERENT (equally valid) corpus from the
+    sequential ``generate_corpus``, whose single rng threads state across
+    files. Tests/golden oracles use the sequential one; scaling/bench runs
+    use this one, because a 10^12-file corpus can't be built on a driver.
+
+    No edge-case rows here (the extractor's robustness to them is gated in
+    pytest on the sequential corpus).
+    """
+    import pandas as pd
+
+    from raptor_spark.schemas import FILES_SCHEMA
+
+    n_repos = _n_repos_for(n_files)
+    parts = partitions or max(32, spark.sparkContext.defaultParallelism * 2)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [
+                _gen_row(random.Random((seed << 32) ^ int(i)), int(i), n_repos)
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in FILES_SCHEMA.fields])
+
+    return spark.range(0, n_files, numPartitions=parts).mapInPandas(
+        gen, schema=FILES_SCHEMA
+    )
