@@ -70,20 +70,18 @@ def main() -> None:
 
     # --- KG pipeline throughput (files/sec) on the synthetic corpus --------
     from raptor_spark.pipeline import Pipeline
-    from raptor_spark.schemas import FILES_SCHEMA
-    from raptor_spark.synth import generate_corpus
+    from raptor_spark.synth import generate_corpus_df
 
     n_files = max(500, int(sf * 100_000)) if sf > 0 else 2_000  # sf0.1 → 10k
-    rows = generate_corpus(n_files)
-    files = spark.createDataFrame(rows, schema=FILES_SCHEMA).repartition(4 * cpus)
-    files.persist().count()  # exclude generation from the measured window
+    files = generate_corpus_df(spark, n_files, partitions=4 * cpus)
+    n_kg_files = files.persist().count()  # exclude generation from the measured window
     out_dir = tempfile.mkdtemp(prefix="kg_bench_")
     t0 = time.monotonic()
     out = Pipeline(spark, out_dir).run(files)
     n_triples = out["extracted"].count()
     kg_sec = time.monotonic() - t0
     timings["kg_pipeline"] = round(kg_sec, 3)
-    files_per_sec = round(len(rows) / kg_sec, 1)
+    files_per_sec = round(n_kg_files / kg_sec, 1)
     shutil.rmtree(out_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
@@ -95,7 +93,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "kg_files": len(rows),
+                "kg_files": n_kg_files,
                 "kg_triples": n_triples,
                 "kg_files_per_sec": files_per_sec,
                 "cpus": cpus,

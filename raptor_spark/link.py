@@ -9,8 +9,9 @@ vectors, link iff cosine ≥ 0.9 — raptor/qdrant_search_docker/api_insert.py:1
 1. exact block: names sharing the space-stripped normalized identifier link
    unconditionally (covers camel/snake/Pascal aliases AND head symbols like
    ``main`` — heads only ever link exactly; skew guard per SURVEY.md §7.4).
-2. fuzzy block: non-head names → char-3-gram shingles → 16 MinHash values
-   (xxhash64, JVM-side) → 4 bands × 4 rows → candidates = self-join on
+2. fuzzy block: non-head names → char-3-gram shingles → 32 MinHash values
+   (xxhash64, JVM-side) → 8 bands × 4 rows → oversize band buckets dropped
+   (MAX_BAND_BUCKET skew guard) → candidates = self-join on
    (first_token, band_id, band_hash) → verify with exact Jaccard via
    ``array_intersect``/``array_union`` sizes (JVM-side, no UDF).
 
@@ -40,10 +41,18 @@ from raptor_spark.functions import norm_identifier_col
 from raptor_spark.oracle import HEAD_SYMBOL_MAX_DF, JACCARD_THRESHOLD
 from raptor_spark.tokenize import PRED_CALLS, PRED_DEFINES, char_shingles, normalize_identifier
 
-N_MINHASH = 16
-N_BANDS = 8  # 2 rows per band; P(candidate) = 1-(1-j^2)^8 ≈ .9987 at j=.75
-#              (recall-heavy banding is cheap because verification is an exact
-#               JVM-side Jaccard, and the first_token block bounds bucket size)
+N_MINHASH = 32
+N_BANDS = 8  # 4 rows per band: P(candidate) = 1-(1-j^4)^8 ≈ .95 at j=.75 and
+#              ≈ .999 at j=.85 (real alias pairs sit ≥ .85; exact-normalized
+#              aliases bypass LSH entirely via the nospace block). 2-row bands
+#              were recall-heavier but fired at j≈.33 too (P≈.9), which made
+#              the ubiquitous shared-first-token names (helper_*) pairwise
+#              candidates — a quadratic flood measured at >15 min for 10k
+#              files. 4-row bands drop P(j=.33) to ≈.09.
+MAX_BAND_BUCKET = 64  # skew guard: an LSH bucket bigger than this means the
+#              band hash carries no information for that name cluster — drop
+#              the bucket (members keep their other N_BANDS-1 chances, and
+#              true alias pairs are still covered by the exact nospace block)
 
 _NAME_FEATURES_SCHEMA = StructType(
     [
@@ -142,6 +151,13 @@ def link_edges(triples: DataFrame) -> DataFrame:
         ).alias("band"),
     ).select("name", "first_token", "nospace", "band.band_id", "band.band_hash")
 
+    small = (
+        bands.groupBy("first_token", "band_id", "band_hash")
+        .agg(F.count("*").alias("bsz"))
+        .filter(F.col("bsz") <= MAX_BAND_BUCKET)
+        .select("first_token", "band_id", "band_hash")
+    )
+    bands = bands.join(small, ["first_token", "band_id", "band_hash"], "left_semi")
     cands = (
         bands.alias("a")
         .join(bands.alias("b"), on=["first_token", "band_id", "band_hash"])
