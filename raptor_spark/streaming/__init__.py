@@ -32,6 +32,9 @@ def windowed_event_counts(
     watermark: str = "2 hours",
     ts_col: str = "ts",
 ) -> DataFrame:
+    # watermarks require TIMESTAMP (not NTZ); session tz is UTC so the cast
+    # is a no-op on the epoch
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))

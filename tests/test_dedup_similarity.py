@@ -1,0 +1,132 @@
+"""Recall gates for the approximate operators (dedup + ANN), against their
+exact counterparts on the driver testdata — the checks the rows-only entry
+queries defer to (SURVEY.md §2.3 ANN-dedup semantics, api_insert.py:130-165).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from raptor_spark.operators.dedup import (
+    exact_dedup,
+    hamming_near_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from raptor_spark.operators.similarity import ann_topk, brute_force_topk, cosine_col
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+
+
+def _pairs(df):
+    return {(r.a, r.b) for r in df.collect()}
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, docs):
+    """LSH candidate generation must recover ≥90% of true j≥0.5 pairs and
+    report exact jaccard for everything it emits (precision 1.0 by verify)."""
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5)
+    golden = {(r.a, r.b): r.jaccard for r in exact.collect()}
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", n_hashes=32, n_bands=16, shingle_n=2,
+            jaccard_threshold=0.5,
+        ).collect()
+    }
+    assert golden, "fixture corpus has no near-dup pairs; test is vacuous"
+    # precision: every emitted pair is a true pair with the exact score
+    for pair, j in got.items():
+        assert pair in golden and abs(golden[pair] - j) < 1e-9, pair
+    # recall of the banding
+    recall = len(got) / len(golden)
+    assert recall >= 0.9, f"LSH recall {recall:.3f}"
+
+
+def test_minhash_bucket_cap_only_drops_flooded_buckets(spark, docs):
+    """max_bucket=None (exhaustive banding) and the default cap agree on this
+    corpus — the cap must only fire on degenerate buckets."""
+    capped = _pairs(
+        minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=32, n_bands=16,
+                          shingle_n=2, jaccard_threshold=0.5)
+    )
+    uncapped = _pairs(
+        minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=32, n_bands=16,
+                          shingle_n=2, jaccard_threshold=0.5, max_bucket=None)
+    )
+    assert capped <= uncapped
+    assert len(uncapped) == 0 or len(capped) / len(uncapped) >= 0.95
+
+
+def test_simhash_hamming_symmetry_and_exactness(spark, docs):
+    """Pairs from the pigeonhole blocking must match a brute-force hamming
+    scan (the blocking is an optimization, never a semantic change)."""
+    fp = simhash(docs.filter(F.col("doc_id") < 120), "doc_id", "text").persist()
+    got = _pairs(hamming_near_pairs(fp, max_distance=3))
+    brute = (
+        fp.alias("a").join(fp.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+    )
+    assert got == _pairs(brute)
+
+
+def test_exact_dedup_counts(spark, docs):
+    d = exact_dedup(docs, "doc_id", "text")
+    total = d.agg(F.sum("n_dups")).first()[0]
+    assert total == docs.count()
+    assert d.filter(F.col("n_dups") < 1).count() == 0
+
+
+def test_ann_topk_finds_planted_neighbors(spark, emb):
+    """The fixture embeddings are near-random (max pairwise cosine ≈ 0.39 at
+    this sf) — no LSH can rank weak neighbors, so the recall gate uses the
+    operator's actual use case: queries that are small deterministic
+    perturbations of corpus vectors (cosine ≈ 0.98 to their source). ANN must
+    surface the source in top-k for ≥80% of queries; brute force must for
+    100%."""
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.transform(
+                "embedding", lambda x, i: x + 0.05 * F.sin(F.col("vec_id") * 7 + i)
+            ).alias("vec"),
+        )
+    )
+    k = 5
+    golden = {
+        (r.qid, r.id) for r in brute_force_topk(corpus, queries, k=k).collect()
+    }
+    # brute force must rank each query's source vector in its top-k
+    assert all((q, q) in golden for q in range(10))
+    got = {(r.qid, r.id) for r in ann_topk(corpus, queries, k=k).collect()}
+    found = sum(1 for q in range(10) if (q, q) in got)
+    assert found >= 8, f"ANN found planted source for only {found}/10 queries"
+    # ANN scores must be exact cosines (re-scored, not approximated)
+    ann_rows = ann_topk(corpus, queries, k=k)
+    joined = (
+        ann_rows.join(corpus.withColumnRenamed("id", "cid"), F.col("id") == F.col("cid"))
+        .join(
+            queries.select("qid", F.col("vec").alias("qv")).withColumnRenamed("qid", "q2"),
+            F.col("qid") == F.col("q2"),
+        )
+        .select("cosine", cosine_col(F.col("vec"), F.col("qv")).alias("c2"))
+    )
+    bad = joined.filter(F.abs(F.col("cosine") - F.col("c2")) > 1e-6).count()
+    assert bad == 0
