@@ -34,6 +34,7 @@ from raptor_spark.operators.relational import (
 )
 from raptor_spark.operators.similarity import brute_force_topk, cosine_col, ann_topk
 from raptor_spark.operators.text import (
+    chunk_by_token_budget,
     langid_scores,
     quality_score_col,
     stopword_ratio_col,
@@ -352,6 +353,39 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.array_min(shingles).alias("fingerprint")).orderBy("doc_id")
 
 
+def q_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's read path (filtered vector search,
+    api_document_search_with_cache.py:157-237): must-filters on payload
+    fields (lang, source ∈ list) + relevance score + ORDER BY score DESC
+    LIMIT k. Score here is the lexical quality × log-length proxy (the
+    north_star replaces embedding similarity with lexical scoring)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.filter(
+        (F.col("lang") == "en") & F.col("source").isin("src1", "src2", "src3")
+    ).select(
+        "doc_id",
+        "source",
+        F.round(
+            quality_score_col(F.col("text")) * F.log(F.col("n_chars") + 1), 6
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget chunking — the reference's chunker core
+    (txt_processor.py:55-127) as one shuffle (see chunk_by_token_budget)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_by_token_budget(docs, "doc_id", "text", budget=100)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "chunk_id",
+        "n_sentences",
+        "chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
 def q_chunk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size grouping (5-at-a-time chunk groups,
     document_summary.py:16-17, 243-249)."""
@@ -461,7 +495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "langid": q_langid,
         "doc_fingerprint": q_doc_fingerprint,
+        "filtered_search": q_filtered_search,
         "chunk_groups": q_chunk_groups,
+        "text_chunks": q_text_chunks,
         "adaptive_threshold_events": q_adaptive_threshold_events,
         "rollup_tree": q_rollup_tree,
         "kg_triples": q_kg_triples,
@@ -705,6 +741,32 @@ def oracle_sql() -> dict[str, str]:
                    ELSE md5(array_to_string(ws, ' ')) END AS fingerprint
             FROM t ORDER BY doc_id
         """,
+        "filtered_search": r"""
+            WITH t AS (
+              SELECT doc_id, source, text, n_chars,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x != '') AS ws
+              FROM documents
+              WHERE lang = 'en' AND source IN ('src1', 'src2', 'src3')
+            ), m AS (
+              SELECT doc_id, source, n_chars,
+                     length(text) AS nc,
+                     greatest(len(ws), 1) AS n_words,
+                     length(regexp_replace(text, '[^\.,;:!?]', '', 'g')) AS punct,
+                     length(regexp_replace(text, '[\w\s]', '', 'g')) AS non_alnum
+              FROM t
+            )
+            SELECT doc_id, source,
+                   round((
+                     (CASE WHEN nc BETWEEN 20 AND 100000 THEN 1.0 ELSE 0.3 END) +
+                     (CASE WHEN nc * 1.0 / n_words BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.4 END) +
+                     (CASE WHEN punct * 1.0 / greatest(nc,1) <= 0.2 THEN 1.0 ELSE 0.5 END) +
+                     (CASE WHEN non_alnum * 1.0 / greatest(nc,1) <= 0.3 THEN 1.0 ELSE 0.2 END)
+                   ) / 4.0 * ln(n_chars + 1), 6) AS score
+            FROM m
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 20
+        """,
         "chunk_groups": """
             WITH t AS (
               SELECT source, doc_id, n_chars,
@@ -714,6 +776,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, g, count(*) AS n_docs, sum(n_chars) AS sum_chars
             FROM t GROUP BY source, g ORDER BY source, g
+        """,
+        "text_chunks": r"""
+            WITH s0 AS (
+              SELECT doc_id, string_split_regex(text, '[.!?]+\s+') AS sents
+              FROM documents
+            ), s AS (
+              SELECT doc_id, unnest(sents) AS sentence,
+                     generate_subscripts(sents, 1) AS pos
+              FROM s0
+            ), t AS (
+              SELECT doc_id, pos, sentence,
+                     len(list_filter(string_split_regex(lower(trim(sentence)), '\s+'),
+                                     x -> x != '')) AS n_tokens
+              FROM s
+              WHERE trim(sentence) != ''
+            ), c AS (
+              SELECT doc_id, pos, sentence, n_tokens,
+                     CAST(floor((sum(n_tokens) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) - n_tokens) / 100.0) AS INT) AS chunk_id
+              FROM t
+            )
+            SELECT doc_id, chunk_id,
+                   count(*) AS n_sentences,
+                   sum(n_tokens) AS chunk_tokens,
+                   md5(string_agg(sentence, ' ' ORDER BY pos)) AS chunk_md5
+            FROM c GROUP BY doc_id, chunk_id
+            ORDER BY doc_id, chunk_id
         """,
         "adaptive_threshold_events": """
             WITH thr AS (

@@ -42,6 +42,18 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
+    # Warm the session before timing: Python-worker creation is globally
+    # serialized in Spark 4.1 (~0.8s/core, see BENCH/BASELINE.md) and the
+    # first parquet scan pays codegen warmup — costs a cluster amortizes.
+    import pandas as _pd
+
+    def _noop(it):
+        for pdf in it:
+            yield _pd.DataFrame({"n": [len(pdf)]})
+
+    warm = spark.range(0, 4 * cpus, numPartitions=4 * cpus)
+    warm.mapInPandas(_noop, schema="n long").count()
+
     qfns = entry_mod.queries()
     bench_queries = [
         "interval_argmax",

@@ -106,7 +106,7 @@ def head_names(names_with_repo: DataFrame) -> DataFrame:
 
 def link_edges(triples: DataFrame) -> DataFrame:
     """(a, b) undirected link edges between defined names, a < b."""
-    names_repo = defined_names(triples)
+    names_repo = defined_names(triples).persist()  # read twice: heads + names
     heads = head_names(names_repo)
     names = names_repo.select("name").distinct()
     feats = names.mapInPandas(_featurize, schema=_NAME_FEATURES_SCHEMA)
@@ -150,6 +150,10 @@ def link_edges(triples: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("name", "first_token", "nospace", "band.band_id", "band.band_hash")
+    # the bands table feeds three consumers (bucket-size agg + both sides of
+    # the candidate self-join); without a persist each one recomputes the
+    # full shingle-explode + 32-way minhash aggregation (~3x stage cost)
+    bands = bands.persist()
 
     small = (
         bands.groupBy("first_token", "band_id", "band_hash")
@@ -157,7 +161,9 @@ def link_edges(triples: DataFrame) -> DataFrame:
         .filter(F.col("bsz") <= MAX_BAND_BUCKET)
         .select("first_token", "band_id", "band_hash")
     )
-    bands = bands.join(small, ["first_token", "band_id", "band_hash"], "left_semi")
+    bands = bands.join(
+        small, ["first_token", "band_id", "band_hash"], "left_semi"
+    ).persist()  # both sides of the self-join below
     cands = (
         bands.alias("a")
         .join(bands.alias("b"), on=["first_token", "band_id", "band_hash"])

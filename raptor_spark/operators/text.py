@@ -86,6 +86,56 @@ def langid_scores(df: DataFrame, text_col: str) -> DataFrame:
     return out.withColumn("lang_pred", F.when(best > 0, pred).otherwise(F.lit("und")))
 
 
+def chunk_by_token_budget(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 100,
+    sentence_regex: str = r"[.!?]+\s+",
+) -> DataFrame:
+    """The reference's greedy token-budget chunker (txt_processor.py:55-127)
+    as a pure DataFrame op: split text into sentences, pack consecutive
+    sentences into chunks whose cumulative word count stays ≤ budget (an
+    oversize sentence gets its own chunk), return one row per chunk with its
+    text re-assembled in order.
+
+    Plan shape: posexplode → window cumsum within the document → group-id by
+    floor((cumsum - size)/budget) (same trick as relational.budget_groups) →
+    groupBy(doc, chunk) with an order-preserving sorted-struct concat. One
+    shuffle on (id, chunk); whole-stage codegen throughout.
+    """
+    from pyspark.sql.window import Window
+
+    sent = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sentence_regex)).alias("pos", "sentence"),
+    ).filter(F.trim(F.col("sentence")) != "")
+    sent = sent.withColumn("n_tokens", F.size(words_col(F.col("sentence"))))
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sent = sent.withColumn(
+        "chunk_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget).cast("int"),
+    )
+    return (
+        sent.groupBy("id", "chunk_id")
+        .agg(
+            F.count("*").alias("n_sentences"),
+            F.sum("n_tokens").alias("chunk_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sentence"))),
+                    lambda s: s.sentence,
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def fingerprint_col(text: Column, n_grams: int = 4) -> Column:
     """Document fingerprint: xxhash64 of the winnowed shingle min — a cheap
     rolling-hash fingerprint (content-derived, stable across partitions)."""

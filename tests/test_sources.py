@@ -1,0 +1,72 @@
+"""Sources/sinks gates (SURVEY.md §2.1): permissive CSV validation, file-type
+dispatch, catalog manifest round-trip, incremental change-detection join."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from raptor_spark.catalog import Catalog
+from raptor_spark.extract import filter_unprocessed
+from raptor_spark.sources import file_type_dispatch, read_csv_validated
+
+
+def test_read_csv_validated_quarantines_bad_rows(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text('a,b\n1,"x"\n2,"y"\nbroken_line_only_one_field_with_"quote\n3,"z"\n')
+    schema = StructType(
+        [
+            StructField("a", IntegerType()),
+            StructField("b", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = read_csv_validated(spark, str(p), schema=schema).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 3
+    assert bad.count() == 1
+    assert {r.a for r in good.collect()} == {1, 2, 3}
+
+
+def test_file_type_dispatch(spark):
+    rows = [("src/a.py",), ("lib/b.TSX",), ("c/d.go",), ("x/readme.md",), ("noext",)]
+    df = file_type_dispatch(spark.createDataFrame(rows, ["path"]))
+    got = {r.path: r.lang_detected for r in df.collect()}
+    assert got == {
+        "src/a.py": "python", "lib/b.TSX": "js", "c/d.go": "go",
+        "x/readme.md": "other", "noext": "other",
+    }
+
+
+def test_catalog_manifest_roundtrip(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(10).withColumn("k", F.col("id") % 2)
+    cat.write("t", df, partition_by=["k"], meta={"input_fingerprint": "abc"})
+    assert cat.exists("t")
+    assert cat.manifest("t")["input_fingerprint"] == "abc"
+    assert cat.read("t").count() == 10
+    cat.drop("t")
+    assert not cat.exists("t")
+
+
+def test_filter_unprocessed_change_detection(spark, files_df, triples_df):
+    """The checksum short-circuit (client.py:157-206): a second run over the
+    same corpus extracts nothing; a new file passes through."""
+    remaining = filter_unprocessed(files_df, triples_df)
+    assert remaining.count() == 0
+
+    new = spark.createDataFrame(
+        [("orgX/new", "src/n.py", "c" * 40, "python", "def brand_new(arg):\n    return arg\n")],
+        files_df.schema,
+    )
+    both = files_df.unionByName(new)
+    remaining2 = filter_unprocessed(both, triples_df)
+    assert [r.path for r in remaining2.collect()] == ["src/n.py"]
+    assert set(remaining2.columns) == set(files_df.columns)
