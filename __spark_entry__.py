@@ -28,6 +28,7 @@ from raptor_spark.operators.interval_join import (
 )
 from raptor_spark.operators.relational import (
     budget_groups,
+    grouped_array_mean,
     hierarchical_rollup,
     latest_per_key,
     topk_per_group,
@@ -416,6 +417,21 @@ def q_adaptive_threshold_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_array_window_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean of embedding arrays per vec_id-window + top-3 dims
+    (the classifier's np.mean(frames, axis=0) + argsort[:k],
+    classifier.py:107-131, 66-75) — fully distributed over the array axis."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "g", F.floor(F.col("vec_id") / 100).cast("long")
+    )
+    means = grouped_array_mean(emb, ["g"], "embedding")
+    ex = means.select("g", F.posexplode("mean_array").alias("pos", "avg_v"))
+    top = topk_per_group(ex, ["g"], [F.desc("avg_v"), F.asc("pos")], k=3)
+    return top.select(
+        "g", "pos", F.round("avg_v", 6).alias("avg_v"), "rank"
+    ).orderBy("g", "rank")
+
+
 def q_rollup_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical roll-up to a single record (the RAPTOR tree,
     document_summary.py:319-366), with a deterministic concat reducer."""
@@ -473,6 +489,29 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media).orderBy("media_id")
 
 
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling + quality filter + per-video stats (the frame
+    extraction pipeline shape, frame_extraction.py:87-150; decode stubbed,
+    predicate and plumbing real). Rows-only check."""
+    from raptor_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_media_from_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synthesize_media_from_text(docs, "doc_id", "text")
+    frames = sample_frames(media, fps_target=2)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.avg("brightness"), 4).alias("avg_brightness"),
+            F.round(F.avg("entropy"), 4).alias("avg_entropy"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -499,10 +538,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_groups": q_chunk_groups,
         "text_chunks": q_text_chunks,
         "adaptive_threshold_events": q_adaptive_threshold_events,
+        "array_window_means": q_array_window_means,
         "rollup_tree": q_rollup_tree,
         "kg_triples": q_kg_triples,
         "kg_graph_nodes": q_kg_graph_nodes,
         "media_features": q_media_features,
+        "frame_samples": q_frame_samples,
     }
 
 
@@ -805,6 +846,26 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(sentence, ' ' ORDER BY pos)) AS chunk_md5
             FROM c GROUP BY doc_id, chunk_id
             ORDER BY doc_id, chunk_id
+        """,
+        "array_window_means": """
+            WITH e AS (
+              SELECT CAST(floor(vec_id / 100) AS BIGINT) AS g,
+                     unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) - 1 AS pos
+              FROM embeddings
+            ), m AS (
+              SELECT g, pos, avg(v) AS avg_v FROM e GROUP BY g, pos
+            ), r AS (
+              SELECT g, pos, avg_v,
+                     row_number() OVER (
+                       PARTITION BY g ORDER BY avg_v DESC, pos ASC
+                     ) AS rk
+              FROM m
+            )
+            SELECT g, CAST(pos AS INT) AS pos, round(avg_v, 6) AS avg_v,
+                   CAST(rk AS INT) AS rank
+            FROM r WHERE rk <= 3
+            ORDER BY g, rank
         """,
         "adaptive_threshold_events": """
             WITH thr AS (

@@ -90,6 +90,29 @@ def hierarchical_rollup(
     return cur.withColumn("levels", F.lit(level))
 
 
+def grouped_array_mean(
+    df: DataFrame, keys: list[str], array_col: str
+) -> DataFrame:
+    """Element-wise mean of an array column per group — the windowed
+    527-class probability mean of the reference's audio classifier
+    (processors/classifier.py:107-131: np.mean(frames, axis=0) per 30s
+    window), distributed: posexplode → (keys, pos) partial-agg avg →
+    re-assemble ordered. Two shuffles, both on scalar rows; never collects
+    an array axis to one machine, so the array dimension and the group
+    count both scale."""
+    ex = df.select(*keys, F.posexplode(array_col).alias("pos", "v"))
+    per_pos = ex.groupBy(*keys, "pos").agg(F.avg("v").alias("avg_v"))
+    return (
+        per_pos.groupBy(*keys)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "avg_v"))),
+                lambda s: s.avg_v,
+            ).alias("mean_array")
+        )
+    )
+
+
 def adaptive_threshold(
     df: DataFrame, col: str, quantile: float = 0.5, sigma_mult: float = 0.5
 ) -> float:
