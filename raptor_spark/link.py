@@ -121,15 +121,24 @@ def link_edges(triples: DataFrame) -> DataFrame:
     )
 
     # -- 2. fuzzy block: MinHash/LSH over non-head names --------------------
+    # signatures are a pure projection over the per-name shingle ARRAY — no
+    # explode/groupBy shuffle (an earlier explode+32-agg formulation shuffled
+    # every shingle row and compiled a 32-column aggregate for nothing)
     fuzzy_feats = feats.join(heads, on="name", how="left_anti")
-    sh = fuzzy_feats.select(
-        "name", "first_token", "nospace", F.explode("shingles").alias("shingle")
-    )
-    sig = sh.groupBy("name", "first_token", "nospace").agg(
+
+    def _minhash(seed: int):
+        # NB: a two-arg transform lambda would receive (element, array_index)
+        # and silently shadow the seed — keep this a one-arg closure
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = fuzzy_feats.select(
+        "name",
+        "first_token",
+        "nospace",
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            F.array_min(F.transform("shingles", _minhash(i))).alias(f"h{i}")
             for i in range(N_MINHASH)
-        ]
+        ],
     )
     rows_per_band = N_MINHASH // N_BANDS
     bands = sig.select(
