@@ -489,6 +489,28 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media).orderBy("media_id")
 
 
+def q_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salted join (north_rule skew handling): events × a 5-row
+    event-type dimension — the worst-case structural skew (every row shares
+    one of 5 keys), spread over 16 salts. Result identical to the plain
+    equi-join, which the oracle computes."""
+    from raptor_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.select("event_type").distinct().withColumn(
+        "type_weight", (F.length("event_type") * 10).cast("double")
+    )
+    joined = salted_join(ev, dim, on=["event_type"], n_salts=16)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value") * F.col("type_weight")), 2).alias("weighted"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling + quality filter + per-video stats (the frame
     extraction pipeline shape, frame_extraction.py:87-150; decode stubbed,
@@ -544,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_nodes": q_kg_graph_nodes,
         "media_features": q_media_features,
         "frame_samples": q_frame_samples,
+        "salted_enrich": q_salted_enrich,
     }
 
 
@@ -866,6 +889,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rk AS INT) AS rank
             FROM r WHERE rk <= 3
             ORDER BY g, rank
+        """,
+        "salted_enrich": """
+            WITH dim AS (
+              SELECT DISTINCT event_type,
+                     length(event_type) * 10.0 AS type_weight
+              FROM events
+            )
+            SELECT e.event_type, count(*) AS n,
+                   round(sum(e.value * dim.type_weight), 2) AS weighted
+            FROM events e JOIN dim USING (event_type)
+            GROUP BY e.event_type
+            ORDER BY e.event_type
         """,
         "adaptive_threshold_events": """
             WITH thr AS (
