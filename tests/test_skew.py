@@ -41,3 +41,48 @@ def test_salted_left_join_keeps_unmatched(spark):
     assert out.filter(F.col("w").isNull()).count() == ev.filter(
         F.col("event_type") == "click"
     ).count()
+
+
+def test_bucketized_range_join_equals_direct(spark):
+    """bucketize turns the theta range join into an equi-join on bucket id;
+    after pair-dedup the result must equal the direct range join (the
+    big x big scale path for interval joins, interval_join.py docstring)."""
+    import pyspark.sql.functions as F
+    from raptor_spark.operators.interval_join import bucketize, overlap_col
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ts = F.col("ts").cast("timestamp").cast("double")
+    left = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("lid"), "user_id",
+        ts.alias("start"), (ts + 600.0).alias("end"),
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("rid"), "user_id",
+        ts.alias("start"), (ts + 600.0).alias("end"),
+    )
+
+    direct = (
+        left.alias("l").join(
+            right.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("l.start") < F.col("r.end"))
+            & (F.col("r.start") < F.col("l.end")),
+        ).select("lid", "rid")
+    )
+
+    width = 900.0
+    lb = bucketize(left, "start", "end", width)
+    rb = bucketize(right, "start", "end", width)
+    bucketed = (
+        lb.alias("l").join(
+            rb.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.start") < F.col("r.end"))
+            & (F.col("r.start") < F.col("l.end")),
+        ).select("lid", "rid").distinct()
+    )
+
+    d = {(r.lid, r.rid) for r in direct.collect()}
+    b = {(r.lid, r.rid) for r in bucketed.collect()}
+    assert d == b and len(d) > 0
