@@ -489,6 +489,24 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media).orderBy("media_id")
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (batch twin of the stateful streaming
+    operator raptor_spark.streaming.sessionize_stream; the reference's
+    Redis per-request state machine re-expressed as window arithmetic)."""
+    from raptor_spark.operators.relational import sessionize
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.col("ts").cast("timestamp").cast("double")
+    )
+    out = sessionize(ev, ["user_id"], "ts_sec", gap_s=1800.0)
+    return out.select(
+        "user_id",
+        F.round("session_start", 2).alias("session_start"),
+        F.round("session_end", 2).alias("session_end"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
 def q_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit salted join (north_rule skew handling): events × a 5-row
     event-type dimension — the worst-case structural skew (every row shares
@@ -567,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "frame_samples": q_frame_samples,
         "salted_enrich": q_salted_enrich,
+        "sessionize": q_sessionize,
     }
 
 
@@ -889,6 +908,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rk AS INT) AS rank
             FROM r WHERE rk <= 3
             ORDER BY g, rank
+        """,
+        "sessionize": """
+            WITH e AS (
+              SELECT user_id, epoch(ts) AS t FROM events
+            ), l AS (
+              SELECT user_id, t,
+                     CASE WHEN lag(t) OVER w IS NULL
+                            OR t - lag(t) OVER w > 1800.0
+                          THEN 1 ELSE 0 END AS ns
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY t)
+            ), s AS (
+              SELECT user_id, t,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+              FROM l
+            )
+            SELECT user_id,
+                   round(min(t), 2) AS session_start,
+                   round(max(t), 2) AS session_end,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_start
         """,
         "salted_enrich": """
             WITH dim AS (

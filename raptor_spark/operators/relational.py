@@ -90,6 +90,36 @@ def hierarchical_rollup(
     return cur.withColumn("levels", F.lit(level))
 
 
+def sessionize(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    gap_s: float = 1800.0,
+) -> DataFrame:
+    """Gaps-and-islands sessionization: consecutive events per key belong to
+    one session while inter-event gap ≤ gap_s. Batch twin of the stateful
+    streaming operator (raptor_spark.streaming.sessionize_stream); one
+    window pass + one groupBy."""
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    gap = F.col(ts_col) - F.lag(ts_col).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    with_id = df.withColumn(
+        "_session",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_id.groupBy(*keys, "_session")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .drop("_session")
+    )
+
+
 def grouped_array_mean(
     df: DataFrame, keys: list[str], array_col: str
 ) -> DataFrame:

@@ -47,6 +47,77 @@ def streaming_triple_extract(files_stream: DataFrame) -> DataFrame:
     return extract_triples(files_stream)
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "user_id LONG, session_start DOUBLE, session_end DOUBLE, n_events LONG"
+)
+_SESSION_STATE_SCHEMA = "start DOUBLE, end DOUBLE, n LONG"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: float = 1800.0,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (the Spark-native form of the reference's Redis per-request state
+    machines, svc/*_orchestrator_service/redis_manager.py): per-key
+    sessionization with event-time timeout. Sessions closed inside a batch
+    emit immediately; the trailing open session emits when the watermark
+    passes session_end + gap. Batch twin (identical semantics on closed
+    sessions): raptor_spark.operators.relational.sessionize.
+    """
+    import pandas as pd
+
+    ev = (
+        events.withColumn("_ts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_ts", watermark)
+        .withColumn("_sec", F.col("_ts").cast("double"))
+        .select(key_col, "_ts", "_sec")
+    )
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            s, e, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "session_start": [s],
+                 "session_end": [e], "n_events": [n]}
+            )
+            return
+        ts: list[float] = []
+        for pdf in pdfs:
+            ts.extend(float(x) for x in pdf["_sec"])
+        ts.sort()
+        if state.exists:
+            s, e, n = state.get
+        else:
+            s = e = None
+            n = 0
+        closed = []
+        for t in ts:
+            if s is None:
+                s = e = t
+                n = 1
+            elif t - e <= gap_s:
+                e = t
+                n += 1
+            else:
+                closed.append((key[0], s, e, n))
+                s = e = t
+                n = 1
+        state.update((s, e, n))
+        state.setTimeoutTimestamp(int((e + gap_s) * 1000) + 1)
+        yield pd.DataFrame(
+            closed, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+
+    return ev.groupBy(key_col).applyInPandasWithState(
+        fn, SESSION_OUTPUT_SCHEMA, _SESSION_STATE_SCHEMA, "append", "EventTimeTimeout"
+    )
+
+
 def run_available_now(
     df: DataFrame, out_path: str, checkpoint: str, fmt: str = "parquet"
 ) -> None:

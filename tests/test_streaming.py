@@ -72,3 +72,75 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path_factory):
     )
     assert joined.filter(F.col("bn").isNull()).count() == 0
     assert joined.filter((F.col("n") != F.col("bn"))).count() == 0
+
+
+def test_stateful_sessionize_matches_batch_closed_sessions(spark, tmp_path_factory):
+    """applyInPandasWithState sessionization: every emitted session must be
+    exactly one of the batch gaps-and-islands sessions; a checkpoint restart
+    with no new data emits nothing more."""
+    from raptor_spark.operators.relational import sessionize
+    from raptor_spark.streaming import sessionize_stream
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts_sec", F.col("ts").cast("timestamp").cast("double")
+    )
+    # two time-ordered files → two microbatches (maxFilesPerTrigger=1), so
+    # batch 2's watermark fires batch-1 session timeouts
+    cut = events.approxQuantile("ts_sec", [0.5], 0.01)[0]
+    in_dir = str(tmp_path_factory.mktemp("sess") / "in")
+    events.filter(F.col("ts_sec") <= cut).coalesce(1).write.parquet(f"{in_dir}/p=1")
+    events.filter(F.col("ts_sec") > cut).coalesce(1).write.parquet(f"{in_dir}/p=2")
+
+    out = str(tmp_path_factory.mktemp("sess") / "out")
+    ckpt = str(tmp_path_factory.mktemp("sess") / "ckpt")
+    stream_in = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    GAP = 1800.0
+    q = (
+        sessionize_stream(stream_in, "user_id", "ts", gap_s=GAP)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    n_emitted = got.count()
+    assert n_emitted > 0
+
+    golden = sessionize(events, ["user_id"], "ts_sec", gap_s=GAP)
+    gset = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in golden.collect()
+    }
+    emitted = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in got.collect()
+    }
+    assert len(emitted) == n_emitted  # no duplicate emissions
+    assert emitted <= gset, sorted(emitted - gset)[:3]
+
+    # restart on the same checkpoint: nothing new to emit
+    q2 = (
+        sessionize_stream(
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(in_dir),
+            "user_id", "ts", gap_s=GAP,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == n_emitted
