@@ -136,6 +136,37 @@ def chunk_by_token_budget(
     )
 
 
+def clean_cell_col(text: Column) -> Column:
+    """Cell text cleaning (office_processor.py:382-389): collapse whitespace,
+    escape pipe — pure regexp_replace chain."""
+    return F.regexp_replace(
+        F.regexp_replace(F.trim(text), r"\s+", " "), r"\|", r"\\|"
+    )
+
+
+def markdown_table_col(headers: Column, rows: Column) -> Column:
+    """Markdown table render (csv_xlsx_processor.py:310-348): headers +
+    ``---`` separator + escaped cells; null cells → ``-``. headers:
+    array<string>, rows: array<array<string>>."""
+    def fmt_row(cells: Column) -> Column:
+        return F.concat(
+            F.lit("| "),
+            F.array_join(
+                F.transform(cells, lambda c: clean_cell_col(F.coalesce(c, F.lit("-")))),
+                " | ",
+            ),
+            F.lit(" |"),
+        )
+
+    sep = F.concat(
+        F.lit("|"),
+        F.array_join(F.transform(headers, lambda _: F.lit(" --- ")), "|"),
+        F.lit("|"),
+    )
+    body = F.array_join(F.transform(rows, fmt_row), "\n")
+    return F.concat_ws("\n", fmt_row(headers), sep, body)
+
+
 def fingerprint_col(text: Column, n_grams: int = 4) -> Column:
     """Document fingerprint: xxhash64 of the winnowed shingle min — a cheap
     rolling-hash fingerprint (content-derived, stable across partitions)."""

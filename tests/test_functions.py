@@ -58,3 +58,22 @@ def test_jaccard_properties(a, b):
 def test_shingles_deterministic():
     assert char_shingles("fetch data") == char_shingles("fetch data")
     assert char_shingles("ab") == {"^ab$"} or len(char_shingles("ab")) >= 1
+
+
+def test_clean_cell_and_markdown_table(spark):
+    from raptor_spark.operators.text import clean_cell_col, markdown_table_col
+
+    df = spark.createDataFrame(
+        [(["name", "v|al"], [["a  b", None], ["c|d", "e"]])],
+        ["headers", "rows"],
+    )
+    out = df.select(
+        markdown_table_col(F.col("headers"), F.col("rows")).alias("md"),
+        clean_cell_col(F.lit("  x \t y | z ")).alias("cell"),
+    ).first()
+    assert out.cell == r"x y \| z"
+    lines = out.md.split("\n")
+    assert lines[0] == r"| name | v\|al |"
+    assert lines[1] == "| --- | --- |"
+    assert lines[2] == "| a b | - |"
+    assert lines[3] == r"| c\|d | e |"
