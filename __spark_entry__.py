@@ -165,8 +165,12 @@ def q_budget_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy cumulative-budget grouping (txt_processor.py:55-101) as a
     window cumsum."""
     li = _t(spark, sf_dir, "lineitem")
+    # l_linenumber repeats within an order in the fixture data — tiebreak by
+    # quantity so the cumsum order (and thus group ids) is deterministic on
+    # both engines
     out = budget_groups(
-        li, ["l_orderkey"], [F.asc("l_linenumber")], F.col("l_quantity"), budget=50.0
+        li, ["l_orderkey"], [F.asc("l_linenumber"), F.asc("l_quantity")],
+        F.col("l_quantity"), budget=50.0,
     )
     return out.select("l_orderkey", "l_linenumber", "group_id").orderBy(
         "l_orderkey", "l_linenumber"
@@ -676,7 +680,7 @@ def oracle_sql() -> dict[str, str]:
         "budget_groups": """
             SELECT l_orderkey, l_linenumber,
                    CAST(floor((sum(l_quantity) OVER (
-                     PARTITION BY l_orderkey ORDER BY l_linenumber
+                     PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) - l_quantity) / 50.0) AS INT) AS group_id
             FROM lineitem
