@@ -23,6 +23,7 @@ from raptor_spark.operators.dedup import (
     embedding_near_dup,
 )
 from raptor_spark.operators.interval_join import (
+    asof_join,
     interval_overlap_argmax_join,
     interval_semi_label_join,
 )
@@ -556,6 +557,79 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (point-in-time lookup): each click gets the most
+    recent purchase value at-or-before it per user — single-shuffle
+    union/sort formulation, not a range join (operators.interval_join.
+    asof_join; ≙ the latest-version-before lookup, database.py:146-182)."""
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp").cast("double")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", ts.alias("t")
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", ts.alias("t"), "value"
+    )
+    out = asof_join(left, right, ["user_id"], "t", "t", ["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("matched_ts", 2).alias("matched_ts"),
+        F.round("value", 2).alias("value"),
+    ).orderBy("event_id")
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup (minute→hour→day), coarser
+    grains re-aggregated from finer partials in one raw-table pass
+    (operators.relational.rollup_time_hierarchy)."""
+    from raptor_spark.operators.relational import rollup_time_hierarchy
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "tsc", F.col("ts").cast("timestamp")
+    )
+    out = rollup_time_hierarchy(
+        ev, "tsc", ["event_type"], "value", ["minute", "hour", "day"]
+    )
+    return out.select(
+        "grain",
+        "bucket",
+        "event_type",
+        "n",
+        F.round("sum_v", 2).alias("sum_v"),
+        F.round("min_v", 2).alias("min_v"),
+        F.round("max_v", 2).alias("max_v"),
+        # avg_v is omitted from the compared output: it is sum_v/n, already
+        # pinned by the compared columns, and Spark's BigDecimal HALF_UP vs
+        # DuckDB's float rounding disagree on exact .5 ulp boundaries
+    ).orderBy("grain", "bucket", "event_type")
+
+
+def q_approx_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch rollup: per-(lang, source) sketches unioned up to
+    per-lang distinct-doc estimates without re-touching raw rows (rows-only;
+    the ≤2% relative-error gate vs exact runs in tests/test_sketch.py)."""
+    from raptor_spark.operators.sketch import hll_rollup
+
+    docs = _t(spark, sf_dir, "documents")
+    return hll_rollup(docs, ["lang", "source"], ["lang"], "doc_id").orderBy("lang")
+
+
+def q_approx_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-group approximate quantiles (rows-only; error gate vs
+    exact percentile in tests/test_sketch.py)."""
+    from raptor_spark.operators.sketch import approx_quantiles
+
+    ev = _t(spark, sf_dir, "events")
+    out = approx_quantiles(ev, ["event_type"], "value", [0.5, 0.9, 0.99])
+    return out.select(
+        "event_type",
+        F.round("q_0_5", 4).alias("q_0_5"),
+        F.round("q_0_9", 4).alias("q_0_9"),
+        F.round("q_0_99", 4).alias("q_0_99"),
+    ).orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -590,6 +664,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_samples": q_frame_samples,
         "salted_enrich": q_salted_enrich,
         "sessionize": q_sessionize,
+        "asof_enrich": q_asof_enrich,
+        "time_rollup": q_time_rollup,
+        "approx_distinct_docs": q_approx_distinct_docs,
+        "approx_quantiles_events": q_approx_quantiles_events,
     }
 
 
@@ -947,6 +1025,45 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN dim USING (event_type)
             GROUP BY e.event_type
             ORDER BY e.event_type
+        """,
+        "asof_enrich": """
+            WITH l AS (
+              SELECT event_id, user_id, epoch(ts) AS t
+              FROM events WHERE event_type = 'click'
+            ), r0 AS (
+              SELECT user_id, epoch(ts) AS t, value
+              FROM events WHERE event_type = 'purchase'
+            ), r AS (
+              SELECT user_id, t, max(value) AS value
+              FROM r0 GROUP BY user_id, t
+            )
+            SELECT l.event_id, l.user_id,
+                   round(r.t, 2) AS matched_ts,
+                   round(r.value, 2) AS value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.t >= r.t
+            ORDER BY l.event_id
+        """,
+        "time_rollup": """
+            WITH g AS (
+              SELECT 'minute' AS grain, date_trunc('minute', ts) AS bucket,
+                     event_type, count(*) AS n, sum(value) AS sum_v,
+                     min(value) AS min_v, max(value) AS max_v
+              FROM events GROUP BY 2, 3
+              UNION ALL
+              SELECT 'hour', date_trunc('hour', ts),
+                     event_type, count(*), sum(value), min(value), max(value)
+              FROM events GROUP BY 2, 3
+              UNION ALL
+              SELECT 'day', date_trunc('day', ts),
+                     event_type, count(*), sum(value), min(value), max(value)
+              FROM events GROUP BY 2, 3
+            )
+            SELECT grain, bucket, event_type, n,
+                   round(sum_v, 2) AS sum_v,
+                   round(min_v, 2) AS min_v,
+                   round(max_v, 2) AS max_v
+            FROM g ORDER BY grain, bucket, event_type
         """,
         "adaptive_threshold_events": """
             WITH thr AS (

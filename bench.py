@@ -71,6 +71,9 @@ def main() -> None:
         "doc_fingerprint",
         "adaptive_threshold_events",
         "media_features",
+        "asof_enrich",
+        "time_rollup",
+        "sessionize",
     ]
     timings: dict[str, float] = {}
     for name in bench_queries:

@@ -109,6 +109,78 @@ def interval_semi_label_join(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    l_ts: str,
+    r_ts: str,
+    right_payload: list[str],
+    tolerance: float | None = None,
+) -> DataFrame:
+    """As-of (backward) join: attach to each left row the LAST right row with
+    ``r_ts <= l_ts`` per key — the point-in-time lookup the reference does as
+    latest-version-before-date (asset_management/database.py:146-182's
+    ORDER BY DESC LIMIT 1, generalized to per-event time).
+
+    Scale shape: NOT a range join (which is per-key cartesian before the
+    argmax). Union both sides tagged by origin, one shuffle/sort on
+    (keys, ts, side), then ``last(payload, ignoreNulls)`` over the running
+    window carries each right value forward to the left rows it covers.
+    O(n log n) per key partition, no candidate blow-up, AQE-skew-splittable.
+
+    Right rows sharing (keys, ts) are deterministically reduced to the one
+    with max payload tuple before the union. With ``tolerance``, matches
+    older than ``l_ts - tolerance`` are nulled out (the join stays left-outer).
+    """
+    payload = [f"_r_{c}" for c in right_payload]
+    r = right.select(
+        *keys,
+        F.col(r_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.col(r_ts).alias("_matched_ts"),
+            *[F.col(c).alias(p) for c, p in zip(right_payload, payload)],
+        ).alias("_pl"),
+    )
+    # one right row per (keys, ts): deterministic argmax on the payload struct
+    r = r.groupBy(*keys, "_ts", "_side").agg(F.max("_pl").alias("_pl"))
+    l_cols = left.columns
+    lt = left.select(
+        "*",
+        F.col(l_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_pl"].dataType).alias("_pl"),
+    )
+    merged = lt.unionByName(r.select(
+        *keys, "_ts", "_side", "_pl",
+        *[F.lit(None).cast(lt.schema[c].dataType).alias(c)
+          for c in l_cols if c not in keys],
+    ))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        merged.withColumn("_carry", F.last("_pl", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if tolerance is not None:
+        out = out.withColumn(
+            "_carry",
+            F.when(
+                F.col("_carry._matched_ts") >= F.col("_ts") - F.lit(tolerance),
+                F.col("_carry"),
+            ),
+        )
+    return out.select(
+        *l_cols,
+        F.col("_carry._matched_ts").alias("matched_ts"),
+        *[F.col(f"_carry.{p}").alias(c) for c, p in zip(right_payload, payload)],
+    )
+
+
 def bucketize(
     df: DataFrame, start: str, end: str, bucket_width: float, out: str = "bucket"
 ) -> DataFrame:

@@ -143,6 +143,52 @@ def grouped_array_mean(
     )
 
 
+def rollup_time_hierarchy(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    grains: list[str] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: (grain, bucket, keys,
+    n, sum_v, min_v, max_v, avg_v) for each grain in the hierarchy.
+
+    Scale shape: the raw table is scanned ONCE at the finest grain; every
+    coarser grain re-aggregates the finer grain's partials (sum-of-sums,
+    count-of-counts) — the continuous-aggregate trick. Each level's input is
+    the previous level's output (orders of magnitude smaller), so the cost
+    after level 1 is negligible and no grain re-shuffles raw rows.
+    """
+    finest = grains[0]
+    cur = (
+        df.groupBy(
+            F.date_trunc(finest, F.col(ts_col)).alias("bucket"), *keys
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(value_col).alias("sum_v"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        )
+    )
+    levels = [cur.withColumn("grain", F.lit(finest))]
+    for g in grains[1:]:
+        cur = (
+            cur.groupBy(F.date_trunc(g, F.col("bucket")).alias("bucket"), *keys)
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_v").alias("sum_v"),
+                F.min("min_v").alias("min_v"),
+                F.max("max_v").alias("max_v"),
+            )
+        )
+        levels.append(cur.withColumn("grain", F.lit(g)))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.withColumn("avg_v", F.col("sum_v") / F.col("n"))
+
+
 def adaptive_threshold(
     df: DataFrame, col: str, quantile: float = 0.5, sigma_mult: float = 0.5
 ) -> float:

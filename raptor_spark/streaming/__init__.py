@@ -118,6 +118,40 @@ def sessionize_stream(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    bound_s: float = 600.0,
+    watermark: str = "1 hour",
+    l_ts: str = "ts",
+    r_ts: str = "ts",
+) -> DataFrame:
+    """Watermarked stream-stream join: pair each left event with right events
+    for the same key within ±bound_s of event time — the streaming form of
+    the fan-in barrier + interval join (audio orchestrator merge,
+    kafka_handler.py:454-509 / 60-117). The time bound + watermark let Spark
+    expire join state, so state size is O(events in the bound window), not
+    O(stream history) — the property that makes this run forever at scale.
+
+    Both inputs must carry distinct column names apart from ``key``.
+    """
+    lt = (
+        left.withColumn("_lts", F.col(l_ts).cast("timestamp"))
+        .withWatermark("_lts", watermark)
+    )
+    rt = (
+        right.withColumn("_rts", F.col(r_ts).cast("timestamp"))
+        .withWatermark("_rts", watermark)
+    )
+    cond = (
+        (lt[key] == rt[key])
+        & (rt["_rts"] >= F.expr(f"_lts - interval {int(bound_s)} seconds"))
+        & (rt["_rts"] <= F.expr(f"_lts + interval {int(bound_s)} seconds"))
+    )
+    return lt.join(rt, cond, "inner").drop(rt[key])
+
+
 def run_available_now(
     df: DataFrame, out_path: str, checkpoint: str, fmt: str = "parquet"
 ) -> None:

@@ -1,0 +1,122 @@
+"""Unit semantics for the as-of join (backward match, tolerance, tie
+determinism) and the multi-granularity time rollup (partial-reuse
+consistency: coarse grains from fine partials ≡ direct aggregation)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from raptor_spark.operators.interval_join import asof_join
+from raptor_spark.operators.relational import rollup_time_hierarchy
+from tests.conftest import SF_DIR
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 20.0, "b"), (1, 7.0, "c"), (2, 5.0, "d"), (3, 9.0, "e")],
+        "k INT, t DOUBLE, lid STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, 8.0, 100.0), (1, 8.0, 150.0), (1, 15.0, 200.0), (2, 9.0, 300.0)],
+        "k INT, t DOUBLE, val DOUBLE",
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(spark):
+    left, right = _frames(spark)
+    out = {
+        r.lid: (r.matched_ts, r.val)
+        for r in asof_join(left, right, ["k"], "t", "t", ["val"]).collect()
+    }
+    assert out["a"] == (8.0, 150.0)  # tie on right t=8.0 → max payload wins
+    assert out["b"] == (15.0, 200.0)  # latest at-or-before 20
+    assert out["c"] == (None, None)  # no right row ≤ 7
+    assert out["d"] == (None, None)  # right t=9 > left t=5
+    assert out["e"] == (None, None)  # key 3 absent on right
+
+
+def test_asof_equal_ts_matches(spark):
+    left = spark.createDataFrame([(1, 15.0, "x")], "k INT, t DOUBLE, lid STRING")
+    _, right = _frames(spark)
+    r = asof_join(left, right, ["k"], "t", "t", ["val"]).collect()[0]
+    assert (r.matched_ts, r.val) == (15.0, 200.0)  # r_ts == l_ts counts
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left, right = _frames(spark)
+    out = {
+        r.lid: r.val
+        for r in asof_join(
+            left, right, ["k"], "t", "t", ["val"], tolerance=3.0
+        ).collect()
+    }
+    assert out["a"] == 150.0  # 10-8 ≤ 3
+    assert out["b"] is None  # 20-15 > 3 → stale, nulled
+    assert len(out) == 5  # stays left-outer
+
+
+def test_asof_against_sql_correlated_subquery(spark):
+    """Cross-check the union/window formulation against the naive
+    range-join + argmax on real data."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ts = F.col("ts").cast("timestamp").cast("double")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", ts.alias("t")
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", ts.alias("rt"), "value"
+    )
+    got = asof_join(left, right, ["user_id"], "t", "rt", ["value"]).select(
+        "event_id", "matched_ts", "value"
+    )
+
+    from pyspark.sql.window import Window
+
+    j = left.join(right, "user_id", "left").filter(
+        F.col("rt").isNull() | (F.col("rt") <= F.col("t"))
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc_nulls_last("rt"), F.desc_nulls_last("value")
+    )
+    naive = (
+        left.join(
+            j.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("event_id", F.col("rt").alias("matched_ts"), "value"),
+            "event_id",
+            "left",
+        ).select("event_id", "matched_ts", "value")
+    )
+    assert got.exceptAll(naive).count() == 0
+    assert naive.exceptAll(got).count() == 0
+
+
+def test_rollup_hierarchy_matches_direct_aggregation(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "tsc", F.col("ts").cast("timestamp")
+    )
+    out = rollup_time_hierarchy(
+        ev, "tsc", ["event_type"], "value", ["minute", "hour", "day"]
+    ).persist()
+    for grain in ("hour", "day"):
+        direct = (
+            ev.groupBy(
+                F.date_trunc(grain, "tsc").alias("bucket"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("value").alias("sum_v"),
+                F.min("value").alias("min_v"),
+                F.max("value").alias("max_v"),
+            )
+            .withColumn("avg_v", F.col("sum_v") / F.col("n"))
+        )
+        got = out.filter(F.col("grain") == grain).drop("grain")
+        cols = ["bucket", "event_type", "n"]
+        assert got.count() == direct.count(), grain
+        # n/min/max are exact; sums compared after rounding (float assoc)
+        g = got.select(*cols, F.round("sum_v", 6).alias("s"), "min_v", "max_v")
+        d = direct.select(*cols, F.round("sum_v", 6).alias("s"), "min_v", "max_v")
+        assert g.exceptAll(d).count() == 0, grain
+    out.unpersist()

@@ -1,0 +1,80 @@
+"""Error gates for the sketch aggregates (operators/sketch.py): approximate
+answers must stay within published error bounds of exact answers on the
+driver testdata — the correctness contract an approximate operator can make."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from raptor_spark.operators.sketch import approx_distinct, approx_quantiles, hll_rollup
+from tests.conftest import SF_DIR
+
+
+def test_hll_rollup_within_2pct_of_exact(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        r.lang: r.approx_distinct
+        for r in hll_rollup(docs, ["lang", "source"], ["lang"], "doc_id").collect()
+    }
+    exact = {
+        r.lang: r.n
+        for r in docs.groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for lang, n in exact.items():
+        assert abs(got[lang] - n) <= max(0.02 * n, 1), (lang, got[lang], n)
+
+
+def test_hll_union_consistent_with_flat_sketch(spark):
+    """Rolling fine sketches up by union must estimate the same cardinality
+    as sketching the coarse group directly (mergeability)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    via_union = {
+        r.lang: r.approx_distinct
+        for r in hll_rollup(docs, ["lang", "source"], ["lang"], "doc_id").collect()
+    }
+    direct = {
+        r.lang: r.approx_distinct
+        for r in hll_rollup(docs, ["lang"], ["lang"], "doc_id").collect()
+    }
+    assert via_union == direct
+
+
+def test_approx_distinct_within_rsd(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = {
+        r.event_type: r.approx_distinct
+        for r in approx_distinct(ev, ["event_type"], "user_id", rsd=0.02).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(got[et] - n) <= max(0.05 * n, 2), (et, got[et], n)
+
+
+def test_approx_quantiles_rank_error(spark):
+    """percentile_approx returns an actual element whose rank must be within
+    1% of the requested quantile's rank per group."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    probs = [0.5, 0.9, 0.99]
+    out = {
+        r.event_type: (r.q_0_5, r.q_0_9, r.q_0_99)
+        for r in approx_quantiles(ev, ["event_type"], "value", probs).collect()
+    }
+    vals: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for et, qs in out.items():
+        xs = sorted(vals[et])
+        n = len(xs)
+        for p, q in zip(probs, qs):
+            lo = sum(1 for x in xs if x < q)
+            hi = sum(1 for x in xs if x <= q)
+            # requested rank must fall within the value's rank span ±1%
+            assert lo / n - 0.01 <= p <= hi / n + 0.01, (et, p, q, lo / n, hi / n)

@@ -74,6 +74,47 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path_factory):
     assert joined.filter((F.col("n") != F.col("bn"))).count() == 0
 
 
+def test_stream_stream_join_matches_batch(spark, tmp_path_factory):
+    """Watermarked stream-stream interval join must equal the batch join with
+    the same time-bound condition (state-expiring joins lose nothing within
+    the watermark on a drained availableNow run)."""
+    from raptor_spark.streaming import stream_stream_interval_join
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    in_dir = str(tmp_path_factory.mktemp("ssj") / "events")
+    events.write.mode("overwrite").parquet(in_dir)
+    out = str(tmp_path_factory.mktemp("ssj") / "out")
+    ckpt = str(tmp_path_factory.mktemp("ssj") / "ckpt")
+
+    def side(df, etype, prefix):
+        return df.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(f"{prefix}_id"),
+            "user_id",
+            F.col("ts").alias(f"{prefix}_ts"),
+        )
+
+    ls = side(spark.readStream.schema(events.schema).parquet(in_dir), "error", "l")
+    rs = side(spark.readStream.schema(events.schema).parquet(in_dir), "purchase", "r")
+    joined = stream_stream_interval_join(
+        ls, rs, "user_id", bound_s=600.0, l_ts="l_ts", r_ts="r_ts"
+    ).select("l_id", "r_id", "user_id")
+    run_available_now(joined, out, ckpt)
+    got = spark.read.parquet(out)
+
+    lb, rb = side(events, "error", "l"), side(events, "purchase", "r")
+    lt = F.col("l_ts").cast("timestamp").cast("double")
+    rt = F.col("r_ts").cast("timestamp").cast("double")
+    batch = (
+        lb.withColumn("_l", lt)
+        .join(rb.withColumn("_r", rt), "user_id")
+        .filter((F.col("_r") >= F.col("_l") - 600.0) & (F.col("_r") <= F.col("_l") + 600.0))
+        .select("l_id", "r_id", "user_id")
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
 def test_stateful_sessionize_matches_batch_closed_sessions(spark, tmp_path_factory):
     """applyInPandasWithState sessionization: every emitted session must be
     exactly one of the batch gaps-and-islands sessions; a checkpoint restart
