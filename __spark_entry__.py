@@ -321,6 +321,22 @@ def q_embedding_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: learned centroid codebook, queries probe only
+    their n_probe nearest cells (rows-only; planted-neighbor recall gate in
+    tests/test_dedup_similarity.py)."""
+    from raptor_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    return ivf_topk(corpus, queries, k=5, n_cells=16, n_probe=4).select(
+        "qid", "id", F.round("cosine", 4).alias("cosine"), "rank"
+    ).orderBy("qid", "rank")
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + token counting (document_summary.py:20-27 estimator)."""
     docs = _t(spark, sf_dir, "documents")
@@ -347,15 +363,20 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint = min md5 over word 4-gram shingles (rolling-hash
     fingerprinting; md5 so DuckDB can replicate)."""
+    from raptor_spark.functions import bind_col
+
     docs = _t(spark, sf_dir, "documents")
-    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    shingles = F.when(
-        F.size(w) >= 4,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 4),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, 4))),
-        ),
-    ).otherwise(F.array(F.md5(F.concat_ws(" ", w))))
+
+    def _shingles(w):
+        return F.when(
+            F.size(w) >= 4,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 4),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, 4))),
+            ),
+        ).otherwise(F.array(F.md5(F.concat_ws(" ", w))))
+
+    shingles = bind_col(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), _shingles)
     return docs.select("doc_id", F.array_min(shingles).alias("fingerprint")).orderBy("doc_id")
 
 
@@ -649,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "embedding_ann_topk": q_embedding_ann_topk,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "doc_quality": q_doc_quality,
         "langid": q_langid,
         "doc_fingerprint": q_doc_fingerprint,

@@ -40,3 +40,14 @@ def node_id_col(kind: Column | str, canonical: Column | str) -> Column:
     kind = F.lit(kind) if isinstance(kind, str) else kind
     canonical = F.col(canonical) if isinstance(canonical, str) else canonical
     return F.sha2(F.concat_ws(":", kind, canonical), 256)
+
+
+def bind_col(col: Column, fn) -> Column:
+    """Evaluate ``col`` ONCE per row and feed it to ``fn`` as a lambda
+    variable. Higher-order-function lambdas get no common-subexpression
+    elimination, so inlining an expensive expression (a regex split, a
+    shingle array) into a lambda body re-evaluates it at EVERY reference —
+    measured 16× on the shingling hot path (see
+    operators/dedup.word_shingles_col). ``transform`` over a one-element
+    array evaluates its input a single time."""
+    return F.element_at(F.transform(F.array(col), fn), 1)

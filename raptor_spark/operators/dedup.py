@@ -28,25 +28,43 @@ def _words(c: Column) -> Column:
     return F.split(F.lower(F.trim(c)), r"\s+")
 
 
+def _ensure_parallel(df: DataFrame) -> DataFrame:
+    """Small inputs (one parquet row-group) arrive as 1-2 partitions, which
+    serializes the per-row-heavy shingle/hash stages onto one core. Spread
+    them to the cluster's parallelism; at scale the input split count already
+    exceeds it, so this is a no-op (no shuffle added)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def word_shingles_col(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles as array<string>, pure column exprs
     (transform over a sequence of start offsets — JVM-side, no UDF).
 
     Each shingle is built from n ``element_at`` lookups instead of
     ``slice`` — slice allocates an intermediate array per position, which
-    dominated the shingling stage on long documents (measured ~2× there)."""
-    w = _words(text)
+    dominated the shingling stage on long documents (measured ~2× there).
 
-    def shingle_at(i: Column) -> Column:
-        return F.concat_ws(
-            " ", *[F.element_at(w, i + F.lit(k + 1)) for k in range(n)]
-        )
+    The split-word array is BOUND ONCE per row via a one-element transform:
+    HOF lambdas get no common-subexpression elimination, so inlining
+    ``split(lower(trim(text)))`` into every element_at re-ran the regex
+    split ~2·n_words times per row (measured 8 s → 0.5 s on 5000 docs)."""
 
-    return F.array_distinct(
-        F.when(
+    def build(w: Column) -> Column:
+        def shingle_at(i: Column) -> Column:
+            return F.concat_ws(
+                " ", *[F.element_at(w, i + F.lit(k + 1)) for k in range(n)]
+            )
+
+        return F.when(
             F.size(w) >= n,
             F.transform(F.sequence(F.lit(0), F.size(w) - n), shingle_at),
         ).otherwise(F.array(F.concat_ws(" ", w)))
+
+    return F.array_distinct(
+        F.element_at(F.transform(F.array(_words(text)), build), 1)
     )
 
 
@@ -91,7 +109,7 @@ def minhash_lsh_pairs(
     # shingles are hashed to longs ONCE; signatures and the exact-Jaccard
     # verify both run on array<long> (same set semantics modulo 64-bit hash
     # collisions, ~5x cheaper to shuffle and intersect than strings)
-    base = df.select(
+    base = _ensure_parallel(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(
             F.transform(
@@ -126,19 +144,30 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("id", "band.band_id", "band.band_hash")
+    # candidate generation WITHOUT a band self-join: collect each bucket's
+    # ids and expand C(n,2) pairs JVM-side. The self-join formulation
+    # shuffles both sides and concentrates O(bucket²) join work in the few
+    # tasks holding hot band hashes (measured 21 s of a 37 s total on the
+    # template-heavy sf0.1 corpus); the collect form is one groupBy of
+    # (id, band) rows + a pair-expression — same output, ~10× less time.
+    buckets = bands.groupBy("band_id", "band_hash").agg(
+        F.array_sort(F.collect_list("id")).alias("ids")
+    ).filter(F.size("ids") >= 2)
     if max_bucket is not None:
-        small = (
-            bands.groupBy("band_id", "band_hash")
-            .agg(F.count("*").alias("bsz"))
-            .filter(F.col("bsz") <= max_bucket)
-            .select("band_id", "band_hash")
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        bands = bands.join(small, ["band_id", "band_hash"], "left_semi")
+    )
     cands = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band_id", "band_hash"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
     )
     fa = base.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
@@ -167,6 +196,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     flat-agg plan is a single shuffle of (id, hash) longs and codegens to
     tight per-bit adds.
     """
+    df = _ensure_parallel(df)
     ids = df.select(F.col(id_col).alias("id"))
     ex = df.select(
         F.col(id_col).alias("id"),
@@ -218,6 +248,10 @@ def hamming_near_pairs(fp: DataFrame, max_distance: int = 3) -> DataFrame:
             )
         ).alias("b"),
     ).select("id", "simhash", "b.block_id", "b.block")
+    # the block self-join is kept (vs collect_list pair expansion, which is
+    # faster for the CAPPED minhash buckets): hamming blocking has no bucket
+    # cap, and a hot 16-bit block would concentrate its entire O(bucket²)
+    # expansion in one collect task — the join form lets AQE skew-split it.
     return (
         blocks.alias("a")
         .join(blocks.alias("b"), ["block_id", "block"])
@@ -248,7 +282,7 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard for candidate pairs. With no candidate set, pairs
     come from a shared-shingle equi-join (every pair with intersection ≥ 1) —
     exact but quadratic in bucket size; use minhash_lsh_pairs at scale."""
-    base = df.select(
+    base = _ensure_parallel(df).select(
         F.col(id_col).alias("id"), word_shingles_col(F.col(text_col), n).alias("sh")
     )
     if candidate_join is None:

@@ -90,6 +90,106 @@ def brute_force_topk(
     )
 
 
+def _nearest_cells(vec: Column, centroids: list[tuple[int, list[float]]], n: int) -> Column:
+    """array<int> of the n centroid ids with highest dot(vec, centroid).
+    Centroids are pre-normalized, so dot-argmax ≡ cosine-argmax; the whole
+    expression is JVM-side over a broadcast-literal centroid table."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot_col(vec, F.array(*[F.lit(float(x)) for x in cv])).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    return F.slice(F.reverse(F.array_sort(scored)), 1, n).cid
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    corpus_id: str = "id",
+    vec: str = "vec",
+    kmeans_iters: int = 1,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF codebook: seed with the n_cells corpus vectors of
+    smallest xxhash64(id) (content-derived, partition-order-free), then run
+    ``kmeans_iters`` distributed Lloyd steps (assign → per-cell element-wise
+    mean via posexplode/groupBy — never collects a cell to one machine).
+    Returns normalized centroids; only n_cells × dim floats ever reach the
+    driver."""
+    seeds = (
+        corpus.select(F.col(corpus_id).alias("id"), F.col(vec).alias("v"))
+        .orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id"))
+        .limit(n_cells)
+        .collect()
+    )
+
+    def _norm(v: list[float]) -> list[float]:
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    cents = [(i, _norm(list(r.v))) for i, r in enumerate(seeds)]
+    for _ in range(kmeans_iters):
+        assigned = corpus.select(
+            F.col(vec).alias("v"),
+            _nearest_cells(F.col(vec), cents, 1)[0].alias("cell"),
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("mv")
+            )
+            .collect()
+        )
+        # cells that captured no vectors keep their previous centroid
+        new = dict((r.cell, _norm(list(r.mv))) for r in means)
+        cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "id",
+    query_id: str = "qid",
+    vec: str = "vec",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 1,
+) -> DataFrame:
+    """IVF approximate top-k: partition the corpus into n_cells Voronoi cells
+    around a learned codebook; each query exactly re-scores only the rows of
+    its n_probe nearest cells. At scale the cell id is a write-time partition
+    column, so a probe is a partition-pruned scan touching n_probe/n_cells
+    of the data — the inverted-file pattern (≙ the reference's per-collection
+    Qdrant search, api_insert.py:100-106)."""
+    cents = ivf_centroids(corpus, n_cells, corpus_id, vec, kmeans_iters)
+    cells = corpus.select(
+        F.col(corpus_id).alias("id"),
+        F.col(vec).alias("cvec"),
+        _nearest_cells(F.col(vec), cents, 1)[0].alias("cell"),
+    )
+    probes = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(vec).alias("qvec"),
+        F.explode(_nearest_cells(F.col(vec), cents, n_probe)).alias("cell"),
+    )
+    scored = cells.join(F.broadcast(probes), "cell").select(
+        "qid", "id", cosine_col("cvec", "qvec").alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from raptor_spark.functions import bind_col
+
 # Tiny per-language stopword lexicons for the n-gram/stopword-vote heuristic.
 STOPWORDS = {
     "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "a"),
@@ -43,10 +45,12 @@ def bpe_ish_token_count_col(text: Column) -> Column:
 
 
 def stopword_ratio_col(text: Column, lang: str = "en") -> Column:
-    w = words_col(text)
     stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
-    return F.size(F.filter(w, lambda x: F.array_contains(stops, x))) / F.greatest(
-        F.size(w), F.lit(1)
+    # bind the split array once per row (HOF lambdas get no CSE)
+    return bind_col(
+        words_col(text),
+        lambda w: F.size(F.filter(w, lambda x: F.array_contains(stops, x)))
+        / F.greatest(F.size(w), F.lit(1)),
     )
 
 
@@ -70,15 +74,32 @@ def quality_score_col(text: Column) -> Column:
 
 def langid_scores(df: DataFrame, text_col: str) -> DataFrame:
     """Stopword-vote language id: per language, hits per word; predicted =
-    argmax (ties → lexicographic). Adds ``lang_pred`` and per-lang scores."""
-    w = words_col(F.col(text_col))
-    n = F.greatest(F.size(w), F.lit(1))
-    out = df
-    for lang, stops in STOPWORDS.items():
-        arr = F.array(*[F.lit(s) for s in stops])
-        out = out.withColumn(
-            f"score_{lang}", F.size(F.filter(w, lambda x: F.array_contains(arr, x))) / n
+    argmax (ties → lexicographic). Adds ``lang_pred`` and per-lang scores.
+
+    All per-language scores are computed from ONE bound word array per row
+    (a withColumn per language inlined the regex split into every score)."""
+
+    def _counter(arr: Column):
+        return lambda x: F.array_contains(arr, x)
+
+    def _scores(w: Column) -> Column:
+        n = F.greatest(F.size(w), F.lit(1))
+        return F.struct(
+            *[
+                (
+                    F.size(
+                        F.filter(w, _counter(F.array(*[F.lit(s) for s in stops])))
+                    )
+                    / n
+                ).alias(f"score_{lang}")
+                for lang, stops in STOPWORDS.items()
+            ]
         )
+
+    out = df.withColumn("_scores", bind_col(words_col(F.col(text_col)), _scores))
+    for lang in STOPWORDS:
+        out = out.withColumn(f"score_{lang}", F.col(f"_scores.score_{lang}"))
+    out = out.drop("_scores")
     best = F.greatest(*[F.col(f"score_{lang}") for lang in STOPWORDS])
     pred = F.lit(None).cast("string")
     for lang in sorted(STOPWORDS):  # first lexicographic winner takes ties
@@ -170,12 +191,15 @@ def markdown_table_col(headers: Column, rows: Column) -> Column:
 def fingerprint_col(text: Column, n_grams: int = 4) -> Column:
     """Document fingerprint: xxhash64 of the winnowed shingle min — a cheap
     rolling-hash fingerprint (content-derived, stable across partitions)."""
-    w = words_col(text)
-    shingles = F.when(
-        F.size(w) >= n_grams,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - n_grams),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i + 1, n_grams))),
-        ),
-    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", w))))
-    return F.array_min(shingles)
+    def _shingles(w: Column) -> Column:
+        return F.when(
+            F.size(w) >= n_grams,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n_grams),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i + 1, n_grams))),
+            ),
+        ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", w))))
+
+    # bind: inlining the split into the per-position slice re-ran the regex
+    # split O(n_words) times per row
+    return F.array_min(bind_col(words_col(text), _shingles))

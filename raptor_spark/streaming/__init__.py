@@ -118,6 +118,29 @@ def sessionize_stream(
     )
 
 
+def streaming_exact_dedup(
+    df: DataFrame,
+    text_col: str = "content",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on sha256(content) — the streaming face of the
+    checksum no-change short-circuit (asset_management/client.py:157-177):
+    only the first record per content hash passes. With ``ts_col`` the
+    dedup state is watermark-bounded (drops after the event-time horizon —
+    the production config); without it state grows with distinct hashes
+    (drain/test runs)."""
+    from raptor_spark.functions import sha256_col
+
+    out = df.withColumn("_sha", sha256_col(text_col))
+    if ts_col is not None:
+        out = out.withColumn("_ts", F.col(ts_col).cast("timestamp")).withWatermark(
+            "_ts", watermark
+        )
+        return out.dropDuplicatesWithinWatermark(["_sha"]).drop("_ts")
+    return out.dropDuplicates(["_sha"])
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -92,6 +92,40 @@ def test_exact_dedup_counts(spark, docs):
     assert d.filter(F.col("n_dups") < 1).count() == 0
 
 
+def test_ivf_topk_finds_planted_neighbors(spark, emb):
+    """IVF with a learned codebook must surface the planted source vector in
+    top-k for ≥80% of perturbed queries, with exact re-scored cosines."""
+    from raptor_spark.operators.similarity import ivf_topk
+
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.transform(
+                "embedding", lambda x, i: x + 0.05 * F.sin(F.col("vec_id") * 7 + i)
+            ).alias("vec"),
+        )
+    )
+    got = {
+        (r.qid, r.id)
+        for r in ivf_topk(corpus, queries, k=5, n_cells=8, n_probe=3).collect()
+    }
+    found = sum(1 for q in range(10) if (q, q) in got)
+    assert found >= 8, f"IVF found planted source for only {found}/10 queries"
+
+
+def test_ivf_centroids_deterministic(spark, emb):
+    from raptor_spark.operators.similarity import ivf_centroids
+
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    a = ivf_centroids(corpus, 4, kmeans_iters=1)
+    b = ivf_centroids(corpus.repartition(7), 4, kmeans_iters=1)
+    assert [cid for cid, _ in a] == [cid for cid, _ in b]
+    for (_, va), (_, vb) in zip(a, b):
+        assert all(abs(x - y) < 1e-9 for x, y in zip(va, vb))
+
+
 def test_ann_topk_finds_planted_neighbors(spark, emb):
     """The fixture embeddings are near-random (max pairwise cosine ≈ 0.39 at
     this sf) — no LSH can rank weak neighbors, so the recall gate uses the

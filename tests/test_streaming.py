@@ -74,6 +74,22 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path_factory):
     assert joined.filter((F.col("n") != F.col("bn"))).count() == 0
 
 
+def test_streaming_dedup_one_row_per_hash(spark, files_df, corpus_path, tmp_path_factory):
+    """Streaming sha256 dedup must emit exactly one row per distinct content
+    (the corpus has planted exact dups)."""
+    from raptor_spark.streaming import streaming_exact_dedup
+
+    out = str(tmp_path_factory.mktemp("dedup") / "out")
+    ckpt = str(tmp_path_factory.mktemp("dedup") / "ckpt")
+    stream = streaming_exact_dedup(read_file_stream(spark, corpus_path), "content")
+    run_available_now(stream, out, ckpt)
+    got = spark.read.parquet(out)
+    n_distinct = files_df.select(F.sha2("content", 256)).distinct().count()
+    assert n_distinct < files_df.count()  # fixture really has dups
+    assert got.count() == n_distinct
+    assert got.select("_sha").distinct().count() == n_distinct
+
+
 def test_stream_stream_join_matches_batch(spark, tmp_path_factory):
     """Watermarked stream-stream interval join must equal the batch join with
     the same time-bound condition (state-expiring joins lose nothing within
