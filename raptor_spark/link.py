@@ -10,22 +10,22 @@ vectors, link iff cosine ≥ 0.9 — raptor/qdrant_search_docker/api_insert.py:1
    unconditionally (covers camel/snake/Pascal aliases AND head symbols like
    ``main`` — heads only ever link exactly; skew guard per SURVEY.md §7.4).
 2. fuzzy block: non-head names → char-3-gram shingles → 32 MinHash values
-   (xxhash64, JVM-side) → 8 bands × 4 rows → oversize band buckets dropped
-   (MAX_BAND_BUCKET skew guard) → candidates = self-join on
-   (first_token, band_id, band_hash) → verify with exact Jaccard via
-   ``array_intersect``/``array_union`` sizes (JVM-side, no UDF).
+   (xxhash64, JVM-side) → 8 bands × 4 rows → candidates from per-bucket
+   ``collect_list`` pair expansion keyed on (first_token, band_id,
+   band_hash), with oversize buckets dropped (MAX_BAND_BUCKET skew guard)
+   → verify with exact Jaccard via ``array_intersect``/``array_union``
+   sizes (JVM-side, no UDF).
 
-The candidate self-join key includes the normalized FIRST TOKEN, which both
-enforces the prefix-block rule and acts as the salt that spreads band buckets;
-AQE skew-join handles residual hot buckets. Head-symbol names (document
+The bucket key includes the normalized FIRST TOKEN, which both enforces the
+prefix-block rule and spreads band buckets. Head-symbol names (document
 frequency over repos > 50%) are excluded from fuzzy blocking entirely, so
-``main``/``utils`` can never form a giant LSH bucket.
+``main``/``utils`` can never form a giant LSH bucket, and the bucket cap
+bounds every candidate expansion at C(64,2) pairs.
 
 Scale notes: everything is per-distinct-NAME, not per-mention — the name
 dimension is orders of magnitude smaller than the triple table. Shuffles:
-one distinct, one explode+groupBy for signatures, one band self-join, one
-verify projection. All joins are equi-joins eligible for broadcast when the
-name table is small.
+one distinct, one bucket groupBy, one candidate distinct, one verify join.
+All joins are equi-joins eligible for broadcast when the name table is small.
 """
 
 from __future__ import annotations
@@ -159,27 +159,42 @@ def link_edges(triples: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("name", "first_token", "nospace", "band.band_id", "band.band_hash")
-    # the bands table feeds three consumers (bucket-size agg + both sides of
-    # the candidate self-join); without a persist each one recomputes the
-    # full shingle-explode + 32-way minhash aggregation (~3x stage cost)
-    bands = bands.persist()
 
-    small = (
+    # candidate pairs via capped-bucket collect_list expansion — ONE shuffle
+    # of (name, band) rows, with the size cap and the pair expansion both on
+    # the collected array. The earlier formulation (bucket-size agg +
+    # left_semi + self-join) shuffled bands three times and put hot-bucket
+    # O(bucket²) join work in single tasks; with MAX_BAND_BUCKET=64 a bucket
+    # expands to ≤ 2016 pairs, so the collect form is strictly bounded.
+    buckets = (
         bands.groupBy("first_token", "band_id", "band_hash")
-        .agg(F.count("*").alias("bsz"))
-        .filter(F.col("bsz") <= MAX_BAND_BUCKET)
-        .select("first_token", "band_id", "band_hash")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("name"), F.col("nospace")))
+            ).alias("ms")
+        )
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= MAX_BAND_BUCKET))
     )
-    bands = bands.join(
-        small, ["first_token", "band_id", "band_hash"], "left_semi"
-    ).persist()  # both sides of the self-join below
+    ms = F.col("ms")
+    pair_structs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(ms, i + F.lit(2), F.size(ms)),
+                    lambda y: F.struct(
+                        x["name"].alias("a"), y["name"].alias("b"),
+                        x["nospace"].alias("na"), y["nospace"].alias("nb"),
+                    ),
+                ),
+                # space-stripped equals are already linked exactly; skip re-verify
+                lambda p: p.na != p.nb,
+            ),
+        )
+    )
     cands = (
-        bands.alias("a")
-        .join(bands.alias("b"), on=["first_token", "band_id", "band_hash"])
-        .filter(F.col("a.name") < F.col("b.name"))
-        # space-stripped equals are already linked exactly; skip re-verify
-        .filter(F.col("a.nospace") != F.col("b.nospace"))
-        .select(F.col("a.name").alias("a"), F.col("b.name").alias("b"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b")
         .distinct()
     )
 
