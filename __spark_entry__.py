@@ -651,6 +651,45 @@ def q_approx_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets aggregation (all subtotal combinations in one
+    pass — the grouped-count lineage metric generalized, SURVEY.md §2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row trailing moving average per user (ordered event-time window
+    frame — the smoothing pass of the windowed classifier means)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "t", F.col("ts").cast("timestamp").cast("double")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id").rowsBetween(-6, 0)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.avg("value").over(w), 4).alias("ma7"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -690,6 +729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "approx_distinct_docs": q_approx_distinct_docs,
         "approx_quantiles_events": q_approx_quantiles_events,
+        "cube_pricing": q_cube_pricing,
+        "moving_avg": q_moving_avg,
     }
 
 
@@ -1047,6 +1088,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN dim USING (event_type)
             GROUP BY e.event_type
             ORDER BY e.event_type
+        """,
+        "cube_pricing": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls,
+                   count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY rf, ls
+        """,
+        "moving_avg": """
+            SELECT user_id, event_id,
+                   round(avg(value) OVER (
+                     PARTITION BY user_id ORDER BY epoch(ts), event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ), 4) AS ma7
+            FROM events
+            ORDER BY user_id, event_id
         """,
         "asof_enrich": """
             WITH l AS (
