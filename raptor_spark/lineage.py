@@ -58,9 +58,13 @@ def stage_lineage(
     files: DataFrame,
     triples: DataFrame | None,
     wall_ms: int,
+    rollup: DataFrame | None = None,
 ) -> DataFrame:
-    """Build the lineage rows for one completed stage."""
-    base = input_rollup(files)
+    """Build the lineage rows for one completed stage. Pass a precomputed
+    (persisted) ``input_rollup`` when appending lineage for several stages of
+    one run — the roll-up re-hashes every input row, and recomputing it per
+    stage is a full content pass each time."""
+    base = rollup if rollup is not None else input_rollup(files)
     if triples is not None:
         tc = (
             triples.select(repo_bucket_col("repo").alias("partition_id"))

@@ -39,10 +39,10 @@ from raptor_spark.schemas import FILES_SCHEMA
 STAGES = ("extracted", "components", "linked", "nodes", "edges")
 
 
-def _corpus_fingerprint(files: DataFrame) -> str:
+def _corpus_fingerprint(rollup: DataFrame) -> str:
     """Global order-insensitive fingerprint of the input corpus (sha256 of
     sorted per-bucket roll-ups) — the cross-stage validity key."""
-    rows = input_rollup(files).select("input_sha256_rollup").collect()
+    rows = rollup.select("input_sha256_rollup").collect()
     import hashlib
 
     h = hashlib.sha256()
@@ -78,13 +78,18 @@ class Pipeline:
         out = self.catalog.read(stage)
         self.catalog.append(
             "lineage",
-            stage_lineage(self.run_id, stage, files, lineage_triples, timer.ms()),
+            stage_lineage(
+                self.run_id, stage, files, lineage_triples, timer.ms(),
+                rollup=self._rollup,
+            ),
         )
         return out
 
     def run(self, files: DataFrame, resume: bool = False) -> dict[str, DataFrame]:
         files = files.persist()
-        fingerprint = _corpus_fingerprint(files)
+        # one content pass feeds the fingerprint AND every stage's lineage
+        self._rollup = input_rollup(files).persist()
+        fingerprint = _corpus_fingerprint(self._rollup)
 
         # -- stage 1: extract ------------------------------------------------
         if self._stage_valid("extracted", fingerprint, resume):
@@ -161,6 +166,7 @@ class Pipeline:
                 lineage_triples=linked,
             )
         files.unpersist()
+        self._rollup.unpersist()
         return {
             "extracted": triples,
             "components": comps,
