@@ -1,0 +1,70 @@
+"""Physical-plan assertions — the scale properties the wall-clock tests
+can't see at sf0.001: predicate pushdown reaching the parquet scan, small
+dims broadcast, relational paths staying inside whole-stage codegen (no
+row-at-a-time Python), and no accidental cartesian in the non-equi joins."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pyspark.sql.functions as F
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR
+
+QUERIES = entry_mod.queries()
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    p = plan_str(QUERIES["filtered_search"](spark, SF_DIR))
+    assert "PushedFilters:" in p
+    # the lang/source must-filters belong in the scan, not a post-filter
+    assert "EqualTo(lang,en)" in p, p
+    assert "In(source" in p, p
+
+
+def test_column_pruning_reads_only_needed_columns(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_str(docs.select("doc_id").filter(F.col("doc_id") < 10))
+    assert "ReadSchema: struct<doc_id:bigint>" in p, p
+
+
+def test_small_dims_are_broadcast(spark):
+    p = plan_str(QUERIES["top_nation_revenue"](spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") >= 2, p  # nation and region at least
+    assert "CartesianProduct" not in p
+
+
+def test_relational_aggregates_stay_jvm_side(spark):
+    for name in ("pricing_summary", "collect_event_types", "time_rollup",
+                 "asof_enrich", "moving_avg"):
+        p = plan_str(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in p, name  # no row-at-a-time Python
+        assert "PythonUDF" not in p, name
+        assert "CartesianProduct" not in p, name
+    # positive codegen check on one representative agg (pre-execution AQE
+    # plans hide WholeStageCodegen markers in formatted mode)
+    c = plan_str(QUERIES["pricing_summary"](spark, SF_DIR), mode="codegen")
+    assert "WholeStageCodegen" in c, c[:500]
+
+
+def test_interval_joins_are_not_cartesian(spark):
+    for name in ("interval_argmax", "interval_labels"):
+        p = plan_str(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_extraction_is_arrow_vectorized(spark):
+    p = plan_str(QUERIES["kg_triples"](spark, SF_DIR))
+    # mapInPandas (Arrow batches), never row-at-a-time BatchEvalPython
+    assert "MapInPandas" in p, p
+    assert "BatchEvalPython" not in p, p
