@@ -6,17 +6,19 @@
 # the SAME parquet input and reports throughput at both plus scaling
 # efficiency = (files_per_sec_4N / files_per_sec_N) / 4.
 #
-# Usage: BENCH/run_scaling.sh [N] [FILES]   (default N=4 → 4 vs 16 cores)
+# Usage: BENCH/run_scaling.sh [N] [FILES]   (default N=2 → 2 vs 8 cores)
 #
-# Default N=4: the sandbox box reports 32 logical CPUs; throughput scales
-# near-linearly only up to 16 (SMT/bandwidth ceiling above), so N is chosen
-# ≤ physical-cores/4 per SURVEY.md §7.4 risk 6. Full sweep in BASELINE.md.
+# Default N=2: the sandbox box reports 32 logical CPUs (16 physical) and
+# boosts clocks when few cores are busy, so comparisons that cross the SMT
+# ceiling (>16 busy threads) or lean on deep turbo at the small size under-
+# report scaling. 2 vs 8 keeps BOTH sizes in the same frequency/SMT regime
+# per SURVEY.md §7.4 risk 6. Full sweep + confound analysis in BASELINE.md.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-N="${1:-4}"
+N="${1:-2}"
 N4=$((N * 4))
-FILES="${2:-100000}"
+FILES="${2:-200000}"
 WORK="$(mktemp -d /tmp/kg_scaling.XXXXXX)"
 ZIP="$WORK/raptor_spark.zip"
 CORPUS="$WORK/corpus"
