@@ -270,6 +270,20 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup groups: MinHash pairs → connected components →
+    (id, cluster=min member) keep-one-representative decision (rows-only;
+    union-find parity gate in tests/test_dedup_similarity.py)."""
+    from raptor_spark.operators.dedup import near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=32, n_bands=16, shingle_n=2,
+        jaccard_threshold=0.5,
+    )
+    return near_dup_clusters(pairs).orderBy("id")
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints + pigeonhole-blocked hamming pairs. distance ≤ 3
     of 64 bits ≈ the reference's cosine-0.9 dedup band; ≤ 8 was measured to
@@ -705,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_content_per_lang": q_unique_content_per_lang,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_near_dups": q_minhash_near_dups,
+        "near_dup_clusters": q_near_dup_clusters,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,

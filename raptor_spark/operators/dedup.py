@@ -309,6 +309,27 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_dup_clusters(pairs: DataFrame) -> DataFrame:
+    """(id, cluster) from near-dup pairs: connected components over the pair
+    graph, cluster = min member id — turns pairwise dedup output into the
+    keep-one-representative decision (the reference's insert-or-skip,
+    api_insert.py:130-165, generalized to transitive duplicate groups).
+    Reuses the pipeline's pointer-jumping CC (raptor_spark.cc); ids are
+    zero-padded through the string label domain so min() keeps numeric
+    order."""
+    from raptor_spark.cc import connected_components
+
+    e = pairs.select(
+        F.format_string("%020d", F.col("a")).alias("a"),
+        F.format_string("%020d", F.col("b")).alias("b"),
+    )
+    out = connected_components(e)
+    return out.select(
+        F.col("name").cast("long").alias("id"),
+        F.col("component").cast("long").alias("cluster"),
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     id_col: str,

@@ -21,12 +21,18 @@ from tests.conftest import SF_DIR
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+    # unpersist on teardown: the cache manager matches ANY later scan of the
+    # same path by plan, which would mask PushedFilters in test_plans
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+    yield df
+    df.unpersist()
 
 
 def _pairs(df):
@@ -83,6 +89,36 @@ def test_simhash_hamming_symmetry_and_exactness(spark, docs):
         .filter(F.col("h") <= 3)
     )
     assert got == _pairs(brute)
+
+
+def test_near_dup_clusters_match_union_find(spark, docs):
+    """Cluster assignment must equal a driver-side union-find over the same
+    pairs (min-id representative)."""
+    from raptor_spark.operators.dedup import near_dup_clusters
+
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=32, n_bands=16, shingle_n=2,
+        jaccard_threshold=0.5,
+    ).persist()
+    got = {(r.id, r.cluster) for r in near_dup_clusters(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    plist = [(r.a, r.b) for r in pairs.collect()]
+    assert plist, "fixture corpus has no near-dup pairs; test is vacuous"
+    for a, b in plist:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(x, find(x)) for x in parent}
+    assert got == want
+    pairs.unpersist()
 
 
 def test_exact_dedup_counts(spark, docs):

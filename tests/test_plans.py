@@ -63,6 +63,28 @@ def test_interval_joins_are_not_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in p, name
 
 
+def test_materialized_layout_prunes_partitions(spark, triples_df, tmp_path_factory):
+    """The nodes/edges partition spec (lang, repo_bucket) must turn a lang
+    filter into PartitionFilters on the scan — the read-path payoff of the
+    write-time layout (≙ Qdrant payload indexes, SURVEY.md §2.1)."""
+    from raptor_spark.functions import repo_bucket_col
+
+    d = str(tmp_path_factory.mktemp("part") / "nodes")
+    df = triples_df.withColumn("repo_bucket", repo_bucket_col("repo"))
+    df.write.partitionBy("lang", "repo_bucket").parquet(d)
+    some_lang = df.select("lang").first().lang
+    rd = (
+        spark.read.parquet(d)
+        .filter(F.col("lang") == some_lang)
+        .select("subj", "pred")
+    )
+    p = plan_str(rd)
+    assert "PartitionFilters" in p, p
+    import re
+
+    assert re.search(rf"\(lang#\d+ = {some_lang}\)", p), p
+
+
 def test_extraction_is_arrow_vectorized(spark):
     p = plan_str(QUERIES["kg_triples"](spark, SF_DIR))
     # mapInPandas (Arrow batches), never row-at-a-time BatchEvalPython
