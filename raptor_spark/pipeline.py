@@ -71,7 +71,16 @@ class Pipeline:
         timer: StageTimer,
         partition_by: list[str] | None = None,
         lineage_triples: DataFrame | None = None,
+        cluster_for_write: bool = False,
     ) -> DataFrame:
+        if cluster_for_write and partition_by:
+            # final graph tables: hash-cluster rows by the partition columns
+            # so each output directory is written by one task instead of
+            # every task writing every directory (64 tasks × 64 dirs of
+            # ~20-row files measured 18s of commit churn on the edges stage).
+            # NOT done for the big pred-partitioned triple tables — there the
+            # extra full shuffle costs more than the committer saves.
+            df = df.repartition(*[F.col(c) for c in partition_by])
         self.catalog.write(
             stage, df, partition_by=partition_by, meta={"input_fingerprint": fingerprint}
         )
@@ -151,6 +160,7 @@ class Pipeline:
                 t,
                 partition_by=["lang", "repo_bucket"],
                 lineage_triples=linked,
+                cluster_for_write=True,
             )
         if self._stage_valid("edges", fingerprint, resume):
             edges = self.catalog.read("edges")
@@ -164,6 +174,7 @@ class Pipeline:
                 t,
                 partition_by=["lang", "repo_bucket"],
                 lineage_triples=linked,
+                cluster_for_write=True,
             )
         files.unpersist()
         self._rollup.unpersist()
