@@ -39,15 +39,30 @@ ROWS_PER_PARTITION = 100_000
 def connected_components(edges: DataFrame, max_iterations: int = MAX_ITERATIONS) -> DataFrame:
     """edges(a, b) undirected → (name, component) where component is the min
     member name of the component. Vertices = all endpoint names."""
+    # both directions in ONE pass over edges: a union of two selects scans
+    # the (typically unpersisted, expensive) edge lineage twice — at 100k
+    # files that recomputed the whole LSH linking stage a second time
     sym = (
-        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
     )
-    n_edges = sym.count()
-    width = max(4, min(sym.sparkSession.sparkContext.defaultParallelism * 2,
+    # persist BEFORE the sizing count: the count otherwise computes the full
+    # (typically expensive, unpersisted) edge lineage once, and filling the
+    # cache afterwards computes it a second time — measured 2× the whole
+    # linking stage at 100k files
+    raw = sym.persist()
+    n_edges = raw.count()
+    width = max(4, min(raw.sparkSession.sparkContext.defaultParallelism * 2,
                        n_edges // ROWS_PER_PARTITION + 4))
-    sym = sym.repartition(width, "dst").persist()
+    sym = raw.repartition(width, "dst").persist()
 
     labels = (
         sym.select(F.col("src").alias("name"))
@@ -86,9 +101,11 @@ def connected_components(edges: DataFrame, max_iterations: int = MAX_ITERATIONS)
         h = labels.agg(F.expr("bit_xor(xxhash64(name, component))")).first()[0]
         if h == prev_hash:
             sym.unpersist()
+            raw.unpersist()
             return labels
         prev_hash = h
     sym.unpersist()
+    raw.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"
     )
