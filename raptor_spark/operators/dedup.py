@@ -95,20 +95,25 @@ def minhash_lsh_pairs(
     n_bands band hashes → self-equi-join per band → exact Jaccard verify on
     the shingle arrays (array_intersect/array_union, JVM-side).
 
-    Scale discipline (measured at sf0.1 — dense near-dup corpora blow up the
-    naive plan ~50×):
-    * only (id, band_id, band_hash) flows through the candidate self-join;
-      shingle arrays are joined back AFTER the (a, b) distinct, so the wide
-      payload is never shuffled per-candidate;
-    * band buckets larger than ``max_bucket`` are dropped before the join
-      (an LSH bucket that big means the band hash is uninformative for that
-      cluster — its members are still covered by their other n_bands-1
-      bands). Pass ``max_bucket=None`` for exhaustive behavior.
+    Scale discipline (each step A/B-measured at sf0.1 — dense near-dup
+    corpora blow up naive plans ~50×):
+    * shingles are hashed to longs ONCE; signatures and the exact-Jaccard
+      verify both run on array<long> (same set semantics modulo 64-bit hash
+      collisions, far cheaper to shuffle and intersect than strings);
+    * candidates are expanded AND verified INLINE inside each band bucket
+      (collect_list + pair expression): a band self-join shuffled three
+      times with hot buckets pinned to single tasks, and a candidate
+      distinct + shingle join-back shuffled every candidate pair (233k at
+      sf0.1) with wide payloads — the inline form shuffles each row's
+      shingle set once per band and only VERIFIED pairs ever become rows
+      (12.4 s → 3.4 s cold);
+    * band buckets larger than ``max_bucket`` are dropped (an LSH bucket
+      that big means the band hash is uninformative for that cluster — its
+      members are still covered by their other n_bands-1 bands), which also
+      caps the per-bucket inline work at C(max_bucket, 2) jaccards. Pass
+      ``max_bucket=None`` for exhaustive behavior.
     """
     rows_per_band = n_hashes // n_bands
-    # shingles are hashed to longs ONCE; signatures and the exact-Jaccard
-    # verify both run on array<long> (same set semantics modulo 64-bit hash
-    # collisions, ~5x cheaper to shuffle and intersect than strings)
     base = _ensure_parallel(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(
@@ -118,9 +123,9 @@ def minhash_lsh_pairs(
             )
         ).alias("sh"),
     ).filter(F.size("sh") > 0)
-    base = base.persist()
     sig = base.select(
         "id",
+        "sh",
         *[
             F.array_min(
                 F.transform(F.col("sh"), lambda s: F.xxhash64(s, F.lit(i)))
@@ -130,6 +135,7 @@ def minhash_lsh_pairs(
     )
     bands = sig.select(
         "id",
+        "sh",
         F.explode(
             F.array(
                 *[
@@ -143,45 +149,36 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("id", "band.band_id", "band.band_hash")
-    # candidate generation WITHOUT a band self-join: collect each bucket's
-    # ids and expand C(n,2) pairs JVM-side. The self-join formulation
-    # shuffles both sides and concentrates O(bucket²) join work in the few
-    # tasks holding hot band hashes (measured 21 s of a 37 s total on the
-    # template-heavy sf0.1 corpus); the collect form is one groupBy of
-    # (id, band) rows + a pair-expression — same output, ~10× less time.
+    ).select("id", "sh", "band.band_id", "band.band_hash")
     buckets = bands.groupBy("band_id", "band_hash").agg(
-        F.array_sort(F.collect_list("id")).alias("ids")
-    ).filter(F.size("ids") >= 2)
+        F.array_sort(F.collect_list(F.struct(F.col("id"), F.col("sh")))).alias("ms")
+    ).filter(F.size("ms") >= 2)
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
-    ids = F.col("ids")
+        buckets = buckets.filter(F.size("ms") <= max_bucket)
+    ms = F.col("ms")
     pair_structs = F.flatten(
         F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ms,
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(ms, i + F.lit(2), F.size(ms)),
+                    lambda y: F.struct(
+                        x["id"].alias("a"),
+                        y["id"].alias("b"),
+                        (
+                            F.size(F.array_intersect(x["sh"], y["sh"]))
+                            / F.size(F.array_union(x["sh"], y["sh"]))
+                        ).alias("jaccard"),
+                    ),
+                ),
+                lambda p: p["jaccard"] >= F.lit(jaccard_threshold),
             ),
         )
     )
-    cands = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.a", "p.b")
-        .distinct()
-    )
-    fa = base.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
-    fb = base.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"))
     return (
-        cands.join(fa, "a")
-        .join(fb, "b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("a", "b", "jaccard")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.a", "p.b", "p.jaccard")
+        .distinct()
     )
 
 
