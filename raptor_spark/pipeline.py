@@ -94,7 +94,49 @@ class Pipeline:
         )
         return out
 
-    def run(self, files: DataFrame, resume: bool = False) -> dict[str, DataFrame]:
+    def incremental_triples(self, files: DataFrame, prev_output: str) -> DataFrame:
+        """Stage-1 input for an incremental run: reuse the previous run's
+        triples for every (repo, path, sha256) still present in the current
+        corpus, extract only changed/new files, drop triples of deleted
+        files — the reference's checksum no-change short-circuit
+        (asset_management/client.py:157-206, database.py:583-592) at the
+        pipeline level. The change key is (repo, path, sha256), not content
+        hash alone: identical content at a NEW path must still be extracted
+        (its triples carry the path).
+
+        Downstream stages (linking, CC, materialize) always rerun — entity
+        linking is global, so any content change can re-cluster names.
+        """
+        from raptor_spark.functions import sha256_col
+
+        prev_triples = Catalog(self.spark, prev_output).read("extracted")
+        key = ["repo", "path", "sha256"]
+        cur_keys = files.select(
+            "repo", "path", sha256_col("content").alias("sha256")
+        )
+        kept = prev_triples.join(cur_keys, on=key, how="left_semi")
+        changed = (
+            files.withColumn("sha256", sha256_col("content"))
+            .join(prev_triples.select(*key).distinct(), on=key, how="left_anti")
+            .drop("sha256")
+        )
+        self.incremental_stats = {
+            "files_total": files.count(),
+            "files_extracted": changed.count(),
+        }
+        from raptor_spark.schemas import TRIPLES_SCHEMA
+
+        # normalize to schema column order: the semi-join reorders columns,
+        # and the committed table layout must not depend on the code path
+        cols = TRIPLES_SCHEMA.fieldNames()
+        return kept.select(*cols).unionByName(extract_triples(changed).select(*cols))
+
+    def run(
+        self,
+        files: DataFrame,
+        resume: bool = False,
+        incremental_from: str | None = None,
+    ) -> dict[str, DataFrame]:
         files = files.persist()
         # one content pass feeds the fingerprint AND every stage's lineage
         self._rollup = input_rollup(files).persist()
@@ -105,9 +147,14 @@ class Pipeline:
             triples = self.catalog.read("extracted")
         else:
             t = StageTimer()
+            stage1 = (
+                self.incremental_triples(files, incremental_from)
+                if incremental_from
+                else extract_triples(files)
+            )
             triples = self._commit(
                 "extracted",
-                extract_triples(files),
+                stage1,
                 files,
                 fingerprint,
                 t,
@@ -192,6 +239,12 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="parquet path of the files table")
     ap.add_argument("--output", required=True)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--incremental-from",
+        default=None,
+        help="previous run's output dir: reuse its triples for unchanged "
+        "(repo, path, sha256) files, extract only changed/new ones",
+    )
     ap.add_argument("--master", default=None)
     ap.add_argument("--synth", type=int, default=0, help="generate N synthetic files instead of reading --input")
     args = ap.parse_args()
@@ -206,7 +259,9 @@ def main() -> None:
         files = files.repartition(max(32, args.synth // 512))
     else:
         files = spark.read.parquet(args.input)
-    out = Pipeline(spark, args.output).run(files, resume=args.resume)
+    out = Pipeline(spark, args.output).run(
+        files, resume=args.resume, incremental_from=args.incremental_from
+    )
     counts = {k: v.count() for k, v in out.items()}
     print(json.dumps(counts))
     spark.stop()

@@ -49,6 +49,47 @@ def test_lineage_rows_written(spark, files_df, run_dir, first_run):
     assert per_stage.count() == 0
 
 
+def test_incremental_run_equals_full_run(
+    spark, corpus_rows, files_df, run_dir, first_run, tmp_path_factory
+):
+    """v2 corpus = v1 minus 20 files, 10 modified, 20 new. An incremental
+    run against v1's output must (a) extract ONLY the 30 changed/new files,
+    (b) produce byte-identical extracted/nodes/edges to a from-scratch run
+    on v2 — the checksum short-circuit as a correctness-preserving
+    optimization."""
+    from raptor_spark.schemas import FILES_SCHEMA
+
+    v2 = [dict(r) for r in corpus_rows[:-20]]
+    for r in v2[:10]:
+        r["content"] = (r["content"] or "") + "\n# touched in v2\n"
+    for i in range(20):
+        v2.append(
+            {
+                "repo": "orgv2/newrepo",
+                "path": f"src/new_mod_{i}.py",
+                "commit": "f" * 8,
+                "lang": "python",
+                "content": f"import os\n\ndef brand_new_fn_{i}(x):\n    return os.path.join(x, '{i}')\n",
+            }
+        )
+    v2_df = spark.createDataFrame(v2, schema=FILES_SCHEMA).repartition(8).persist()
+
+    full_dir = str(tmp_path_factory.mktemp("kg_v2_full"))
+    inc_dir = str(tmp_path_factory.mktemp("kg_v2_inc"))
+    full = Pipeline(spark, full_dir).run(v2_df)
+    p_inc = Pipeline(spark, inc_dir)
+    inc = p_inc.run(v2_df, incremental_from=run_dir)
+
+    assert p_inc.incremental_stats["files_extracted"] == 30
+    assert p_inc.incremental_stats["files_total"] == len(v2)
+    for table in ("extracted", "nodes", "edges"):
+        a, b = full[table], inc[table]
+        assert a.count() == b.count(), table
+        assert a.exceptAll(b).count() == 0, table
+        assert b.exceptAll(a).count() == 0, table
+    v2_df.unpersist()
+
+
 def test_nodes_edges_shapes(spark, run_dir, first_run):
     cat = Pipeline(spark, run_dir).catalog
     nodes, edges = cat.read("nodes"), cat.read("edges")
