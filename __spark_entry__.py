@@ -1104,6 +1104,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY e.event_type
             ORDER BY e.event_type
         """,
+        "rollup_tree": """
+            WITH RECURSIVE base AS (
+              SELECT doc_id AS idx, substring(text, 1, 20) AS t
+              FROM documents WHERE doc_id < 200
+            ), r AS (
+              SELECT 0 AS lvl, idx, t, (SELECT count(*) FROM base) AS n
+              FROM base
+              UNION ALL
+              SELECT lvl + 1 AS lvl,
+                     CAST(floor(idx / CASE WHEN lvl = 0 THEN 5 ELSE 4 END) AS BIGINT) AS idx,
+                     string_agg(t, ' | ' ORDER BY idx) AS t,
+                     count(*) OVER () AS n
+              FROM r
+              WHERE n > 1
+              GROUP BY lvl, CAST(floor(idx / CASE WHEN lvl = 0 THEN 5 ELSE 4 END) AS BIGINT)
+            )
+            SELECT idx, sha256(t) AS digest, CAST(lvl AS INT) AS levels
+            FROM r WHERE lvl = (SELECT max(lvl) FROM r)
+        """,
         "cube_pricing": """
             SELECT coalesce(l_returnflag, 'ALL') AS rf,
                    coalesce(l_linestatus, 'ALL') AS ls,
