@@ -72,6 +72,7 @@ class Pipeline:
         partition_by: list[str] | None = None,
         lineage_triples: DataFrame | None = None,
         cluster_for_write: bool = False,
+        sort_by: list[str] | None = None,
     ) -> DataFrame:
         if cluster_for_write and partition_by:
             # final graph tables: hash-cluster rows by the partition columns
@@ -81,6 +82,11 @@ class Pipeline:
             # NOT done for the big pred-partitioned triple tables — there the
             # extra full shuffle costs more than the committer saves.
             df = df.repartition(*[F.col(c) for c in partition_by])
+        if sort_by:
+            # within-file sort order (≙ Iceberg sort order / Qdrant payload
+            # index, SURVEY.md §2.1): clusters equal keys so parquet
+            # min/max stats prune row groups on point lookups
+            df = df.sortWithinPartitions(*sort_by)
         self.catalog.write(
             stage, df, partition_by=partition_by, meta={"input_fingerprint": fingerprint}
         )
@@ -208,6 +214,7 @@ class Pipeline:
                 partition_by=["lang", "repo_bucket"],
                 lineage_triples=linked,
                 cluster_for_write=True,
+                sort_by=["kind", "canonical"],
             )
         if self._stage_valid("edges", fingerprint, resume):
             edges = self.catalog.read("edges")
@@ -222,6 +229,7 @@ class Pipeline:
                 partition_by=["lang", "repo_bucket"],
                 lineage_triples=linked,
                 cluster_for_write=True,
+                sort_by=["pred", "src"],
             )
         files.unpersist()
         self._rollup.unpersist()
