@@ -500,6 +500,27 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples(files)
 
 
+def q_kg_call_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG read path: top call-graph fan-in (most-called symbols) over the
+    extracted triples — the 'discovery' query the reference serves from its
+    vector store, answered relationally (rows-only; triple correctness is
+    the P/R gate)."""
+    from raptor_spark.extract import extract_triples
+    from raptor_spark.schemas import FILES_SCHEMA
+    from raptor_spark.synth import generate_corpus
+    from raptor_spark.tokenize import PRED_CALLS
+
+    files = spark.createDataFrame(generate_corpus(400), schema=FILES_SCHEMA).repartition(16)
+    triples = extract_triples(files)
+    return (
+        triples.filter(F.col("pred") == PRED_CALLS)
+        .groupBy("obj")
+        .agg(F.count("*").alias("fanin"), F.countDistinct("repo").alias("n_repos"))
+        .orderBy(F.desc("fanin"), F.asc("obj"))
+        .limit(20)
+    )
+
+
 def q_kg_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline (extract→link→cc→materialize) node output."""
     from raptor_spark.cc import connected_components
@@ -735,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_window_means": q_array_window_means,
         "rollup_tree": q_rollup_tree,
         "kg_triples": q_kg_triples,
+        "kg_call_fanin": q_kg_call_fanin,
         "kg_graph_nodes": q_kg_graph_nodes,
         "media_features": q_media_features,
         "frame_samples": q_frame_samples,

@@ -16,7 +16,7 @@ Stages:
   nodes / edges — final graph, partitioned (lang, repo_bucket)
 
 Run:  python -m raptor_spark.pipeline --input <files.parquet> --output <dir>
-      [--resume] [--master local[8]]
+      [--resume] [--incremental-from <prev_dir>] [--master local[8]]
 """
 
 from __future__ import annotations
