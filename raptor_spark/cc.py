@@ -18,7 +18,11 @@ Iteration discipline (an early naive loop measured 260 s for 3.6k vertices):
 * fixpoint detection is one cheap agg — bit_xor of xxhash64(name, component)
   stable across a round — not a labels-vs-labels join;
 * labels are monotone non-increasing under both steps, so the hash is stable
-  exactly at the fixpoint.
+  exactly at the fixpoint;
+* no explicit repartition between rounds — groupBy/join already hash-shuffle
+  on the keys and AQE coalesces the tiny alias-graph partitions (an explicit
+  width repartition added one full shuffle per step, A/B-measured ~25%
+  slower with identical output).
 
 The iteration cap is a safety net, with a loud failure rather than a silent
 wrong answer.
@@ -33,7 +37,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MAX_ITERATIONS = 25
-ROWS_PER_PARTITION = 100_000
 
 
 def connected_components(edges: DataFrame, max_iterations: int = MAX_ITERATIONS) -> DataFrame:
@@ -58,17 +61,13 @@ def connected_components(edges: DataFrame, max_iterations: int = MAX_ITERATIONS)
     # (typically expensive, unpersisted) edge lineage once, and filling the
     # cache afterwards computes it a second time — measured 2× the whole
     # linking stage at 100k files
-    raw = sym.persist()
-    n_edges = raw.count()
-    width = max(4, min(raw.sparkSession.sparkContext.defaultParallelism * 2,
-                       n_edges // ROWS_PER_PARTITION + 4))
-    sym = raw.repartition(width, "dst").persist()
+    sym = sym.persist()
+    sym.count()  # materialize before the loop references it every round
 
     labels = (
         sym.select(F.col("src").alias("name"))
         .distinct()
         .withColumn("component", F.col("name"))
-        .repartition(width, "name")
         .localCheckpoint()
     )
 
@@ -83,7 +82,6 @@ def connected_components(edges: DataFrame, max_iterations: int = MAX_ITERATIONS)
             contrib.unionByName(labels)
             .groupBy("name")
             .agg(F.min("component").alias("component"))
-            .repartition(width, "name")
             .localCheckpoint()  # eager: compute once, truncate lineage
         )
         # pointer jump (path halving): component ← component(component);
@@ -94,18 +92,15 @@ def connected_components(edges: DataFrame, max_iterations: int = MAX_ITERATIONS)
         labels = (
             stepped.join(jmap, stepped.component == jmap.jn, "left")
             .select("name", F.coalesce("jc", "component").alias("component"))
-            .repartition(width, "name")
             .localCheckpoint()
         )
         # bit_xor: order-insensitive, overflow-free under ANSI (sum overflows)
         h = labels.agg(F.expr("bit_xor(xxhash64(name, component))")).first()[0]
         if h == prev_hash:
             sym.unpersist()
-            raw.unpersist()
             return labels
         prev_hash = h
     sym.unpersist()
-    raw.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"
     )
