@@ -124,10 +124,12 @@ def asof_join(
     ORDER BY DESC LIMIT 1, generalized to per-event time).
 
     Scale shape: NOT a range join (which is per-key cartesian before the
-    argmax). Union both sides tagged by origin, one shuffle/sort on
-    (keys, ts, side), then ``last(payload, ignoreNulls)`` over the running
-    window carries each right value forward to the left rows it covers.
-    O(n log n) per key partition, no candidate blow-up, AQE-skew-splittable.
+    argmax). Union both sides tagged by origin, ONE shuffle/sort of the
+    combined stream on (keys), then ``last(payload, ignoreNulls)`` over the
+    running window carries each right value forward to the left rows it
+    covers (plus one small agg shuffle of the right side alone for the
+    per-(keys, ts) dedup). O(n log n) per key partition, no candidate
+    blow-up, AQE-skew-splittable.
 
     Right rows sharing (keys, ts) are deterministically reduced to the one
     with max payload tuple before the union. With ``tolerance``, matches

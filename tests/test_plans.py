@@ -56,6 +56,18 @@ def test_relational_aggregates_stay_jvm_side(spark):
     assert "WholeStageCodegen" in c, c[:500]
 
 
+def test_asof_join_shuffle_budget(spark):
+    """The as-of join must stay a union+window plan: at most 3 exchanges
+    (right-side dedup agg, the single window shuffle, and the query's
+    presentation orderBy) and no join operator at all."""
+    import re
+
+    p = plan_str(QUERIES["asof_enrich"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 3, p
+    assert "Join" not in p, p
+    assert "CartesianProduct" not in p
+
+
 def test_interval_joins_are_not_cartesian(spark):
     for name in ("interval_argmax", "interval_labels"):
         p = plan_str(QUERIES[name](spark, SF_DIR))
