@@ -725,6 +725,39 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile ranking window: per-priority price quartiles with per-quartile
+    aggregates (the rank-then-summarize read pattern)."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    q = orders.withColumn("quartile", F.ntile(4).over(w))
+    return (
+        q.groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface: customers that never ordered, counted per nation
+    (the change-detection anti-join shape on the relational tables)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders.select("o_custkey").distinct(),
+                  cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_idle"))
+        .orderBy("c_nationkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -768,6 +801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantiles_events": q_approx_quantiles_events,
         "cube_pricing": q_cube_pricing,
         "moving_avg": q_moving_avg,
+        "order_quartiles": q_order_quartiles,
+        "customers_without_orders": q_customers_without_orders,
     }
 
 
@@ -1125,6 +1160,28 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN dim USING (event_type)
             GROUP BY e.event_type
             ORDER BY e.event_type
+        """,
+        "order_quartiles": """
+            WITH q AS (
+              SELECT o_orderpriority, o_totalprice,
+                     ntile(4) OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey
+                     ) AS quartile
+              FROM orders
+            )
+            SELECT o_orderpriority, quartile, count(*) AS n,
+                   round(min(o_totalprice), 2) AS min_price,
+                   round(max(o_totalprice), 2) AS max_price
+            FROM q GROUP BY o_orderpriority, quartile
+            ORDER BY o_orderpriority, quartile
+        """,
+        "customers_without_orders": """
+            SELECT c_nationkey, count(*) AS n_idle
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey
         """,
         "rollup_tree": """
             WITH RECURSIVE base AS (
