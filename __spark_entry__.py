@@ -284,6 +284,20 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(pairs).orderBy("id")
 
 
+def q_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transitive near-dup clusters: the exact 1-gram Jaccard
+    pairs (same definition as ngram_jaccard_pairs) fed through the
+    pointer-jumping connected components → (id, cluster = min member id),
+    the reference's keep-one-representative decision (api_insert.py:130-165)
+    over transitive duplicate groups. Unlike near_dup_clusters (LSH pairs,
+    rows-only), the pair set here is exact, so CC is pinned end-to-end
+    against a DuckDB recursive-CTE transitive-closure oracle."""
+    from raptor_spark.operators.dedup import near_dup_clusters
+
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir)
+    return near_dup_clusters(pairs).orderBy("id")
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints + pigeonhole-blocked hamming pairs. distance ≤ 3
     of 64 bits ≈ the reference's cosine-0.9 dedup band; ≤ 8 was measured to
@@ -539,7 +553,10 @@ def q_kg_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary columns → mapInPandas feature extraction
-    (decode stubbed; schema/batching/error-column real)."""
+    (decode stubbed; schema/batching/error-column real). The 8-dim feature
+    array is projected to scalar columns f0..f7 for the driver contract —
+    the comparator canonicalizes rows with pandas and cannot sort raw
+    array columns."""
     from raptor_spark.operators.multimodal import (
         extract_media_features,
         synthesize_media_from_text,
@@ -547,7 +564,20 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     media = synthesize_media_from_text(docs, "doc_id", "text")
-    return extract_media_features(media).orderBy("media_id")
+    feats = extract_media_features(media)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "width",
+        "height",
+        "duration_s",
+        *[
+            F.round(F.element_at("features", i + 1), 6).alias(f"f{i}")
+            for i in range(8)
+        ],
+        "error",
+    ).orderBy("media_id")
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -745,12 +775,16 @@ def q_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join surface: customers that never ordered, counted per nation
-    (the change-detection anti-join shape on the relational tables)."""
+    """Anti-join surface: customers with no URGENT order, counted per nation
+    (the change-detection anti-join shape on the relational tables). The
+    URGENT filter keeps the anti-join non-vacuous at every fixture SF —
+    every customer has *some* order, so the unfiltered form compares empty
+    results on both sides and verifies nothing."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
     return (
-        cust.join(orders.select("o_custkey").distinct(),
+        cust.join(urgent.select("o_custkey").distinct(),
                   cust.c_custkey == F.col("o_custkey"), "left_anti")
         .groupBy("c_nationkey")
         .agg(F.count("*").alias("n_idle"))
@@ -774,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_near_dups": q_minhash_near_dups,
         "near_dup_clusters": q_near_dup_clusters,
+        "jaccard_clusters": q_jaccard_clusters,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
@@ -812,6 +847,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     seg = f"{SEG_LEN}"
+
+    def hb(h: str, i: int) -> str:
+        """i-th byte (1-indexed) of a lowercase-hex sha256 digest, as INT —
+        DuckDB's sha256 returns hex varchar, the multimodal stub works on
+        raw digest bytes (operators/multimodal.py:_decode_stub)."""
+        return (
+            f"((strpos('0123456789abcdef', substr({h}, {2 * i - 1}, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr({h}, {2 * i}, 1)) - 1))"
+        )
+
     return {
         "interval_argmax": f"""
             WITH l AS (
@@ -1074,7 +1119,8 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY source ORDER BY doc_id) - 1) / 5) AS BIGINT) AS g
               FROM documents
             )
-            SELECT source, g, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            SELECT source, g, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM t GROUP BY source, g ORDER BY source, g
         """,
         "text_chunks": r"""
@@ -1101,7 +1147,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, chunk_id,
                    count(*) AS n_sentences,
-                   sum(n_tokens) AS chunk_tokens,
+                   CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens,
                    md5(string_agg(sentence, ' ' ORDER BY pos)) AS chunk_md5
             FROM c GROUP BY doc_id, chunk_id
             ORDER BY doc_id, chunk_id
@@ -1179,7 +1225,9 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": """
             SELECT c_nationkey, count(*) AS n_idle
             FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE c_custkey NOT IN (
+              SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            )
             GROUP BY c_nationkey
             ORDER BY c_nationkey
         """,
@@ -1268,6 +1316,75 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN thr ON e.event_type = thr.event_type
             WHERE e.value > thr.p90
             ORDER BY e.event_type, e.event_id
+        """,
+        "jaccard_clusters": r"""
+            WITH RECURSIVE w AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
+              FROM documents WHERE doc_id < 150
+            ), p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM w a JOIN w b ON a.doc_id < b.doc_id
+              WHERE len(list_filter(a.ws, x -> list_contains(b.ws, x))) * 1.0 /
+                    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+            ), e AS (
+              SELECT a AS s, b AS d FROM p UNION SELECT b AS s, a AS d FROM p
+            ), r AS (
+              SELECT s, d FROM e
+              UNION
+              SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
+            )
+            SELECT s AS id, least(s, min(d)) AS cluster
+            FROM r GROUP BY s ORDER BY id
+        """,
+        "media_features": f"""
+            WITH m AS (
+              SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                     CASE CAST(doc_id % 3 AS INT)
+                       WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+                     END AS media_type,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     sha256(text) AS h
+              FROM documents
+            )
+            SELECT media_id, media_type, n_bytes,
+                   CASE WHEN media_type = 'image'
+                        THEN CAST(64 + {hb('h', 1)} % 512 AS INT) END AS width,
+                   CASE WHEN media_type = 'image'
+                        THEN CAST(64 + {hb('h', 2)} % 512 AS INT) END AS height,
+                   CASE WHEN media_type <> 'image'
+                        THEN round(1.0 + ({hb('h', 3)} % 300) / 10.0, 1)
+                   END AS duration_s,
+                   {", ".join(f"round({hb('h', i + 1)} / 255.0, 6) AS f{i}" for i in range(8))},
+                   CAST(NULL AS VARCHAR) AS error
+            FROM m ORDER BY media_id
+        """,
+        "frame_samples": f"""
+            WITH v AS (
+              SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                     text, sha256(text) AS h
+              FROM documents WHERE doc_id % 3 = 2
+            ), f AS (
+              SELECT media_id, text,
+                     unnest(generate_series(
+                       0, (1 + ({hb('h', 3)}) % 30) * 2 - 1)) AS i
+              FROM v
+            ), x AS (
+              SELECT media_id, i,
+                     sha256(text || CAST(i AS VARCHAR)) AS fh
+              FROM f
+            ), q AS (
+              SELECT media_id, i,
+                     {hb('fh', 1)} / 8.0 AS brightness,
+                     {hb('fh', 2)} / 255.0 AS entropy
+              FROM x
+            )
+            SELECT media_id, count(*) AS n_kept,
+                   round(avg(brightness), 4) AS avg_brightness,
+                   round(avg(entropy), 4) AS avg_entropy
+            FROM q
+            WHERE brightness > 5.0 AND entropy > 0.5
+            GROUP BY media_id ORDER BY media_id
         """,
     }
 

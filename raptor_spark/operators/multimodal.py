@@ -123,7 +123,10 @@ def sample_frames(media: DataFrame, fps_target: int = 2) -> DataFrame:
                 h = hashlib.sha256(data).digest()
                 n_frames = (1 + h[2] % 30) * fps_target
                 for i in range(n_frames):
-                    fh = hashlib.sha256(data + i.to_bytes(4, "big")).digest()
+                    # ASCII-decimal frame salt (not raw int bytes): keeps the
+                    # stub reproducible in plain SQL, where sha256 is
+                    # VARCHAR-only and can't hash arbitrary byte suffixes
+                    fh = hashlib.sha256(data + str(i).encode()).digest()
                     brightness = fh[0] / 8.0          # 0..31.9
                     entropy = fh[1] / 255.0           # 0..1
                     out.append((mid, i, brightness, entropy))
@@ -137,12 +140,12 @@ def sample_frames(media: DataFrame, fps_target: int = 2) -> DataFrame:
 
 def synthesize_media_from_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Build a MEDIA_SCHEMA table from any text table (test harness input:
-    content bytes as the opaque payload)."""
-    mt = (
-        F.when(F.pmod(F.xxhash64(F.col(id_col)), F.lit(3)) == 0, "image")
-        .when(F.pmod(F.xxhash64(F.col(id_col)), F.lit(3)) == 1, "audio")
-        .otherwise("video")
-    )
+    content bytes as the opaque payload). The type split is ``id % 3`` —
+    deterministic AND reproducible in plain SQL, so the feature/frame
+    queries built on it can carry a DuckDB oracle (xxhash64 was equally
+    deterministic but Spark-only, forcing those queries to rows-only)."""
+    m = F.pmod(F.col(id_col).cast("long"), F.lit(3))
+    mt = F.when(m == 0, "image").when(m == 1, "audio").otherwise("video")
     return df.select(
         F.col(id_col).cast("string").alias("media_id"),
         mt.alias("media_type"),
