@@ -75,9 +75,12 @@ def q_interval_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("event_id", "match_id")
         .select("match_id", "user_id", "start", "end")
     )
+    # bucketized equi-join scale path: a direct range join is per-key
+    # cartesian — a hot user at 100× corpus pins its expansion on one task
     out = interval_overlap_argmax_join(
         left, right, left_keys=["user_id"], left_id="event_id",
         right_payload=["match_id"], broadcast_right=False,
+        bucket_width=1.5 * SEG_LEN,
     )
     return out.select(
         "event_id", "user_id", "match_id",
@@ -102,6 +105,7 @@ def q_interval_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = interval_semi_label_join(
         left, right, left_keys=["user_id"], left_id="event_id",
         label_col="label", prob_col="prob", threshold=10.0,
+        bucket_width=1.5 * SEG_LEN,
     )
     return out.select(
         "event_id", F.array_join("labels", ",").alias("labels")

@@ -94,8 +94,17 @@ def connected_components(edges: DataFrame, max_iterations: int = MAX_ITERATIONS)
             .select("name", F.coalesce("jc", "component").alias("component"))
             .localCheckpoint()
         )
-        # bit_xor: order-insensitive, overflow-free under ANSI (sum overflows)
-        h = labels.agg(F.expr("bit_xor(xxhash64(name, component))")).first()[0]
+        # bit_xor: order-insensitive, overflow-free under ANSI (sum overflows).
+        # Two independently-seeded digests: a single 64-bit xor digest
+        # colliding across consecutive non-identical label sets (~2^-64)
+        # would terminate early with a silently wrong assignment; the pair
+        # squares that to ~2^-128 for one extra column in the same agg pass.
+        h = tuple(
+            labels.agg(
+                F.expr("bit_xor(xxhash64(name, component))"),
+                F.expr("bit_xor(xxhash64(name, component, 1))"),
+            ).first()
+        )
         if h == prev_hash:
             sym.unpersist()
             return labels

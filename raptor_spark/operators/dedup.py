@@ -311,19 +311,33 @@ def near_dup_clusters(pairs: DataFrame) -> DataFrame:
     graph, cluster = min member id — turns pairwise dedup output into the
     keep-one-representative decision (the reference's insert-or-skip,
     api_insert.py:130-165, generalized to transitive duplicate groups).
-    Reuses the pipeline's pointer-jumping CC (raptor_spark.cc); ids are
-    zero-padded through the string label domain so min() keeps numeric
-    order."""
+    Reuses the pipeline's pointer-jumping CC (raptor_spark.cc); ids travel
+    through the string label domain with a sign-prefix encoding ('0' +
+    bias for negative longs, '1' + zero-pad for non-negative) so string
+    min() keeps numeric order over the FULL long range — plain %020d
+    inverts the ordering of negative ids ('-0…10' < '-0…05')."""
     from raptor_spark.cc import connected_components
 
-    e = pairs.select(
-        F.format_string("%020d", F.col("a")).alias("a"),
-        F.format_string("%020d", F.col("b")).alias("b"),
-    )
+    # bias by subtracting Long.MIN_VALUE (2^63 itself is not a long; the
+    # not-taken CASE branch is never evaluated, so no ANSI overflow)
+    LONG_MIN = F.lit(-(1 << 63)).cast("long")
+
+    def enc(c: Column) -> Column:
+        return F.when(
+            c >= 0, F.format_string("1%019d", c)
+        ).otherwise(F.format_string("0%019d", c - LONG_MIN))
+
+    def dec(c: Column) -> Column:
+        body = F.substring(c, 2, 19).cast("long")
+        return F.when(F.substring(c, 1, 1) == "1", body).otherwise(
+            body + LONG_MIN
+        )
+
+    e = pairs.select(enc(F.col("a")).alias("a"), enc(F.col("b")).alias("b"))
     out = connected_components(e)
     return out.select(
-        F.col("name").cast("long").alias("id"),
-        F.col("component").cast("long").alias("cluster"),
+        dec(F.col("name")).alias("id"),
+        dec(F.col("component")).alias("cluster"),
     )
 
 

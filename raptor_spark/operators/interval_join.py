@@ -41,15 +41,33 @@ def interval_overlap_argmax_join(
     r_start: str = "start",
     r_end: str = "end",
     broadcast_right: bool = False,
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with maximum interval overlap
     (ties broken by right start then payload for determinism); left rows with
     no overlapping right row keep nulls (left-outer, ≙ the reference's
-    speaker='' default, result_merger.py:111-142)."""
-    lt, rt = left.alias("l"), right.alias("r")
-    if broadcast_right:
-        rt = F.broadcast(rt)
-    cond = (F.col(f"l.{l_start}") < F.col(f"r.{r_end}")) & (
+    speaker='' default, result_merger.py:111-142).
+
+    With ``bucket_width``, both sides are exploded onto fixed time buckets
+    and the join runs as an equi-join on (keys, bucket) + range residual —
+    the big×big scale path: without it the range join is a per-key
+    cartesian before the argmax, and one hot key at 100× corpus size pins
+    its entire expansion on a single task. Bucket duplicates (a pair meeting
+    in several buckets) are identical rows; the argmax row_number collapses
+    them, so the result is unchanged (parity: tests/test_skew.py). Pick
+    ``bucket_width`` ≈ the typical interval length: each interval then
+    lands in ≤ 2-3 buckets (bounded row inflation) while each bucket pairs
+    only time-adjacent rows."""
+    if bucket_width is not None and not broadcast_right:
+        lt = bucketize(left, l_start, l_end, bucket_width, out="_bk").alias("l")
+        rt = bucketize(right, r_start, r_end, bucket_width, out="_bk").alias("r")
+        cond = F.col("l._bk") == F.col("r._bk")
+    else:
+        lt, rt = left.alias("l"), right.alias("r")
+        if broadcast_right:
+            rt = F.broadcast(rt)
+        cond = F.lit(True)
+    cond = cond & (F.col(f"l.{l_start}") < F.col(f"r.{r_end}")) & (
         F.col(f"r.{r_start}") < F.col(f"l.{l_end}")
     )
     for k in left_keys:
@@ -63,6 +81,8 @@ def interval_overlap_argmax_join(
         *[F.col(f"r.{c}").alias(c) for c in right_payload],
         ov.alias("overlap"),
     )
+    if bucket_width is not None and not broadcast_right:
+        joined = joined.drop("_bk")
     w = (
         Window.partitionBy(F.col(left_id))
         .orderBy(
@@ -89,12 +109,23 @@ def interval_semi_label_join(
     l_end: str = "end",
     r_start: str = "start",
     r_end: str = "end",
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """Set-deduped labels of all right windows overlapping each left segment
     with probability above threshold (kafka_handler.py:64-86): range join →
-    filter → collect_set, returned sorted for determinism."""
-    lt, rt = left.alias("l"), right.alias("r")
-    cond = (F.col(f"l.{l_start}") < F.col(f"r.{r_end}")) & (
+    filter → collect_set, returned sorted for determinism.
+
+    ``bucket_width`` enables the same bucketized equi-join scale path as
+    interval_overlap_argmax_join; bucket duplicates are absorbed by the
+    collect_set dedup."""
+    if bucket_width is not None:
+        lt = bucketize(left, l_start, l_end, bucket_width, out="_bk").alias("l")
+        rt = bucketize(right, r_start, r_end, bucket_width, out="_bk").alias("r")
+        cond = F.col("l._bk") == F.col("r._bk")
+    else:
+        lt, rt = left.alias("l"), right.alias("r")
+        cond = F.lit(True)
+    cond = cond & (F.col(f"l.{l_start}") < F.col(f"r.{r_end}")) & (
         F.col(f"r.{r_start}") < F.col(f"l.{l_end}")
     )
     for k in left_keys:

@@ -106,9 +106,12 @@ class Pipeline:
         corpus, extract only changed/new files, drop triples of deleted
         files — the reference's checksum no-change short-circuit
         (asset_management/client.py:157-206, database.py:583-592) at the
-        pipeline level. The change key is (repo, path, sha256), not content
-        hash alone: identical content at a NEW path must still be extracted
-        (its triples carry the path).
+        pipeline level. The change key is (repo, path, lang, sha256), not
+        content hash alone: identical content at a NEW path must still be
+        extracted (its triples carry the path), and triples also carry the
+        file's lang metadata — a lang change with unchanged content must
+        re-extract too, or the incremental run diverges from a from-scratch
+        run on the stale-lang rows.
 
         Downstream stages (linking, CC, materialize) always rerun — entity
         linking is global, so any content change can re-cluster names.
@@ -116,9 +119,9 @@ class Pipeline:
         from raptor_spark.functions import sha256_col
 
         prev_triples = Catalog(self.spark, prev_output).read("extracted")
-        key = ["repo", "path", "sha256"]
+        key = ["repo", "path", "lang", "sha256"]
         cur_keys = files.select(
-            "repo", "path", sha256_col("content").alias("sha256")
+            "repo", "path", "lang", sha256_col("content").alias("sha256")
         )
         kept = prev_triples.join(cur_keys, on=key, how="left_semi")
         changed = (
@@ -255,16 +258,30 @@ def main() -> None:
     )
     ap.add_argument("--master", default=None)
     ap.add_argument("--synth", type=int, default=0, help="generate N synthetic files instead of reading --input")
+    ap.add_argument(
+        "--synth-seq",
+        action="store_true",
+        help="use the sequential driver-side generator (golden-oracle corpus; "
+        "byte-pinned by tests). Default is the distributed per-index-seeded "
+        "generator, which synthesizes rows on executors and scales to corpus "
+        "sizes the driver could never materialize",
+    )
     args = ap.parse_args()
 
     from raptor_spark.session import build_session
 
     spark = build_session("raptor_spark.pipeline", master=args.master)
-    if args.synth:
+    if args.synth and args.synth_seq:
         from raptor_spark.synth import generate_corpus
 
         files = spark.createDataFrame(generate_corpus(args.synth), schema=FILES_SCHEMA)
         files = files.repartition(max(32, args.synth // 512))
+    elif args.synth:
+        from raptor_spark.synth import generate_corpus_df
+
+        files = generate_corpus_df(
+            spark, args.synth, partitions=max(32, args.synth // 512)
+        )
     else:
         files = spark.read.parquet(args.input)
     out = Pipeline(spark, args.output).run(

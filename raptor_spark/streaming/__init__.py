@@ -167,10 +167,14 @@ def stream_stream_interval_join(
         right.withColumn("_rts", F.col(r_ts).cast("timestamp"))
         .withWatermark("_rts", watermark)
     )
+    # millisecond granularity: int(bound_s) silently truncated fractional
+    # bounds (bound_s=0.5 became a 0-second bound, dropping every
+    # non-exact-tie match despite the float-typed parameter)
+    bound_ms = int(round(bound_s * 1000))
     cond = (
         (lt[key] == rt[key])
-        & (rt["_rts"] >= F.expr(f"_lts - interval {int(bound_s)} seconds"))
-        & (rt["_rts"] <= F.expr(f"_lts + interval {int(bound_s)} seconds"))
+        & (rt["_rts"] >= F.expr(f"_lts - interval {bound_ms} milliseconds"))
+        & (rt["_rts"] <= F.expr(f"_lts + interval {bound_ms} milliseconds"))
     )
     return lt.join(rt, cond, "inner").drop(rt[key])
 

@@ -1,0 +1,68 @@
+"""Result-cache gates: identical queries hit (across DataFrame objects),
+different queries key apart, TTL expiry recomputes, in-flight dedup computes
+once — the reference's sha256-keyed read-path cache (cache_manager.py:204-297)."""
+
+from __future__ import annotations
+
+import threading
+
+import pyspark.sql.functions as F
+
+from raptor_spark.cache import QueryCache, plan_key
+from tests.conftest import SF_DIR
+
+
+def _q(spark, lo=100):
+    return (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .filter(F.col("o_totalprice") > lo)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def test_same_query_same_key_different_query_different_key(spark):
+    assert plan_key(_q(spark)) == plan_key(_q(spark))
+    assert plan_key(_q(spark)) != plan_key(_q(spark, lo=200))
+
+
+def test_hit_skips_recompute_and_matches(spark, tmp_path):
+    cache = QueryCache(spark, str(tmp_path / "qc"))
+    first = cache.get_or_compute(_q(spark)).collect()
+    again = cache.get_or_compute(_q(spark)).collect()
+    assert (cache.misses, cache.hits) == (1, 1)
+    assert sorted(map(tuple, first)) == sorted(map(tuple, again))
+    # a different query is its own entry
+    cache.get_or_compute(_q(spark, lo=200))
+    assert cache.misses == 2
+
+
+def test_ttl_zero_always_recomputes(spark, tmp_path):
+    cache = QueryCache(spark, str(tmp_path / "qc"), ttl_s=0.0)
+    cache.get_or_compute(_q(spark))
+    cache.get_or_compute(_q(spark))
+    assert cache.misses == 2 and cache.hits == 0
+
+
+def test_inflight_dedup_computes_once(spark, tmp_path):
+    cache = QueryCache(spark, str(tmp_path / "qc"))
+    results = []
+
+    def run():
+        results.append(cache.get_or_compute(_q(spark)).count())
+
+    threads = [threading.Thread(target=run) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert cache.misses == 1 and cache.hits == 3
+    assert len(set(results)) == 1
+
+
+def test_invalidate(spark, tmp_path):
+    cache = QueryCache(spark, str(tmp_path / "qc"))
+    cache.get_or_compute(_q(spark))
+    cache.invalidate(_q(spark))
+    cache.get_or_compute(_q(spark))
+    assert cache.misses == 2

@@ -121,6 +121,23 @@ def test_near_dup_clusters_match_union_find(spark, docs):
     pairs.unpersist()
 
 
+def test_near_dup_clusters_full_long_range(spark):
+    """The id↔label round-trip must keep numeric min-ordering for NEGATIVE
+    long ids too (plain zero-pad inverts it: '-0…10' < '-0…05')."""
+    from raptor_spark.operators.dedup import near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(-10, -5), (-5, 3), (7, 8), (-(1 << 63), 0)], ["a", "b"]
+    )
+    got = {(r.id, r.cluster) for r in near_dup_clusters(pairs).collect()}
+    lm = -(1 << 63)
+    assert got == {
+        (-10, -10), (-5, -10), (3, -10),
+        (7, 7), (8, 7),
+        (lm, lm), (0, lm),
+    }
+
+
 def test_exact_dedup_counts(spark, docs):
     d = exact_dedup(docs, "doc_id", "text")
     total = d.agg(F.sum("n_dups")).first()[0]

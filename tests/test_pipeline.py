@@ -90,6 +90,35 @@ def test_incremental_run_equals_full_run(
     v2_df.unpersist()
 
 
+def test_incremental_lang_change_reextracts(spark, tmp_path_factory):
+    """lang is part of the reuse key: a file whose lang metadata changes with
+    content and path unchanged must re-extract, or the incremental run keeps
+    stale-lang triples and diverges from a from-scratch run."""
+    from raptor_spark.catalog import Catalog
+    from raptor_spark.extract import extract_triples
+    from raptor_spark.schemas import FILES_SCHEMA
+
+    v1 = [
+        {"repo": "o/r", "path": "a.py", "commit": "c" * 8, "lang": "python",
+         "content": "import os\n\ndef f(arg):\n    return arg\n"},
+        {"repo": "o/r", "path": "b.py", "commit": "c" * 8, "lang": "python",
+         "content": "def g(arg):\n    return arg\n"},
+    ]
+    f1 = spark.createDataFrame(v1, schema=FILES_SCHEMA)
+    prev = str(tmp_path_factory.mktemp("prev"))
+    Catalog(spark, prev).write("extracted", extract_triples(f1))
+
+    v2 = [dict(r) for r in v1]
+    v2[0]["lang"] = "js"  # metadata-only change
+    f2 = spark.createDataFrame(v2, schema=FILES_SCHEMA)
+    p = Pipeline(spark, str(tmp_path_factory.mktemp("inc")))
+    inc = p.incremental_triples(f2, prev)
+    full = extract_triples(f2)
+    assert p.incremental_stats["files_extracted"] == 1
+    assert inc.exceptAll(full).count() == 0
+    assert full.exceptAll(inc).count() == 0
+
+
 def test_nodes_edges_shapes(spark, run_dir, first_run):
     cat = Pipeline(spark, run_dir).catalog
     nodes, edges = cat.read("nodes"), cat.read("edges")

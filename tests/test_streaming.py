@@ -131,6 +131,42 @@ def test_stream_stream_join_matches_batch(spark, tmp_path_factory):
     assert batch.exceptAll(got).count() == 0
 
 
+def test_stream_stream_join_fractional_bound(spark, tmp_path_factory):
+    """bound_s below one second must not truncate to zero: two events 400 ms
+    apart match at bound_s=0.5 and don't at bound_s=0.3 (the int(bound_s)
+    regression dropped every non-exact-tie match for fractional bounds)."""
+    from raptor_spark.streaming import stream_stream_interval_join
+
+    rows = [
+        (1, "u1", "2024-01-01 00:00:00.000"),
+        (2, "u1", "2024-01-01 00:00:00.400"),
+    ]
+    base = spark.createDataFrame(rows, ["event_id", "user_id", "ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    in_dir = str(tmp_path_factory.mktemp("frac") / "events")
+    base.write.mode("overwrite").parquet(in_dir)
+
+    def run(bound):
+        out = str(tmp_path_factory.mktemp("frac") / f"out{int(bound*1000)}")
+        ckpt = str(tmp_path_factory.mktemp("frac") / f"ck{int(bound*1000)}")
+        s = spark.readStream.schema(base.schema).parquet(in_dir)
+        ls = s.filter(F.col("event_id") == 1).select(
+            F.col("event_id").alias("l_id"), "user_id", F.col("ts").alias("l_ts")
+        )
+        rs = s.filter(F.col("event_id") == 2).select(
+            F.col("event_id").alias("r_id"), "user_id", F.col("ts").alias("r_ts")
+        )
+        j = stream_stream_interval_join(
+            ls, rs, "user_id", bound_s=bound, l_ts="l_ts", r_ts="r_ts"
+        ).select("l_id", "r_id")
+        run_available_now(j, out, ckpt)
+        return spark.read.parquet(out).count()
+
+    assert run(0.5) == 1
+    assert run(0.3) == 0
+
+
 def test_stateful_sessionize_matches_batch_closed_sessions(spark, tmp_path_factory):
     """applyInPandasWithState sessionization: every emitted session must be
     exactly one of the batch gaps-and-islands sessions; a checkpoint restart
