@@ -190,6 +190,64 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_write_index(
+    corpus: DataFrame,
+    out_dir: str,
+    n_cells: int = 16,
+    corpus_id: str = "id",
+    vec: str = "vec",
+    kmeans_iters: int = 1,
+) -> list[tuple[int, list[float]]]:
+    """Write-time IVF index: assign every corpus vector its nearest cell and
+    persist the corpus PARTITIONED BY cell. Returns the codebook the probe
+    side needs. This is the durable form of ivf_topk's claim — at scale the
+    cell is a physical partition column, so a probe scans n_probe/n_cells of
+    the files (PartitionFilters), the inverted-file pattern (≙ one Qdrant
+    collection per type, api_insert.py:100-106)."""
+    cents = ivf_centroids(corpus, n_cells, corpus_id, vec, kmeans_iters)
+    cells = corpus.select(
+        F.col(corpus_id).alias("id"),
+        F.col(vec).alias("vec"),
+        _nearest_cells(F.col(vec), cents, 1)[0].alias("cell"),
+    )
+    # cluster rows by cell before the partitioned write: one task owns each
+    # cell dir instead of every task writing every dir
+    cells.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(out_dir)
+    return cents
+
+
+def ivf_probe_index(
+    spark,
+    index_dir: str,
+    centroids: list[tuple[int, list[float]]],
+    queries: DataFrame,
+    k: int,
+    query_id: str = "qid",
+    vec: str = "vec",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Probe a written IVF index: each query exactly re-scores only its
+    n_probe nearest cells, and the union of probed cell ids (≤ n_cells ints —
+    a justified driver collect) is pushed as a partition filter so the scan
+    never opens the other cells' files."""
+    probes = queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(vec).alias("qvec"),
+        F.explode(_nearest_cells(F.col(vec), centroids, n_probe)).alias("cell"),
+    )
+    probed_cells = sorted(
+        r.cell for r in probes.select("cell").distinct().collect()
+    )
+    idx = spark.read.parquet(index_dir).filter(F.col("cell").isin(probed_cells))
+    scored = idx.join(F.broadcast(probes), "cell").select(
+        "qid", "id", cosine_col("vec", "qvec").alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -168,6 +168,42 @@ def test_ivf_topk_finds_planted_neighbors(spark, emb):
     assert found >= 8, f"IVF found planted source for only {found}/10 queries"
 
 
+def test_ivf_written_index_prunes_partitions_and_matches(spark, emb, tmp_path):
+    """The written IVF index must (a) return exactly what the in-memory
+    ivf_topk returns for the same codebook, and (b) plan the probe as a
+    partition-pruned scan — PartitionFilters on cell, not a full read."""
+    import contextlib
+    import io
+
+    from raptor_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_probe_index,
+        ivf_topk,
+        ivf_write_index,
+    )
+
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    idx_dir = str(tmp_path / "ivf_idx")
+    cents = ivf_write_index(corpus, idx_dir, n_cells=8)
+    assert cents == ivf_centroids(corpus, 8)  # same deterministic codebook
+
+    probed = ivf_probe_index(spark, idx_dir, cents, queries, k=5, n_probe=3)
+    inmem = ivf_topk(corpus, queries, k=5, n_cells=8, n_probe=3)
+    got = sorted((r.qid, r.id, round(r.cosine, 6), r.rank) for r in probed.collect())
+    want = sorted((r.qid, r.id, round(r.cosine, 6), r.rank) for r in inmem.collect())
+    assert got == want and len(got) > 0
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain(mode="formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p, p
+    assert "cell" in p.split("PartitionFilters", 1)[1][:200], p
+
+
 def test_ivf_centroids_deterministic(spark, emb):
     from raptor_spark.operators.similarity import ivf_centroids
 
