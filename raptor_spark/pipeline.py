@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,6 +57,11 @@ class Pipeline:
         self.spark = spark
         self.catalog = Catalog(spark, output_dir)
         self.run_id = new_run_id()
+        # concurrent stage commits write their DATA to distinct dirs (safe),
+        # but all append to the ONE lineage table — and two simultaneous
+        # Spark append jobs on the same path clash on the shared _temporary
+        # staging dir, so lineage appends are serialized
+        self._lineage_lock = threading.Lock()
 
     def _stage_valid(self, stage: str, fingerprint: str, resume: bool) -> bool:
         if not resume or not self.catalog.exists(stage):
@@ -91,13 +97,14 @@ class Pipeline:
             stage, df, partition_by=partition_by, meta={"input_fingerprint": fingerprint}
         )
         out = self.catalog.read(stage)
-        self.catalog.append(
-            "lineage",
-            stage_lineage(
-                self.run_id, stage, files, lineage_triples, timer.ms(),
-                rollup=self._rollup,
-            ),
-        )
+        with self._lineage_lock:
+            self.catalog.append(
+                "lineage",
+                stage_lineage(
+                    self.run_id, stage, files, lineage_triples, timer.ms(),
+                    rollup=self._rollup,
+                ),
+            )
         return out
 
     def incremental_triples(self, files: DataFrame, prev_output: str) -> DataFrame:
@@ -204,36 +211,64 @@ class Pipeline:
         linked = linked.persist()
 
         # -- stage 3: nodes / edges -------------------------------------------
-        if self._stage_valid("nodes", fingerprint, resume):
-            nodes = self.catalog.read("nodes")
-        else:
-            t = StageTimer()
-            nodes = self._commit(
-                "nodes",
-                build_nodes(linked),
-                files,
-                fingerprint,
-                t,
-                partition_by=["lang", "repo_bucket"],
-                lineage_triples=linked,
-                cluster_for_write=True,
+        # Both derive from the committed `linked` table and write disjoint
+        # dirs, so when both are pending their build+write jobs run from two
+        # driver threads — the commits are dominated by many small serial
+        # steps (partitioned write of ~#langs × N_REPO_BUCKETS dirs, manifest,
+        # read-back, lineage) that overlap cleanly on an idle scheduler.
+        # Lineage appends stay serialized (see _lineage_lock).
+        specs = {
+            "nodes": dict(
+                build=lambda: build_nodes(linked),
                 sort_by=["kind", "canonical"],
-            )
-        if self._stage_valid("edges", fingerprint, resume):
-            edges = self.catalog.read("edges")
-        else:
-            t = StageTimer()
-            edges = self._commit(
-                "edges",
-                build_edges(linked),
-                files,
-                fingerprint,
-                t,
-                partition_by=["lang", "repo_bucket"],
-                lineage_triples=linked,
-                cluster_for_write=True,
+            ),
+            "edges": dict(
+                build=lambda: build_edges(linked),
                 sort_by=["pred", "src"],
-            )
+            ),
+        }
+        results: dict[str, DataFrame] = {}
+        pending = []
+        for stage, spec in specs.items():
+            if self._stage_valid(stage, fingerprint, resume):
+                results[stage] = self.catalog.read(stage)
+            else:
+                pending.append((stage, spec))
+
+        errors: list[BaseException] = []
+
+        def _run(stage: str, spec: dict) -> None:
+            try:
+                t = StageTimer()
+                results[stage] = self._commit(
+                    stage,
+                    spec["build"](),
+                    files,
+                    fingerprint,
+                    t,
+                    partition_by=["lang", "repo_bucket"],
+                    lineage_triples=linked,
+                    cluster_for_write=True,
+                    sort_by=spec["sort_by"],
+                )
+            except BaseException as e:  # re-raised on the caller thread
+                errors.append(e)
+
+        if len(pending) > 1:
+            threads = [
+                threading.Thread(target=_run, args=(stage, spec))
+                for stage, spec in pending
+            ]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+        else:
+            for stage, spec in pending:
+                _run(stage, spec)
+        if errors:
+            raise errors[0]
+        nodes, edges = results["nodes"], results["edges"]
         files.unpersist()
         self._rollup.unpersist()
         return {
