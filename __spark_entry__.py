@@ -870,8 +870,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_id AS match_id, user_id, epoch(ts) AS s, epoch(ts)+{seg} AS e
               FROM events WHERE event_type='purchase'
             ), j AS (
+              -- ov must be NULL (not the left interval's own length) on
+              -- unmatched rows: greatest/least skip NULL args in DuckDB
               SELECT l.event_id, l.user_id, r.match_id,
-                     greatest(least(l.e, r.e) - greatest(l.s, r.s), 0.0) AS ov
+                     CASE WHEN r.s IS NOT NULL THEN
+                       greatest(least(l.e, r.e) - greatest(l.s, r.s), 0.0)
+                     END AS ov
               FROM l LEFT JOIN r
                 ON l.user_id = r.user_id AND l.s < r.e AND r.s < l.e
             )

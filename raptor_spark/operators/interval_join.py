@@ -72,9 +72,18 @@ def interval_overlap_argmax_join(
     )
     for k in left_keys:
         cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
-    ov = overlap_col(
-        F.col(f"l.{l_start}"), F.col(f"l.{l_end}"),
-        F.col(f"r.{r_start}"), F.col(f"r.{r_end}"),
+    # overlap is NULL when the right side is absent — greatest/least SKIP
+    # null arguments (Spark and DuckDB both), so the raw formula silently
+    # evaluates to the left interval's own length on null-extended rows;
+    # harmless on a direct left join (every engine agrees) but fatal on the
+    # bucketized path, where a matched left row ALSO carries null-extended
+    # duplicates from its other buckets that would out-rank a partial match
+    ov = F.when(
+        F.col(f"r.{r_start}").isNotNull(),
+        overlap_col(
+            F.col(f"l.{l_start}"), F.col(f"l.{l_end}"),
+            F.col(f"r.{r_start}"), F.col(f"r.{r_end}"),
+        ),
     )
     joined = lt.join(rt, cond, "left").select(
         "l.*",
