@@ -91,6 +91,27 @@ def test_interval_joins_use_bucketized_equi_join(spark):
         assert all("_bk" in ln for ln in key_lines), p
 
 
+def test_dedup_scale_paths_stay_bounded(spark):
+    """The LSH/SimHash scale paths must never degenerate: no cartesian or
+    nested-loop join (every shuffle is an equi-join on a content-derived
+    key), no Python in the plan (pure column expressions), and a pinned
+    exchange budget so a refactor can't silently add shuffles. The
+    bounded-range exact-verify queries (ngram_jaccard_pairs,
+    embedding_near_dup_exact) are exempt — their all-pairs BNLJ over a
+    bounded id range is the documented oracle-verification path."""
+    import re
+
+    budgets = {"minhash_near_dups": 5, "simhash_near_dups": 9,
+               "near_dup_clusters": 5}
+    for name, max_exchanges in budgets.items():
+        p = plan_str(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "BatchEvalPython" not in p and "PythonUDF" not in p, name
+        n = len(re.findall(r"\(\d+\) Exchange", p))
+        assert n <= max_exchanges, (name, n)
+
+
 def test_materialized_layout_prunes_partitions(spark, triples_df, tmp_path_factory):
     """The nodes/edges partition spec (lang, repo_bucket) must turn a lang
     filter into PartitionFilters on the scan — the read-path payoff of the
