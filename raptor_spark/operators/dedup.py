@@ -276,14 +276,30 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     candidate_join: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs. With no candidate set, pairs
-    come from a shared-shingle equi-join (every pair with intersection ≥ 1) —
-    exact but quadratic in bucket size; use minhash_lsh_pairs at scale."""
+    """Exact n-gram Jaccard pairs (a, b, jaccard ≥ threshold).
+
+    With no candidate set, candidates come from a PREFIX-FILTERED
+    shared-shingle equi-join (the SSJoin/PPJoin family): under any global
+    total order of shingles (sorted hash order here), a pair with
+    J(a,b) ≥ t must share a shingle within the first
+    ``|x| - ceil(t·|x|) + 1`` shingles of EACH side — because
+    ``|a∩b| ≥ t·|a|``, so the shared elements cannot all hide in a suffix
+    shorter than ``ceil(t·|a|)``. Exploding only prefixes keeps the join
+    EXACT while shrinking the candidate blow-up from quadratic in document
+    frequency to quadratic in prefix co-occurrence (at t=0.8, 5× fewer
+    exploded rows and far smaller hot buckets). Verification always runs on
+    the full shingle sets."""
     base = _ensure_parallel(df).select(
         F.col(id_col).alias("id"), word_shingles_col(F.col(text_col), n).alias("sh")
     )
     if candidate_join is None:
-        ex = base.select("id", F.explode("sh").alias("s"))
+        prefix_len = (
+            F.size("sh") - F.ceil(F.lit(threshold) * F.size("sh")) + 1
+        ).cast("int")
+        ex = base.select(
+            "id",
+            F.explode(F.slice(F.array_sort("sh"), F.lit(1), prefix_len)).alias("s"),
+        )
         candidate_join = (
             ex.alias("a")
             .join(ex.alias("b"), "s")

@@ -121,6 +121,37 @@ def test_near_dup_clusters_match_union_find(spark, docs):
     pairs.unpersist()
 
 
+def test_prefix_filtered_candidates_equal_exhaustive(spark, docs):
+    """Prefix filtering must be lossless: the default (prefix-filtered)
+    candidate generation yields exactly the pairs of an exhaustive
+    shared-shingle join at the same threshold — the SSJoin correctness
+    property the operator's scale claim rests on."""
+    from raptor_spark.operators.dedup import ngram_jaccard_pairs, word_shingles_col
+
+    sub = docs.filter(F.col("doc_id") < 200)
+    got = {
+        (r.a, r.b, round(r.jaccard, 6))
+        for r in ngram_jaccard_pairs(sub, "doc_id", "text", n=2, threshold=0.6).collect()
+    }
+    base = sub.select(
+        F.col("doc_id").alias("id"), word_shingles_col(F.col("text"), 2).alias("sh")
+    )
+    ex = base.select("id", F.explode("sh").alias("s"))
+    exhaustive = (
+        ex.alias("a").join(ex.alias("b"), "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .distinct()
+    )
+    want = {
+        (r.a, r.b, round(r.jaccard, 6))
+        for r in ngram_jaccard_pairs(
+            sub, "doc_id", "text", n=2, threshold=0.6, candidate_join=exhaustive
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_near_dup_clusters_full_long_range(spark):
     """The id↔label round-trip must keep numeric min-ordering for NEGATIVE
     long ids too (plain zero-pad inverts it: '-0…10' < '-0…05')."""
