@@ -236,30 +236,14 @@ def q_unique_content_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 1-gram Jaccard near-dup pairs on a bounded id range (the
-    verify step of the reference's ANN dedup, api_insert.py:130-165)."""
+    verify step of the reference's ANN dedup, api_insert.py:130-165).
+    Runs the operator's prefix-filtered candidate path (SSJoin — exact,
+    no all-pairs join), so the graded query IS the scale path; the DuckDB
+    oracle stays the straightforward all-pairs formulation."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    pairs = docs.alias("a").join(docs.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
-    pairs = pairs.select(
-        F.col("a.doc_id").alias("a"),
-        F.col("b.doc_id").alias("b"),
-        (
-            F.size(
-                F.array_intersect(
-                    F.array_distinct(F.split(F.lower(F.col("a.text")), r"\s+")),
-                    F.array_distinct(F.split(F.lower(F.col("b.text")), r"\s+")),
-                )
-            )
-            / F.size(
-                F.array_union(
-                    F.array_distinct(F.split(F.lower(F.col("a.text")), r"\s+")),
-                    F.array_distinct(F.split(F.lower(F.col("b.text")), r"\s+")),
-                )
-            )
-        ).alias("j"),
-    )
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
     return (
-        pairs.filter(F.col("j") >= 0.8)
-        .select("a", "b", F.round("j", 4).alias("jaccard"))
+        out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("a", "b")
     )
 
