@@ -780,6 +780,75 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_content_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (curation op): keep the rows whose
+    md5 bucket ≡ 0 (mod 7) — reproducible held-out slice, never rand()."""
+    from raptor_spark.operators.curation import deterministic_sample, md5_bucket_col
+
+    docs = _t(spark, sf_dir, "documents")
+    out = deterministic_sample(docs, "text", k=7, residue=0)
+    return out.select(
+        "doc_id", "lang", "source",
+        md5_bucket_col(F.col("text")).alias("bucket"),
+    ).orderBy("doc_id")
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (the storage form of a 100 TB
+    vector corpus): per-vector scale + codes, with floor-based rounding so
+    the codes are bit-reproducible across engines. Scalar projections
+    (floor-scaled ints + md5 of the code string) keep the driver comparator
+    happy and rounding-dialect-free."""
+    from raptor_spark.operators.curation import (
+        dequantize_col,
+        quantize_embedding_cols,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scale, q = quantize_embedding_cols(F.col("embedding"))
+    staged = emb.select("vec_id", F.col("embedding").alias("v"),
+                        scale.alias("scale"), q.alias("q"))
+    err = F.array_max(
+        F.zip_with(
+            F.col("v"), dequantize_col(F.col("q"), F.col("scale")),
+            lambda a, b: F.abs(a - b),
+        )
+    )
+    return staged.select(
+        "vec_id",
+        F.floor(F.col("scale") * 1e6).cast("long").alias("scale_u"),
+        F.md5(
+            F.concat_ws(",", F.transform("q", lambda x: x.cast("string")))
+        ).alias("q_md5"),
+        F.floor(err * 1e9).cast("long").alias("err_n"),
+    ).orderBy("vec_id")
+
+
+def q_doc_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit (curation op). The fixture text is digit-free
+    word salad, so a deterministic PII suffix (email + IPv4 + hex key built
+    from doc_id and md5(text)) is appended on BOTH engines before
+    redacting — the oracle therefore exercises the real regex dialects
+    instead of passing vacuously on zero matches."""
+    from raptor_spark.operators.curation import pii_counts_col, redact_pii_col
+
+    docs = _t(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 token "),
+        F.md5("text"),
+    )
+    return docs.select(
+        "doc_id",
+        pii_counts_col(pii).cast("long").alias("n_pii"),
+        F.md5(redact_pii_col(pii)).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -826,6 +895,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_avg": q_moving_avg,
         "order_quartiles": q_order_quartiles,
         "customers_without_orders": q_customers_without_orders,
+        "content_sample": q_content_sample,
+        "embedding_quantize": q_embedding_quantize,
+        "doc_redaction": q_doc_redaction,
     }
 
 
@@ -1377,6 +1449,69 @@ def oracle_sql() -> dict[str, str]:
             FROM q
             WHERE brightness > 5.0 AND entropy > 0.5
             GROUP BY media_id ORDER BY media_id
+        """,
+        "content_sample": f"""
+            WITH b AS (
+              SELECT doc_id, lang, source, md5(text) AS h FROM documents
+            )
+            SELECT doc_id, lang, source,
+                   CAST(({hb('h', 1)}) * 256 + ({hb('h', 2)}) AS BIGINT) AS bucket
+            FROM b
+            WHERE (({hb('h', 1)}) * 256 + ({hb('h', 2)})) % 7 = 0
+            ORDER BY doc_id
+        """,
+        "embedding_quantize": """
+            WITH s AS (
+              SELECT vec_id, embedding AS v,
+                     list_max(list_transform(embedding, x -> abs(x))) AS scale
+              FROM embeddings
+            ), p AS (
+              SELECT vec_id, v, scale,
+                     CASE WHEN scale = 0.0 THEN 1.0 ELSE scale END AS safe
+              FROM s
+            ), qq AS (
+              SELECT vec_id, v, scale,
+                     list_transform(v, x -> CAST(greatest(-127, least(127,
+                       floor(127.0 * x / safe + 0.5))) AS INT)) AS q
+              FROM p
+            )
+            SELECT vec_id,
+                   CAST(floor(scale * 1e6) AS BIGINT) AS scale_u,
+                   md5(array_to_string(
+                     list_transform(q, x -> CAST(x AS VARCHAR)), ',')) AS q_md5,
+                   CAST(floor(list_max(list_transform(
+                     list_zip(v, q),
+                     z -> abs(z[1] - CAST(z[2] AS DOUBLE) * scale / 127.0)
+                   )) * 1e9) AS BIGINT) AS err_n
+            FROM qq ORDER BY vec_id
+        """,
+        "doc_redaction": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com from 10.0.'
+                          || CAST(doc_id % 256 AS VARCHAR)
+                          || '.7 token ' || md5(text) AS pii
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(
+                     len(regexp_extract_all(pii,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+                     len(regexp_extract_all(pii,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) +
+                     len(regexp_extract_all(pii, '\b[0-9a-fA-F]{32,}\b'))
+                   AS BIGINT) AS n_pii,
+                   md5(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(pii,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\b[0-9a-fA-F]{32,}\b', '<KEY>', 'g')
+                   ) AS redacted_md5
+            FROM p ORDER BY doc_id
         """,
     }
 

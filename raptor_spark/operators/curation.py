@@ -1,0 +1,81 @@
+"""Dataset-curation operators for training-data pipelines.
+
+The reference curates at insert time (dedup + payload filters,
+qdrant_search_docker/api_insert.py:130-165); a 100 TB corpus pipeline needs
+three more curation primitives, all pure column expressions here:
+
+* deterministic_sample — content-hash bucket sampling: keep rows whose
+  md5(text) bucket lands in the selected residue class. Deterministic under
+  any partitioning (never ``rand()``), reproducible across engines, and a
+  stratum column can simply be part of the downstream groupBy — the
+  standard way big corpus pipelines carve held-out slices.
+* redact_pii — chained regex redaction (emails, IPv4, ≥32-hex-char
+  secrets) with placeholder tokens. Patterns are RE2-safe (no lookbehind)
+  so the same regexes run on Spark (Java regex) and DuckDB (RE2).
+* quantize_embedding_cols — symmetric int8 per-vector quantization
+  (scale = max |v|, q = floor(127·v/scale + 0.5) clamped) — the storage
+  form a 100 TB vector corpus actually ships. All arithmetic is plain
+  IEEE double expressions evaluated in the same shape on both engines, so
+  the quantized codes are bit-reproducible; reconstruction error is
+  bounded by scale/254 + |v|·ulp and asserted in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+HEXKEY_RE = r"\b[0-9a-fA-F]{32,}\b"
+
+
+def md5_bucket_col(c: Column, n_buckets: int = 65536) -> Column:
+    """Deterministic 0..n_buckets-1 bucket from the first 4 hex chars of
+    md5 — the same value is trivially reproducible in any SQL engine."""
+    return F.conv(F.substring(F.md5(c), 1, 4), 16, 10).cast("long") % n_buckets
+
+
+def deterministic_sample(
+    df: DataFrame, text_col: str, k: int, residue: int = 0
+) -> DataFrame:
+    """Keep ~1/k of rows: those whose content-hash bucket ≡ residue (mod k).
+    Disjoint residues give disjoint, exhaustive slices (train/held-out)."""
+    return df.filter(md5_bucket_col(F.col(text_col)) % k == residue)
+
+
+def redact_pii_col(c: Column) -> Column:
+    """Emails → <EMAIL>, IPv4 → <IP>, long hex tokens → <KEY>, applied in
+    that fixed order (a redacted placeholder can never re-match a later
+    pattern)."""
+    out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    return F.regexp_replace(out, HEXKEY_RE, "<KEY>")
+
+
+def pii_counts_col(c: Column) -> Column:
+    """Total email+ip+hexkey match count (pre-redaction audit metric)."""
+    return (
+        F.regexp_count(c, F.lit(EMAIL_RE))
+        + F.regexp_count(c, F.lit(IPV4_RE))
+        + F.regexp_count(c, F.lit(HEXKEY_RE))
+    )
+
+
+def quantize_embedding_cols(vec: Column) -> tuple[Column, Column]:
+    """(scale, q): symmetric int8 codes. floor(x + 0.5) — not round() — so
+    both engines share one rounding rule; codes clamp to [-127, 127]."""
+    scale = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
+    q = F.transform(
+        vec,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(F.lit(127.0) * x / safe + F.lit(0.5))),
+        ).cast("int"),
+    )
+    return scale, q
+
+
+def dequantize_col(q: Column, scale: Column) -> Column:
+    return F.transform(q, lambda x: x.cast("double") * scale / F.lit(127.0))

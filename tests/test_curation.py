@@ -1,0 +1,121 @@
+"""Curation-operator gates: deterministic sampling slices are disjoint and
+exhaustive, PII redaction actually fires on crafted PII (cross-engine regex
+dialect check vs DuckDB), int8 quantization meets its error bound."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from raptor_spark.operators.curation import (
+    EMAIL_RE,
+    HEXKEY_RE,
+    IPV4_RE,
+    dequantize_col,
+    deterministic_sample,
+    md5_bucket_col,
+    pii_counts_col,
+    quantize_embedding_cols,
+    redact_pii_col,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+
+
+def test_sample_slices_disjoint_and_exhaustive(spark, docs):
+    k = 5
+    total = docs.count()
+    ids = []
+    for r in range(k):
+        part = deterministic_sample(docs, "text", k, residue=r)
+        ids.append({x.doc_id for x in part.select("doc_id").collect()})
+    assert sum(len(s) for s in ids) == total  # exhaustive
+    for i in range(k):
+        for j in range(i + 1, k):
+            assert not (ids[i] & ids[j])  # disjoint
+    # deterministic: same slice on recompute
+    again = {
+        x.doc_id for x in deterministic_sample(docs, "text", k, 0).select("doc_id").collect()
+    }
+    assert again == ids[0] and len(again) > 0
+
+
+def test_redaction_fires_and_matches_duckdb(spark):
+    """Crafted PII strings: the Spark (Java regex) and DuckDB (RE2)
+    redactions must agree byte-for-byte — the dialect risk the fixture's
+    digit-free text can't exercise."""
+    rows = [
+        (0, "reach me at alice.smith+x@sub.example.co.uk today"),
+        (1, "server 192.168.001.1 and 10.0.0.7 rebooted"),
+        (2, "leaked deadbeefdeadbeefdeadbeefdeadbeef01 token"),
+        (3, "mixed bob@x.io on 8.8.8.8 key 0123456789abcdef0123456789abcdef"),
+        (4, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {
+        (r.id, r.n, r.red)
+        for r in df.select(
+            "id",
+            pii_counts_col(F.col("t")).alias("n"),
+            redact_pii_col(F.col("t")).alias("red"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = set()
+    for i, t in rows:
+        n = con.execute(
+            "SELECT len(regexp_extract_all($1, $2)) + len(regexp_extract_all($1, $3))"
+            " + len(regexp_extract_all($1, $4))",
+            [t, EMAIL_RE, IPV4_RE, HEXKEY_RE],
+        ).fetchone()[0]
+        red = con.execute(
+            "SELECT regexp_replace(regexp_replace(regexp_replace($1, $2, '<EMAIL>', 'g'),"
+            " $3, '<IP>', 'g'), $4, '<KEY>', 'g')",
+            [t, EMAIL_RE, IPV4_RE, HEXKEY_RE],
+        ).fetchone()[0]
+        want.add((i, n, red))
+    assert got == want
+    assert sum(n for _, n, _ in got) >= 6  # non-vacuous
+
+
+def test_quantization_error_bound_and_roundtrip(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    scale, q = quantize_embedding_cols(F.col("embedding"))
+    staged = emb.select("vec_id", F.col("embedding").alias("v"),
+                        scale.alias("s"), q.alias("q"))
+    checked = staged.select(
+        "vec_id",
+        F.array_max(
+            F.zip_with(F.col("v"), dequantize_col(F.col("q"), F.col("s")),
+                       lambda a, b: F.abs(a - b))
+        ).alias("err"),
+        (F.col("s") / 254.0 + 1e-9).alias("bound"),
+        F.array_max(F.transform("q", lambda x: F.abs(x))).alias("qmax"),
+    )
+    assert checked.filter(F.col("err") > F.col("bound")).count() == 0
+    assert checked.filter(F.col("qmax") > 127).count() == 0
+    # scale row is representable: at least one |code| == 127 when scale > 0
+    assert checked.filter((F.col("qmax") < 127) & (F.col("err") > 0)).count() == 0
+
+
+def test_md5_bucket_matches_duckdb(spark, docs):
+    got = {
+        (r.doc_id, r.b)
+        for r in docs.filter(F.col("doc_id") < 50)
+        .select("doc_id", md5_bucket_col(F.col("text")).alias("b"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW d AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = set(
+        con.execute(
+            "SELECT doc_id, CAST(('0x' || substr(md5(text), 1, 4))::INTEGER AS BIGINT)"
+            " FROM d WHERE doc_id < 50"
+        ).fetchall()
+    )
+    assert got == want and len(got) == 50
