@@ -56,6 +56,48 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     assert len(out) == 5  # stays left-outer
 
 
+def test_asof_randomized_parity_vs_naive(spark):
+    """Randomized layouts (tie-heavy timestamps from 1-decimal rounding,
+    keys with no right rows, stale matches under tolerance) — the
+    union+window formulation must equal a brute-force per-row backward
+    lookup on every one of them."""
+    import random
+
+    for seed in (11, 12):
+        rng = random.Random(seed)
+        left = [
+            (rng.randint(0, 3), round(rng.uniform(0, 20), 1), f"l{i}")
+            for i in range(60)
+        ]
+        right = [
+            (rng.randint(0, 2), round(rng.uniform(0, 20), 1),
+             float(rng.randint(1, 999)))
+            for _ in range(40)
+        ]
+        ldf = spark.createDataFrame(left, "k INT, t DOUBLE, lid STRING")
+        rdf = spark.createDataFrame(right, "k INT, t DOUBLE, val DOUBLE")
+
+        for tol in (None, 2.0):
+            got = {
+                (r.lid, r.matched_ts, r.val)
+                for r in asof_join(
+                    ldf, rdf, ["k"], "t", "t", ["val"], tolerance=tol
+                ).collect()
+            }
+            want = set()
+            for k, lt, lid in left:
+                cands = [(rt, v) for (rk, rt, v) in right if rk == k and rt <= lt]
+                if cands:
+                    mt = max(rt for rt, _ in cands)
+                    if tol is not None and mt < lt - tol:
+                        want.add((lid, None, None))
+                        continue
+                    want.add((lid, mt, max(v for rt, v in cands if rt == mt)))
+                else:
+                    want.add((lid, None, None))
+            assert got == want, (seed, tol)
+
+
 def test_asof_against_sql_correlated_subquery(spark):
     """Cross-check the union/window formulation against the naive
     range-join + argmax on real data."""
