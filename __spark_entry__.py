@@ -849,6 +849,21 @@ def q_doc_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing ≥ 1 word 3-gram with
+    the deterministic eval slice (doc_id % 50 == 0) — one shingle equi-join,
+    never all-pairs (operators.curation.ngram_contamination). n=3 flags
+    ~half the fixture corpus (n=5 flags almost nothing, n=2 flags all —
+    3-grams are the discriminative, non-vacuous choice here)."""
+    from raptor_spark.operators.curation import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    out = ngram_contamination(tr, ev, "doc_id", "text", n=3)
+    return out.select("id", F.col("n_shared").cast("long").alias("n_shared")).orderBy("id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -898,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_sample": q_content_sample,
         "embedding_quantize": q_embedding_quantize,
         "doc_redaction": q_doc_redaction,
+        "decontaminate_docs": q_decontaminate_docs,
     }
 
 
@@ -1512,6 +1528,28 @@ def oracle_sql() -> dict[str, str]:
                        '\b[0-9a-fA-F]{32,}\b', '<KEY>', 'g')
                    ) AS redacted_md5
             FROM p ORDER BY doc_id
+        """,
+        "decontaminate_docs": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(ws) >= 3 THEN
+                       list_distinct([array_to_string(ws[i:i+2], ' ')
+                                      for i in generate_series(1, len(ws) - 2)])
+                     ELSE [array_to_string(ws, ' ')] END) AS s
+              FROM t
+            ), ev AS (
+              SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0
+            ), tr AS (
+              SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0
+            )
+            SELECT tr.doc_id AS id,
+                   CAST(count(DISTINCT tr.s) AS BIGINT) AS n_shared
+            FROM tr JOIN ev USING (s)
+            GROUP BY tr.doc_id ORDER BY id
         """,
     }
 

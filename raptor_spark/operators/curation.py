@@ -79,3 +79,37 @@ def quantize_embedding_cols(vec: Column) -> tuple[Column, Column]:
 
 def dequantize_col(q: Column, scale: Column) -> Column:
     return F.transform(q, lambda x: x.cast("double") * scale / F.lit(127.0))
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """(id, n_shared) for every training doc sharing ≥ 1 word n-gram with
+    ANY eval doc — benchmark decontamination, the cross-set twin of near-dup
+    detection: a training corpus must not contain evaluation text.
+
+    Scale shape: both sides explode to distinct n-gram shingles and meet in
+    ONE equi-join on the shingle; the eval side is the distinct shingle set
+    of a benchmark (small vs a 100 TB corpus — Spark broadcasts it; at worst
+    it is a shuffled equi-join, never all-pairs). ``n_shared`` counts the
+    distinct colliding shingles per training doc, so downstream policy can
+    threshold (drop / flag) instead of hard-deleting on a single collision.
+    """
+    from raptor_spark.operators.dedup import word_shingles_col
+
+    tr = train.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles_col(F.col(text_col), n)).alias("s"),
+    )
+    ev = eval_set.select(
+        F.explode(word_shingles_col(F.col(text_col), n)).alias("s")
+    ).distinct()
+    return (
+        tr.join(ev, "s")
+        .groupBy("id")
+        .agg(F.count_distinct("s").alias("n_shared"))
+    )

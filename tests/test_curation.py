@@ -103,6 +103,28 @@ def test_quantization_error_bound_and_roundtrip(spark):
     assert checked.filter((F.col("qmax") < 127) & (F.col("err") > 0)).count() == 0
 
 
+def test_ngram_contamination_flags_known_overlap(spark):
+    from raptor_spark.operators.curation import ngram_contamination
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "entirely different words about spark shuffles"),
+            (3, "quick brown fox appears here too"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "watch the quick brown fox run")], ["doc_id", "text"]
+    )
+    got = {
+        (r.id, r.n_shared)
+        for r in ngram_contamination(train, ev, "doc_id", "text", n=3).collect()
+    }
+    # docs 1 and 3 share 'the quick brown'/'quick brown fox'; doc 2 is clean
+    assert got == {(1, 2), (3, 1)}
+
+
 def test_md5_bucket_matches_duckdb(spark, docs):
     got = {
         (r.doc_id, r.b)
