@@ -6,10 +6,11 @@ cache_manager.py:204-297: key = hash of the normalized query payload, Redis
 GET before compute, per-key asyncio lock so concurrent identical queries
 compute once). Spark-side equivalent:
 
-* the cache key is the sha256 of the query's ANALYZED logical plan with
-  per-session expression ids stripped — two DataFrames describing the same
-  computation over the same inputs key identically across sessions, and any
-  change to filters, projections, or input paths changes the key;
+* the cache key is the sha256 of the query's CANONICALIZED analyzed logical
+  plan — Catalyst's own normalization maps session-local expression ids to
+  deterministic ones, so two DataFrames describing the same computation
+  over the same inputs key identically across sessions, and any change to
+  filters, projections, literals, or input paths changes the key;
 * a hit reads the materialized parquet (write-then-commit manifest, same
   discipline as the Catalog); a miss computes, materializes, commits;
 * TTL: entries older than ``ttl_s`` recompute (the reference's Redis
@@ -29,24 +30,23 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import re
 import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 
-_EXPR_ID = re.compile(r"#\d+L?")
-_PLAN_ID = re.compile(r"plan_id=\d+")
-
-
 def plan_key(df: DataFrame) -> str:
-    """sha256 of the analyzed logical plan, normalized: expression ids
-    (``name#123``) and plan ids are session-local counters, stripped so the
-    same query text keys identically in every session. Input parquet paths
-    stay in the plan — a query over different data is a different key."""
-    plan = df._jdf.queryExecution().analyzed().toString()  # type: ignore[operator]
-    norm = _PLAN_ID.sub("plan_id=", _EXPR_ID.sub("#", plan))
-    return hashlib.sha256(norm.encode()).hexdigest()
+    """sha256 of the CANONICALIZED analyzed logical plan. Catalyst's
+    ``canonicalized`` normalizes session-local expression ids itself, so
+    the key is stable across sessions WITHOUT text munging — a regex strip
+    of ``#\\d+`` would also eat that pattern inside string literals and
+    collide distinct queries (``= 'a#1'`` vs ``= 'a#2'``) into one cache
+    entry, silently serving the wrong result. Input parquet paths stay in
+    the plan — a query over different data is a different key."""
+    plan = (
+        df._jdf.queryExecution().analyzed().canonicalized().toString()  # type: ignore[operator]
+    )
+    return hashlib.sha256(plan.encode()).hexdigest()
 
 
 class QueryCache:

@@ -26,6 +26,19 @@ def test_same_query_same_key_different_query_different_key(spark):
     assert plan_key(_q(spark)) != plan_key(_q(spark, lo=200))
 
 
+def test_string_literals_with_hash_digits_do_not_collide(spark):
+    """Regression: a text normalization that strips #\\d+ (expression ids)
+    also eats that pattern inside string LITERALS, colliding distinct
+    queries into one cache entry — the canonicalized-plan key must not."""
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+    def q(lit):
+        return df.filter(F.col("o_orderpriority") == lit).select("o_orderkey")
+
+    assert plan_key(q("a#1")) != plan_key(q("a#2"))
+    assert plan_key(q("a#1")) == plan_key(q("a#1"))
+
+
 def test_hit_skips_recompute_and_matches(spark, tmp_path):
     cache = QueryCache(spark, str(tmp_path / "qc"))
     first = cache.get_or_compute(_q(spark)).collect()
