@@ -178,7 +178,12 @@ class Catalog:
         logical table (the reference's keyed Qdrant upsert,
         api_insert.py:88-171). The anti-join side is the incoming batch,
         typically small → Spark broadcasts it; the full-table rewrite is the
-        same cost Iceberg/Delta copy-on-write MERGE pays."""
+        same cost Iceberg/Delta copy-on-write MERGE pays.
+
+        Caller contract: the batch must be key-unique — duplicate-keyed
+        batch rows all land in the table (same as Iceberg MERGE, which
+        errors on multiple matches; dedupe with a window argmax first if
+        the source can repeat keys)."""
         if not self.exists(table):
             return self.write(table, df, meta=meta)
         cur = self.read(table)
