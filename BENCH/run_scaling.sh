@@ -6,7 +6,9 @@
 # the SAME parquet input and reports throughput at both plus scaling
 # efficiency = (files_per_sec_4N / files_per_sec_N) / 4.
 #
-# Usage: BENCH/run_scaling.sh [N] [FILES]   (default N=2 → 2 vs 8 cores)
+# Usage: BENCH/run_scaling.sh [N] [FILES] [MODE]
+#        (defaults N=2 → 2 vs 8 cores, FILES=200000, MODE=extract;
+#         MODE=dedup runs MinHash+LSH near-dup pairs instead)
 #
 # Default N=2: the sandbox box reports 32 logical CPUs (16 physical) and
 # boosts clocks when few cores are busy, so comparisons that cross the SMT
@@ -19,6 +21,7 @@ cd "$(dirname "$0")/.."
 N="${1:-2}"
 N4=$((N * 4))
 FILES="${2:-200000}"
+MODE="${3:-extract}"
 WORK="$(mktemp -d /tmp/kg_scaling.XXXXXX)"
 ZIP="$WORK/raptor_spark.zip"
 CORPUS="$WORK/corpus"
@@ -53,7 +56,7 @@ run_one() {
   local cores="$1"
   spark-submit --master "local[$cores]" "${SUBMIT_CONF[@]}" \
     --conf "spark.sql.shuffle.partitions=$((2 * cores))" \
-    --py-files "$ZIP" BENCH/scaling_job.py --input "$CORPUS" --mode extract \
+    --py-files "$ZIP" BENCH/scaling_job.py --input "$CORPUS" --mode "$MODE" \
     2>"$WORK/stderr_$cores.log" | tail -1
 }
 
@@ -64,13 +67,16 @@ echo "== local[$N4] run ==" >&2
 R2="$(run_one "$N4")"
 echo "$R2" >&2
 
-python - "$R1" "$R2" "$N" "$N4" <<'EOF'
+SCALING_MODE="$MODE" python - "$R1" "$R2" "$N" "$N4" <<'EOF'
 import json, sys
 r1, r2 = json.loads(sys.argv[1]), json.loads(sys.argv[2])
 n, n4 = int(sys.argv[3]), int(sys.argv[4])
 eff = (r2["files_per_sec"] / r1["files_per_sec"]) / (n4 / n)
+import os
+mode = os.environ.get("SCALING_MODE", "extract")
+metric = "triple_extraction_scaling" if mode == "extract" else f"{mode}_scaling"
 print(json.dumps({
-    "metric": "triple_extraction_scaling",
+    "metric": metric,
     "n_cores": n, "n4_cores": n4,
     "files": r1["files"], "triples": r1["triples"],
     "files_per_sec_n": r1["files_per_sec"],

@@ -27,7 +27,9 @@ from pyspark.sql import SparkSession
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="parquet dir of the files corpus")
-    ap.add_argument("--mode", default="extract", choices=["extract", "pipeline"])
+    ap.add_argument(
+        "--mode", default="extract", choices=["extract", "pipeline", "dedup"]
+    )
     ap.add_argument("--output", default="", help="pipeline mode: output dir")
     args = ap.parse_args()
 
@@ -54,16 +56,33 @@ def main() -> None:
     extract_triples(files).count()
     cold_wall = time.monotonic() - t0
 
+    def run_once():
+        if args.mode == "extract":
+            return extract_triples(files).count()
+        if args.mode == "dedup":
+            # MinHash+LSH near-dup pairs over the corpus content — the
+            # training-data dedup face of the same two-cluster-size gate
+            from pyspark.sql import functions as F
+
+            from raptor_spark.operators.dedup import minhash_lsh_pairs
+
+            docs = files.select(
+                F.xxhash64("repo", "path").alias("doc_id"),
+                F.col("content").alias("text"),
+            )
+            return minhash_lsh_pairs(
+                docs, "doc_id", "text", n_hashes=32, n_bands=16,
+                shingle_n=2, jaccard_threshold=0.5,
+            ).count()
+        from raptor_spark.pipeline import Pipeline
+
+        out = Pipeline(spark, args.output).run(files)
+        return out["edges"].count()
+
     walls = []
     for _ in range(2):
         t0 = time.monotonic()
-        if args.mode == "extract":
-            n_triples = extract_triples(files).count()
-        else:
-            from raptor_spark.pipeline import Pipeline
-
-            out = Pipeline(spark, args.output).run(files)
-            n_triples = out["edges"].count()
+        n_triples = run_once()
         walls.append(time.monotonic() - t0)
     wall = sum(walls) / len(walls)
 
