@@ -169,6 +169,45 @@ def test_near_dup_clusters_full_long_range(spark):
     }
 
 
+def test_embedding_near_dup_lsh_recall(spark, emb):
+    """The LSH-bucketed scale path must recover ≥80% of planted near-dup
+    pairs (original + small deterministic perturbation, cosine ≥ ~0.99)
+    that the exact threshold scan finds — this operator previously shipped
+    untested."""
+    from raptor_spark.operators.dedup import embedding_near_dup
+    from raptor_spark.operators.similarity import cosine_col
+
+    base = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    perturbed = base.select(
+        (F.col("id") + 100000).alias("id"),
+        F.transform(
+            "vec", lambda x, i: x + 0.02 * F.sin(F.col("id") * 13 + i)
+        ).alias("vec"),
+    )
+    corpus = base.unionByName(perturbed)
+    want = {
+        (r.a, r.b)
+        for r in base.alias("o").join(
+            perturbed.alias("p"), F.col("p.id") - 100000 == F.col("o.id")
+        ).select(
+            F.col("o.id").alias("a"), F.col("p.id").alias("b"),
+            cosine_col(F.col("o.vec"), F.col("p.vec")).alias("c"),
+        ).filter(F.col("c") >= 0.95).collect()
+    }
+    assert len(want) >= 80  # perturbation small enough to stay near-dup
+    got = {
+        (r.a, r.b)
+        for r in embedding_near_dup(
+            corpus, "id", "vec", threshold=0.95, n_planes=8, n_families=4
+        ).collect()
+    }
+    planted_found = {p for p in got if p in want}
+    recall = len(planted_found) / len(want)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(want)} planted pairs"
+
+
 def test_exact_dedup_counts(spark, docs):
     d = exact_dedup(docs, "doc_id", "text")
     total = d.agg(F.sum("n_dups")).first()[0]
