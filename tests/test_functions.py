@@ -77,3 +77,42 @@ def test_clean_cell_and_markdown_table(spark):
     assert lines[1] == "| --- | --- |"
     assert lines[2] == "| a b | - |"
     assert lines[3] == r"| c\|d | e |"
+
+
+def test_bpe_ish_token_count(spark):
+    from raptor_spark.operators.text import bpe_ish_token_count_col
+
+    rows = [
+        (0, "helloWorld foo_bar, baz!"),   # camel split + punct strip → 4
+        (1, "XMLHttpRequest"),             # one camel boundary → 2
+        (2, ""),                           # empty → 0
+        (3, "plain words here"),           # 3
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {
+        r.id: r.n
+        for r in df.select("id", bpe_ish_token_count_col(F.col("t")).alias("n")).collect()
+    }
+    assert got == {0: 4, 1: 2, 2: 0, 3: 3}
+
+
+def test_adaptive_threshold_scalar(spark):
+    from raptor_spark.operators.relational import adaptive_threshold
+
+    df = spark.createDataFrame([(float(i),) for i in range(10)], ["v"])
+    thr = adaptive_threshold(df, "v", quantile=0.5, sigma_mult=0.5)
+    # exact median 4.5 + 0.5 * stddev_pop(0..9)=2.8723
+    assert abs(thr - (4.5 + 0.5 * 2.8722813232690143)) < 1e-9
+
+
+def test_fingerprint_col_deterministic(spark):
+    from raptor_spark.operators.text import fingerprint_col
+
+    rows = [(0, "a b c d e f"), (1, "a b c d e f"), (2, "totally different text here")]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    got = {
+        r.id: r.fp
+        for r in df.select("id", fingerprint_col(F.col("t")).alias("fp")).collect()
+    }
+    assert got[0] == got[1]          # same content → same fingerprint
+    assert got[0] != got[2]          # different content → different
