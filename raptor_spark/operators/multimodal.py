@@ -64,18 +64,76 @@ FRAMES_SCHEMA = StructType(
     ]
 )
 
-REAL_DECODERS_AVAILABLE = False  # no PIL/ffmpeg in this container
+REAL_DECODERS_AVAILABLE = False  # no PIL/ffmpeg in this container —
+# PIXEL/SAMPLE decode is stubbed; container HEADER metadata below is real
+HEADER_FORMATS = ("png", "gif", "bmp", "wav")
+
+
+def parse_media_header(data: bytes) -> dict | None:
+    """REAL container-header metadata decode, stdlib-only: PNG IHDR,
+    GIF logical screen, BMP info header, WAV RIFF chunk walk. Returns
+    None for payloads that are not a recognized container (those fall
+    back to the deterministic stub). This is the honest middle ground the
+    sandbox allows: dimensions/duration come from the actual bytes; pixel
+    or sample decode would need codec libraries that are not present."""
+    if len(data) >= 24 and data[:8] == b"\x89PNG\r\n\x1a\n":
+        return {
+            "format": "png",
+            "width": int.from_bytes(data[16:20], "big"),
+            "height": int.from_bytes(data[20:24], "big"),
+            "duration_s": None,
+        }
+    if len(data) >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        return {
+            "format": "gif",
+            "width": int.from_bytes(data[6:8], "little"),
+            "height": int.from_bytes(data[8:10], "little"),
+            "duration_s": None,
+        }
+    # 'BM' alone is printable text ("BMW…"); require the reserved zero
+    # bytes of a real bitmap header so prose never false-positives
+    if len(data) >= 26 and data[:2] == b"BM" and data[6:10] == b"\x00\x00\x00\x00":
+        return {
+            "format": "bmp",
+            "width": int.from_bytes(data[18:22], "little", signed=True),
+            "height": abs(int.from_bytes(data[22:26], "little", signed=True)),
+            "duration_s": None,
+        }
+    if len(data) >= 44 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        pos, byte_rate, data_size = 12, None, None
+        while pos + 8 <= len(data):
+            cid = data[pos:pos + 4]
+            size = int.from_bytes(data[pos + 4:pos + 8], "little")
+            if cid == b"fmt " and pos + 24 <= len(data):
+                byte_rate = int.from_bytes(data[pos + 16:pos + 20], "little")
+            elif cid == b"data":
+                data_size = size
+            pos += 8 + size + (size % 2)  # chunks are word-aligned
+        if byte_rate and data_size is not None:
+            return {
+                "format": "wav",
+                "width": None,
+                "height": None,
+                "duration_s": round(data_size / byte_rate, 3),
+            }
+    return None
 
 
 def _decode_stub(data: bytes, media_type: str) -> dict:
-    """Deterministic fake decode: derives plausible metadata + an 8-dim
-    feature vector from the content hash. Replace with a real decoder when
-    PIL/ffmpeg are present (raise NotImplementedError path kept explicit)."""
+    """Decode metadata: REAL container-header parse when the payload is a
+    recognized format (parse_media_header), deterministic content-hash
+    stub otherwise. The 8-dim feature vector is always hash-derived —
+    content features need pixel/sample decode, which this container cannot
+    do (no PIL/ffmpeg); swap this one function when those libs exist."""
     if data is None:
         raise ValueError("null media payload")
     h = hashlib.sha256(data).digest()
     rnd = np.frombuffer(h, dtype=np.uint8).astype(np.float64)
     feats = (rnd[:8] / 255.0).tolist()
+    real = parse_media_header(bytes(data))
+    if real is not None:
+        return {"width": real["width"], "height": real["height"],
+                "duration_s": real["duration_s"], "features": feats}
     if media_type == "image":
         return {"width": 64 + h[0] % 512, "height": 64 + h[1] % 512,
                 "duration_s": None, "features": feats}
