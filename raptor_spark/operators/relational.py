@@ -73,21 +73,32 @@ def hierarchical_rollup(
     if reducer is None:
         reducer = lambda c: F.concat_ws(" | ", c)  # noqa: E731
     level = 0
-    cur = df.select(F.col(order_col).alias("idx"), F.col(text_col).alias("text"))
+    # persist each level before counting it: the loop's count AND the next
+    # level's aggregation both consume the frame, and without persistence
+    # each level re-executes its ENTIRE unpersisted ancestry — at depth k
+    # that rescans the raw input k times (invisible at fixture size, raw-scan
+    # dominated at 10^9 rows × log levels)
+    cur = df.select(F.col(order_col).alias("idx"), F.col(text_col).alias("text")).persist()
+    n = cur.count()
     size = first_group_size or group_size
-    # driver-side loop on a fast-shrinking frame; count() per level is cheap
-    while cur.count() > max_rows:
-        cur = (
+    while n > max_rows:
+        nxt = (
             cur.withColumn("g", F.floor(F.col("idx") / size))
             .groupBy("g")
             .agg(reducer(F.array_sort(F.collect_list(F.struct("idx", "text"))).text).alias("text"))
             .select(F.col("g").alias("idx"), "text")
-        )
+        ).persist()
+        n = nxt.count()
+        cur.unpersist()
+        cur = nxt
         level += 1
         size = group_size
         if level > 40:
             raise RuntimeError("rollup did not converge")
-    return cur.withColumn("levels", F.lit(level))
+    out = cur.withColumn("levels", F.lit(level))
+    # the final frame stays persisted until the caller's action completes;
+    # it is ≤ max_rows rows, so the pinned memory is negligible
+    return out
 
 
 def sessionize(
