@@ -41,7 +41,14 @@ def salted_join(
     only when small is actually small — the same size regime where broadcast
     would also work; salting is the fallback when the small side exceeds the
     broadcast threshold but the BIG side's keys are too skewed for a plain
-    shuffle join."""
+    shuffle join.
+
+    Limitation: the salt is derived from the big side's NON-key columns
+    (determinism: content-derived, never rand()). If the big side consists
+    of ONLY the key columns, every duplicate of a hot key is byte-identical
+    and hashes to one salt — no spread. There is no deterministic way to
+    distinguish identical rows; de-duplicate-and-count first, or add a
+    disambiguating column, before salting such inputs."""
     salt_source = [c for c in big.columns if c not in on] or on
     b = big.withColumn(SALT, salt_col(salt_source, n_salts))
     s = small.withColumn(
