@@ -1,0 +1,79 @@
+"""Partition-invariance gates (SURVEY.md §7.4 risk 3): every content-derived
+operator must produce the SAME result regardless of physical partitioning —
+1 partition vs 16 vs a shuffled row order. This is the property that makes
+results reproducible on a 1000-executor cluster where partitioning is never
+under the caller's control."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from raptor_spark.operators.dedup import (
+    exact_dedup,
+    hamming_near_pairs,
+    minhash_lsh_pairs,
+    simhash,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+
+
+def _layouts(df):
+    return [
+        df.coalesce(1),
+        df.repartition(16),
+        df.orderBy(F.desc("doc_id")).repartition(7, "source"),
+    ]
+
+
+def test_minhash_pairs_partition_invariant(spark, docs):
+    results = []
+    for d in _layouts(docs):
+        pairs = minhash_lsh_pairs(
+            d, "doc_id", "text", n_hashes=32, n_bands=16, shingle_n=2,
+            jaccard_threshold=0.5,
+        )
+        results.append({(r.a, r.b, round(r.jaccard, 9)) for r in pairs.collect()})
+    assert results[0] == results[1] == results[2]
+    assert results[0], "no pairs — invariance is vacuous"
+
+
+def test_simhash_partition_invariant(spark, docs):
+    results = []
+    for d in _layouts(docs):
+        fp = simhash(d, "doc_id", "text")
+        results.append({(r.id, r.simhash) for r in fp.collect()})
+    assert results[0] == results[1] == results[2]
+
+
+def test_hamming_pairs_partition_invariant(spark, docs):
+    base = simhash(docs, "doc_id", "text").persist()
+    layouts = [
+        base.coalesce(1),
+        base.repartition(16),
+        base.orderBy(F.desc("id")).repartition(7, "simhash"),
+    ]
+    results = []
+    for d in layouts:
+        results.append(
+            {(r.a, r.b, r.hamming)
+             for r in hamming_near_pairs(d, max_distance=3).collect()}
+        )
+    base.unpersist()
+    assert results[0] == results[1] == results[2]
+    assert results[0]
+
+
+def test_exact_dedup_partition_invariant(spark, docs):
+    results = []
+    for d in _layouts(docs):
+        results.append(
+            {(r.hash, r.keep_id, r.n_dups)
+             for r in exact_dedup(d, "doc_id", "text").collect()}
+        )
+    assert results[0] == results[1] == results[2]
