@@ -20,7 +20,12 @@ from tests.conftest import SF_DIR
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+    # unpersist on teardown: the cache manager substitutes ANY later scan of
+    # the same parquet path with InMemoryTableScan, breaking the pushdown
+    # plan assertions in test_plans.py
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+    yield df
+    df.unpersist()
 
 
 def _layouts(df):
