@@ -4,7 +4,9 @@ oracle-backed ones against DuckDB with the driver's column-sorted value
 hash, and smoke the rows-only ones. One line per query; exit 1 on any
 mismatch.
 
-Usage: python BENCH/driver_dryrun.py [sf_dir]
+Usage: python BENCH/driver_dryrun.py [sf_dir] [query_name ...]
+(query names restrict the run to that subset — fast iteration on new
+entries; the full gate is the no-args form)
 """
 
 from __future__ import annotations
@@ -58,6 +60,12 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    subset = set(sys.argv[2:])
+    if subset:
+        unknown = subset - set(queries)
+        if unknown:
+            sys.exit(f"unknown queries: {sorted(unknown)}")
+        queries = {k: v for k, v in queries.items() if k in subset}
     fails: list[str] = []
     for name in sorted(queries):
         try:

@@ -868,6 +868,186 @@ def q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.col("n_shared").cast("long").alias("n_shared")).orderBy("id")
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the documents corpus for a fixed
+    bag-of-words query — the lexical replacement of the reference's vector
+    search read path (api_document_search_with_cache.py:157-237). Scores
+    are rounded BEFORE the top-k ordering so the cutoff is rounding-stable
+    across engines (ties broken by doc_id on both sides)."""
+    from raptor_spark.operators.ranking import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_topk(docs, "doc_id", "text", ["join", "vector", "stream", "window"], k=2000)
+    return (
+        out.select(
+            F.col("id").alias("doc_id"),
+            F.round("score", 4).alias("score"),
+            "n_matched",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(15)
+    )
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index term statistics (term → document frequency, collection
+    frequency, BM25+ idf) — the vocabulary table a lexical search index
+    materializes. Top 50 by df (integer ties broken by term)."""
+    from raptor_spark.operators.ranking import term_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = term_stats(docs, "doc_id", "text")
+    return (
+        out.select("term", "df", "cf", F.round("idf", 6).alias("idf"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-word collocation mining by pointwise mutual information
+    (corpus-level phrase discovery). All bigrams with count ≥ 5; deterministic
+    full output, no float-ordered cutoff."""
+    from raptor_spark.operators.ranking import bigram_pmi
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_pmi(docs, "text", min_count=5)
+    # + 0.0 after rounding: an independent pair's pmi rounds to -0.0, which
+    # the driver normalizer renders "-0" ≠ "0"; IEEE -0.0 + 0.0 = +0.0 on
+    # both engines
+    return out.select(
+        "w1", "w2", "n_ab", (F.round("pmi", 4) + F.lit(0.0)).alias("pmi")
+    ).orderBy("w1", "w2")
+
+
+def _jaccard_edge_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared edge list for the graph-analytics queries: the exact 1-gram
+    Jaccard ≥ 0.8 near-dup pairs on the bounded doc_id < 150 range (same
+    definition as ngram_jaccard_pairs, so the oracle can re-derive it)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8).select(
+        "a", "b"
+    )
+
+
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex degree profile of the near-dup graph (the KG read-side degree
+    audit; operators/graph.degrees)."""
+    from raptor_spark.operators.graph import degrees
+
+    return degrees(_jaccard_edge_set(spark, sf_dir)).select(
+        F.col("id").cast("long").alias("id"), "degree"
+    ).orderBy("id")
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle / wedge census + clustering coefficient via the
+    degree-ordered node-iterator join (operators/graph.triangle_stats) —
+    the hub-safe formulation that bounds fan-out by O(sqrt(E)) per source."""
+    from raptor_spark.operators.graph import triangle_stats
+
+    return triangle_stats(_jaccard_edge_set(spark, sf_dir))
+
+
+def q_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct friend-of-friend counts per vertex (the blocking fan-out
+    metric of entity linking; operators/graph.two_hop_counts)."""
+    from raptor_spark.operators.graph import two_hop_counts
+
+    return two_hop_counts(_jaccard_edge_set(spark, sf_dir)).select(
+        F.col("id").cast("long").alias("id"), "n_two_hop"
+    ).orderBy("id")
+
+
+def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components: label the doc_id < 100 near-dup
+    subgraph first, then fold in the edges that touch the 100-149 range via
+    cc.merge_components — WITHOUT revisiting the old edges. Must equal the
+    from-scratch clustering of the full < 150 graph, which is exactly what
+    the recursive-CTE oracle computes (checkpoint-restart linking,
+    north_rule resumability)."""
+    from raptor_spark.cc import connected_components, merge_components
+
+    pairs = _jaccard_edge_set(spark, sf_dir)
+    old = pairs.filter(F.col("b") < 100)
+    new = pairs.filter(F.col("b") >= 100)
+    labels = connected_components(old)
+    merged = merge_components(labels, new)
+    return merged.select(
+        F.col("name").cast("long").alias("id"),
+        F.col("component").cast("long").alias("cluster"),
+    ).orderBy("id")
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase per user (furthest
+    stage reached, in timestamp order, each step within a 1-day conversion
+    window of the previous), aggregated to per-stage user counts
+    (operators/profile.funnel_stages). The window keeps all three stages
+    populated at every fixture SF — the unwindowed funnel converts every
+    user and verifies nothing."""
+    from raptor_spark.operators.profile import funnel_stages
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "t", F.col("ts").cast("timestamp").cast("double")
+    )
+    out = funnel_stages(
+        ev, "user_id", "t", "event_type", ["view", "click", "purchase"],
+        within_s=86400.0,
+    )
+    return (
+        out.groupBy("stage")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("stage")
+    )
+
+
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment from the content
+    hash (never rand(); operators/curation.split_assignment_col), audited
+    per (lang, split)."""
+    from raptor_spark.operators.curation import split_assignment_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", split_assignment_col(F.col("text")))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .orderBy("lang", "split")
+    )
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column data-quality profile of the orders table (nulls,
+    exact distincts, min/max as strings; operators/profile.profile_columns)."""
+    from raptor_spark.operators.profile import profile_columns
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_columns(
+        orders, ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).orderBy("column")
+
+
+def q_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distribution fingerprint (mean/stddev/variance plus
+    Pearson corr of value against event time) — the drift-detection stats
+    pass (operators/profile.grouped_numeric_stats)."""
+    from raptor_spark.operators.profile import grouped_numeric_stats
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "t", F.col("ts").cast("timestamp").cast("double")
+    )
+    out = grouped_numeric_stats(ev, ["event_type"], "value", "t")
+    return out.select(
+        "event_type",
+        "n",
+        F.round("mean", 4).alias("mean"),
+        F.round("stddev", 2).alias("stddev"),
+        F.round("variance", 1).alias("variance"),
+        (F.round("corr_t", 6) + F.lit(0.0)).alias("corr_t"),
+    ).orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -918,6 +1098,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "doc_redaction": q_doc_redaction,
         "decontaminate_docs": q_decontaminate_docs,
+        "bm25_search": q_bm25_search,
+        "term_stats": q_term_stats,
+        "bigram_pmi": q_bigram_pmi,
+        "graph_degrees": q_graph_degrees,
+        "graph_triangles": q_graph_triangles,
+        "graph_two_hop": q_graph_two_hop,
+        "incremental_clusters": q_incremental_clusters,
+        "event_funnel": q_event_funnel,
+        "stratified_split": q_stratified_split,
+        "column_profile": q_column_profile,
+        "grouped_stats": q_grouped_stats,
     }
 
 
@@ -1532,6 +1723,259 @@ def oracle_sql() -> dict[str, str]:
                        '\b[0-9a-fA-F]{32,}\b', '<KEY>', 'g')
                    ) AS redacted_md5
             FROM p ORDER BY doc_id
+        """,
+        "bm25_search": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x != '') AS ws
+              FROM documents
+            ), stats AS (
+              SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM w
+            ), t AS (
+              SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w
+            ), tfg AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM t WHERE term IN ('join', 'vector', 'stream', 'window')
+              GROUP BY doc_id, dl, term
+            ), dfreq AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM tfg GROUP BY term
+            ), scored AS (
+              SELECT tfg.doc_id,
+                     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS contrib
+              FROM tfg JOIN dfreq USING (term) CROSS JOIN stats
+            )
+            SELECT doc_id, round(sum(contrib), 4) AS score,
+                   count(*) AS n_matched
+            FROM scored GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 15
+        """,
+        "term_stats": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x != '') AS ws
+              FROM documents
+            ), t AS (
+              SELECT doc_id, unnest(ws) AS term FROM w
+            ), n AS (
+              SELECT count(*) AS n_docs FROM documents
+            ), s AS (
+              SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+              FROM t GROUP BY term
+            )
+            SELECT term, df, cf,
+                   round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) AS idf
+            FROM s CROSS JOIN n
+            ORDER BY df DESC, term ASC
+            LIMIT 50
+        """,
+        "bigram_pmi": r"""
+            WITH w AS (
+              SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x != '') AS ws
+              FROM documents
+            ), b0 AS (
+              SELECT unnest([struct_pack(w1 := ws[i], w2 := ws[i+1])
+                             for i in generate_series(1, len(ws) - 1)]) AS p
+              FROM w WHERE len(ws) >= 2
+            ), bgc AS (
+              SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n_ab
+              FROM b0 GROUP BY 1, 2 HAVING count(*) >= 5
+            ), ug AS (
+              SELECT unnest(ws) AS wd FROM w
+            ), uc AS (
+              SELECT wd, count(*) AS n_w FROM ug GROUP BY wd
+            ), tot AS (
+              SELECT sum(len(ws)) AS n_words,
+                     sum(greatest(len(ws) - 1, 0)) AS n_bigrams
+              FROM w
+            )
+            SELECT w1, w2, n_ab,
+                   round(ln((n_ab / n_bigrams) /
+                            ((u1.n_w / n_words) * (u2.n_w / n_words))), 4) + 0.0 AS pmi
+            FROM bgc
+            JOIN uc u1 ON bgc.w1 = u1.wd
+            JOIN uc u2 ON bgc.w2 = u2.wd
+            CROSS JOIN tot
+            ORDER BY w1, w2
+        """,
+        "graph_degrees": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
+              FROM documents WHERE doc_id < 150
+            ), p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM w a JOIN w b ON a.doc_id < b.doc_id
+              WHERE len(list_filter(a.ws, x -> list_contains(b.ws, x))) * 1.0 /
+                    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+            ), e AS (
+              SELECT a AS s, b AS d FROM p UNION SELECT b AS s, a AS d FROM p
+            )
+            SELECT s AS id, count(*) AS degree FROM e GROUP BY s ORDER BY id
+        """,
+        "graph_triangles": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
+              FROM documents WHERE doc_id < 150
+            ), p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM w a JOIN w b ON a.doc_id < b.doc_id
+              WHERE len(list_filter(a.ws, x -> list_contains(b.ws, x))) * 1.0 /
+                    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+            ), e AS (
+              SELECT a AS s, b AS d FROM p UNION SELECT b AS s, a AS d FROM p
+            ), deg AS (
+              SELECT s AS id, count(*) AS degree FROM e GROUP BY s
+            ), tri AS (
+              SELECT count(*) AS t
+              FROM p e1
+              JOIN p e2 ON e1.b = e2.a
+              JOIN p e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), agg AS (
+              SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                     (SELECT count(*) FROM p) AS n_edges,
+                     (SELECT CAST(sum(degree * (degree - 1) / 2) AS BIGINT)
+                      FROM deg) AS n_wedges,
+                     (SELECT t FROM tri) AS n_triangles
+            )
+            SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+                   CAST(n_edges AS BIGINT) AS n_edges,
+                   n_wedges,
+                   CAST(n_triangles AS BIGINT) AS n_triangles,
+                   CASE WHEN n_wedges > 0
+                        THEN round(3.0 * n_triangles / n_wedges, 6)
+                        ELSE 0.0 END AS clustering
+            FROM agg
+        """,
+        "graph_two_hop": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
+              FROM documents WHERE doc_id < 150
+            ), p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM w a JOIN w b ON a.doc_id < b.doc_id
+              WHERE len(list_filter(a.ws, x -> list_contains(b.ws, x))) * 1.0 /
+                    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+            ), e AS (
+              SELECT a AS s, b AS d FROM p UNION SELECT b AS s, a AS d FROM p
+            ), h2 AS (
+              SELECT DISTINCT e1.s AS id, e2.d AS far
+              FROM e e1 JOIN e e2 ON e1.d = e2.s
+              WHERE e1.s != e2.d
+            ), fof AS (
+              SELECT id, far FROM h2
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e WHERE e.s = h2.id AND e.d = h2.far
+              )
+            )
+            SELECT id, count(*) AS n_two_hop FROM fof GROUP BY id ORDER BY id
+        """,
+        "incremental_clusters": r"""
+            WITH RECURSIVE w AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
+              FROM documents WHERE doc_id < 150
+            ), p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM w a JOIN w b ON a.doc_id < b.doc_id
+              WHERE len(list_filter(a.ws, x -> list_contains(b.ws, x))) * 1.0 /
+                    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+            ), e AS (
+              SELECT a AS s, b AS d FROM p UNION SELECT b AS s, a AS d FROM p
+            ), r AS (
+              SELECT s, d FROM e
+              UNION
+              SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
+            )
+            SELECT s AS id, least(s, min(d)) AS cluster
+            FROM r GROUP BY s ORDER BY id
+        """,
+        "event_funnel": """
+            WITH ev AS (
+              SELECT user_id AS u, epoch(ts) AS t, event_type AS et FROM events
+            ), f1 AS (
+              SELECT u, min(t) AS ft FROM ev WHERE et = 'view' GROUP BY u
+            ), f2 AS (
+              SELECT ev.u, min(ev.t) AS ft
+              FROM ev JOIN f1 ON ev.u = f1.u
+              WHERE ev.et = 'click' AND ev.t >= f1.ft
+                AND ev.t <= f1.ft + 86400.0 GROUP BY ev.u
+            ), f3 AS (
+              SELECT ev.u, min(ev.t) AS ft
+              FROM ev JOIN f2 ON ev.u = f2.u
+              WHERE ev.et = 'purchase' AND ev.t >= f2.ft
+                AND ev.t <= f2.ft + 86400.0 GROUP BY ev.u
+            ), st AS (
+              SELECT f1.u,
+                     CASE WHEN f3.u IS NOT NULL THEN 3
+                          WHEN f2.u IS NOT NULL THEN 2
+                          ELSE 1 END AS stage
+              FROM f1
+              LEFT JOIN f2 ON f1.u = f2.u
+              LEFT JOIN f3 ON f1.u = f3.u
+            )
+            SELECT stage, count(*) AS n_users
+            FROM st GROUP BY stage ORDER BY stage
+        """,
+        "stratified_split": f"""
+            WITH b AS (
+              SELECT lang, n_chars,
+                     (({hb('h', 1)}) * 256 + ({hb('h', 2)})) % 10 AS r
+              FROM (SELECT lang, n_chars, md5(text) AS h FROM documents)
+            )
+            SELECT lang,
+                   CASE WHEN r < 8 THEN 'train'
+                        WHEN r < 9 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM b GROUP BY 1, 2 ORDER BY lang, split
+        """,
+        "column_profile": """
+            WITH a AS (
+              SELECT count(*) AS n_rows,
+                CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                count(DISTINCT o_orderkey) AS d1,
+                CAST(min(o_orderkey) AS VARCHAR) AS mn1,
+                CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                count(DISTINCT o_custkey) AS d2,
+                CAST(min(o_custkey) AS VARCHAR) AS mn2,
+                CAST(max(o_custkey) AS VARCHAR) AS mx2,
+                CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                count(DISTINCT o_orderdate) AS d3,
+                CAST(min(o_orderdate) AS VARCHAR) AS mn3,
+                CAST(max(o_orderdate) AS VARCHAR) AS mx3,
+                CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+                count(DISTINCT o_orderpriority) AS d4,
+                CAST(min(o_orderpriority) AS VARCHAR) AS mn4,
+                CAST(max(o_orderpriority) AS VARCHAR) AS mx4
+              FROM orders
+            )
+            SELECT 'o_orderkey' AS "column", n_rows, n1 AS n_nulls,
+                   d1 AS n_distinct, mn1 AS min_s, mx1 AS max_s FROM a
+            UNION ALL
+            SELECT 'o_custkey', n_rows, n2, d2, mn2, mx2 FROM a
+            UNION ALL
+            SELECT 'o_orderdate', n_rows, n3, d3, mn3, mx3 FROM a
+            UNION ALL
+            SELECT 'o_orderpriority', n_rows, n4, d4, mn4, mx4 FROM a
+            ORDER BY "column"
+        """,
+        "grouped_stats": """
+            SELECT event_type, count(*) AS n,
+                   round(avg(value), 4) AS mean,
+                   round(stddev_samp(value), 2) AS stddev,
+                   round(var_samp(value), 1) AS variance,
+                   round(corr(value, epoch(ts)), 6) + 0.0 AS corr_t
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "decontaminate_docs": r"""
             WITH t AS (

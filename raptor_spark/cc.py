@@ -122,3 +122,27 @@ def connected_components(edges: DataFrame, max_iterations: int = MAX_ITERATIONS)
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"
     )
+
+
+def merge_components(
+    labels: DataFrame, new_edges: DataFrame, max_iterations: int = MAX_ITERATIONS
+) -> DataFrame:
+    """Incrementally fold new edges into an existing (name, component)
+    labeling WITHOUT revisiting the old edge set.
+
+    The old labeling is itself a spanning edge set — every vertex connected
+    to its component representative — with exactly the old graph's
+    components, so CC over (label-edges ∪ new_edges) equals CC over
+    (old_edges ∪ new_edges). That identity is what makes checkpoint-restart
+    linking viable at 10^12 files: an incremental batch touches |V| label
+    rows plus the new batch's edges, never the full historical edge set
+    (which at that scale lives only as the materialized components table).
+    Singleton vertices survive as (name, name) self-edges.
+
+    Parity with the from-scratch run is gated in
+    tests/test_cc.py::merge_components_equals_full_recompute.
+    """
+    star = labels.select(F.col("name").alias("a"), F.col("component").alias("b"))
+    return connected_components(
+        star.unionByName(new_edges.select("a", "b")), max_iterations
+    )

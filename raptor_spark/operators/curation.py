@@ -44,6 +44,27 @@ def deterministic_sample(
     return df.filter(md5_bucket_col(F.col(text_col)) % k == residue)
 
 
+def split_assignment_col(
+    c: Column, fractions: tuple[int, ...] = (8, 1, 1), names: tuple[str, ...] = ("train", "val", "test")
+) -> Column:
+    """Deterministic stratified train/val/test assignment from the content
+    hash: bucket % Σfractions falls into consecutive residue bands. Like
+    deterministic_sample, never rand() — the same row lands in the same
+    split on every engine, every run, any partitioning."""
+    total = sum(fractions)
+    b = md5_bucket_col(c) % total
+    out = F.lit(None).cast("string")
+    hi = 0
+    branches = []
+    for frac, name in zip(fractions, names):
+        hi += frac
+        branches.append((hi, name))
+    expr = F.when(b < branches[0][0], branches[0][1])
+    for hi, name in branches[1:]:
+        expr = expr.when(b < hi, name)
+    return expr
+
+
 def redact_pii_col(c: Column) -> Column:
     """Emails → <EMAIL>, IPv4 → <IP>, long hex tokens → <KEY>, applied in
     that fixed order (a redacted placeholder can never re-match a later

@@ -1,0 +1,131 @@
+"""Graph analytics over an undirected edge list (a, b) — the read-side
+companions of the KG the pipeline materializes (degree profiles, triangle /
+clustering statistics, 2-hop candidate counts). Pure DataFrame joins, no
+GraphFrames (north_rule), same discipline as raptor_spark.cc.
+
+Scale notes (these shapes survive a 10^12-edge graph):
+
+* ``degrees`` is one groupBy over the symmetrized edges.
+* ``triangle_stats`` uses the degree-ordered node-iterator join: every
+  undirected edge is directed from its LOWER-degree endpoint to the higher
+  (ties by id), wedges are enumerated by self-joining the directed list on
+  its source, and each wedge is closed by one hash join against the
+  directed edge set. Orienting by degree bounds each source's fan-out by
+  O(sqrt(E)) — the classic fix that keeps a head vertex (a 'main' symbol
+  hub) from generating deg² wedge candidates on one task.
+* ``two_hop_counts`` counts distinct friend-of-friend candidates per
+  vertex (the blocking fan-out of entity linking): symmetric edges
+  self-joined once, minus self and direct neighbors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """(a, b) undirected, any orientation/dup mix → distinct (src, dst) both
+    directions, self-loops dropped. One pass over the input (explode of a
+    2-struct array, same trick as cc.connected_components)."""
+    return (
+        edges.filter(F.col("a") != F.col("b"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(id, degree): distinct-neighbor degree per vertex."""
+    return (
+        symmetrize(edges)
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("degree"))
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """One row: (n_nodes, n_edges, n_wedges, n_triangles, clustering) where
+    clustering = 3·triangles / wedges (global clustering coefficient,
+    0.0 when the graph has no wedges).
+
+    Wedge enumeration joins the degree-ordered directed edges on their
+    source; each candidate (b < c by the degree order) closes iff (b→c) is
+    itself a directed edge. Every triangle is counted exactly once — at its
+    minimum-degree vertex."""
+    sym = symmetrize(edges).persist()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+
+    # orient each undirected edge low→high by (degree, id); carrying the
+    # rank as a struct makes the comparison one expression
+    ranked = sym.join(deg.withColumnRenamed("id", "src"), "src").select(
+        "src",
+        "dst",
+        F.struct(
+            F.col("degree").alias("d"), F.col("src").cast("string").alias("i")
+        ).alias("rk_src"),
+    )
+    dst_rank = deg.select(
+        F.col("id").alias("dst"),
+        F.struct(
+            F.col("degree").alias("d"), F.col("id").cast("string").alias("i")
+        ).alias("rk_dst"),
+    )
+    directed = (
+        ranked.join(dst_rank, "dst")
+        .filter(F.col("rk_src") < F.col("rk_dst"))
+        .select("src", "dst", "rk_dst")
+    ).persist()
+
+    e1 = directed.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("rk_dst").alias("rk_b"))
+    e2 = directed.select(F.col("src").alias("a"), F.col("dst").alias("c"), F.col("rk_dst").alias("rk_c"))
+    wedges = e1.join(e2, "a").filter(F.col("rk_b") < F.col("rk_c"))
+    closing = directed.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    n_triangles = wedges.join(closing, ["b", "c"], "left_semi").count()
+
+    n_nodes = deg.count()
+    n_edges_x2, n_wedges = sym.count(), (
+        deg.select(
+            F.sum(F.col("degree") * (F.col("degree") - 1) / 2).alias("w")
+        ).first()[0]
+    )
+    sym.unpersist()
+    directed.unpersist()
+    spark = edges.sparkSession
+    n_wedges = int(n_wedges or 0)
+    clustering = (3.0 * n_triangles / n_wedges) if n_wedges else 0.0
+    return spark.createDataFrame(
+        [(n_nodes, n_edges_x2 // 2, n_wedges, n_triangles, round(clustering, 6))],
+        "n_nodes long, n_edges long, n_wedges long, n_triangles long, clustering double",
+    )
+
+
+def two_hop_counts(edges: DataFrame) -> DataFrame:
+    """(id, n_two_hop): distinct vertices exactly two hops away (reachable
+    via a neighbor, not self, not already a direct neighbor)."""
+    sym = symmetrize(edges).persist()
+    hop2 = (
+        sym.select(F.col("src").alias("id"), F.col("dst").alias("mid"))
+        .join(sym.select(F.col("src").alias("mid"), F.col("dst").alias("far")), "mid")
+        .filter(F.col("id") != F.col("far"))
+        .select("id", "far")
+        .distinct()
+    )
+    direct = sym.select(F.col("src").alias("id"), F.col("dst").alias("far"))
+    out = (
+        hop2.join(direct, ["id", "far"], "left_anti")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_two_hop"))
+    )
+    # materialize before unpersisting the shared base
+    out = out.localCheckpoint()
+    sym.unpersist()
+    return out

@@ -1,0 +1,120 @@
+"""Dataset-profiling and event-analytics operators.
+
+* ``profile_columns`` — one-pass per-column profile (nulls, distincts,
+  min/max rendered as strings) in long format: the data-quality audit a
+  100 TB ingest runs before anything else. One aggregate job for ALL
+  columns (a per-column loop of jobs is the driver-side anti-pattern);
+  distincts are exact here — swap count_distinct for approx_count_distinct
+  at the billion-row tier if ±2% is acceptable.
+* ``grouped_numeric_stats`` — per-group dispersion + association stats
+  (stddev/variance/skew proxy via Pearson corr of value against time).
+* ``funnel_stages`` — ordered multi-step funnel (view → click → purchase)
+  per user: earliest timestamp of each step that respects the order of the
+  previous one, then per-user furthest-stage. Three groupBy passes on the
+  user key (one per step), each a partial-aggregated shuffle — never a
+  window over the whole event history and never a driver-side loop.
+
+The reference keeps per-stage processing stats in MySQL
+(database.py:146-182 status rollups); these generalize that audit surface
+to arbitrary tables.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct, min_s, max_s) per column, in
+    ONE aggregate pass; min/max cast to string so heterogeneous column
+    types share a schema (the long-format profile table)."""
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_s"),
+            F.col(f"{c}__max").alias("max_s"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def grouped_numeric_stats(
+    df: DataFrame, keys: list[str], value_col: str, t_col: str
+) -> DataFrame:
+    """Per-group (n, mean, stddev_samp, var_samp, corr(value, t)) — the
+    distribution fingerprint used to detect drift between ingest batches."""
+    return df.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.avg(value_col).alias("mean"),
+        F.stddev_samp(value_col).alias("stddev"),
+        F.var_samp(value_col).alias("variance"),
+        F.corr(value_col, t_col).alias("corr_t"),
+    )
+
+
+def funnel_stages(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within_s: float | None = None,
+) -> DataFrame:
+    """(user, stage) where stage = number of funnel steps completed IN ORDER
+    (step i counts only if it happens at-or-after the earliest qualifying
+    step i-1 — and, when ``within_s`` is set, no later than within_s seconds
+    after it: the conversion window). Users with zero step-0 events are
+    absent (stage would be 0).
+
+    Each step is: filter to the step's events, join the per-user frontier
+    timestamp (result of the previous step — always ≤ |users| rows), take
+    min ts ≥ frontier. The frontier is an equi-join on the user key (AQE
+    broadcasts it while it fits; at a 10^9-user tier it degrades to a
+    co-partitioned shuffle join, never a window over full event history);
+    the event side is scanned once per step with the type filter pushed
+    down to the source."""
+    ev = df.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(type_col).alias("et"),
+    )
+    frontier = (
+        ev.filter(F.col("et") == steps[0]).groupBy("u").agg(F.min("t").alias("ft"))
+    )
+    stages = [frontier.select("u", F.lit(1).alias("stage"), "ft")]
+    for i, step in enumerate(steps[1:], start=2):
+        prev = stages[-1].select("u", "ft")
+        cond = F.col("t") >= F.col("ft")
+        if within_s is not None:
+            cond = cond & (F.col("t") <= F.col("ft") + within_s)
+        nxt = (
+            ev.filter(F.col("et") == step)
+            .join(prev, "u")
+            .filter(cond)
+            .groupBy("u")
+            .agg(F.min("t").alias("ft"))
+            .select("u", F.lit(i).alias("stage"), "ft")
+        )
+        stages.append(nxt)
+    all_stages = reduce(lambda a, b: a.unionByName(b), stages)
+    return (
+        all_stages.groupBy("u")
+        .agg(F.max("stage").alias("stage"))
+        .select(F.col("u").alias(user_col), "stage")
+    )

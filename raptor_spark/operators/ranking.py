@@ -1,0 +1,172 @@
+"""Lexical ranked retrieval over a document corpus: inverted-index term
+statistics, BM25 top-k search, and bigram-PMI collocation mining — the
+embedding-free read path the north_star prescribes (lexical scoring in
+place of the reference's vector search, ≙ the filtered ranked search of
+qdrant_search_docker/api_document_search_with_cache.py:157-237).
+
+All three operators share one scale shape: tokenize with a pure column
+expression (no UDF), explode to (doc, term) rows, and aggregate — one
+shuffle keyed by term (document-frequency side) or by doc (score side).
+The query-term list is a literal array (broadcast by construction), so
+BM25 scoring never shuffles the corpus on anything but doc_id.
+
+At 100 TB the (doc, term) explosion is the dominated cost; it is a
+map-side transform feeding a partial-aggregated groupBy, so it never
+materializes the exploded set. df/idf statistics are tiny (vocabulary
+scale) and broadcast back onto the per-doc side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from raptor_spark.operators.text import words_col
+
+
+def doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf, dl): per-document term frequencies plus document
+    length in words — the posting-list building block."""
+    # split once per row: project the word array to an attribute first, so
+    # the dl projection and the generator both read it instead of inlining
+    # the regex split twice
+    ws = df.select(F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("ws"))
+    words = ws.select("id", F.size("ws").alias("dl"), F.explode("ws").alias("term"))
+    return words.groupBy("id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+
+
+def term_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Inverted-index statistics: (term, df, cf, idf) — document frequency,
+    collection frequency, and the BM25+ idf ln((N - df + 0.5)/(df + 0.5) + 1)
+    (always positive, unlike the classic idf for df > N/2).
+
+    One shuffle on term; N rides along as a scalar subquery-free literal by
+    cross-joining a 1-row count (Spark broadcasts it)."""
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(words_col(F.col(text_col))).alias("term"),
+    )
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    stats = terms.groupBy("term").agg(
+        F.count_distinct("id").alias("df"), F.count("*").alias("cf")
+    )
+    return stats.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        "df",
+        "cf",
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias(
+            "idf"
+        ),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k over the corpus for one bag-of-words query:
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+
+    Plan: per-doc tf for the query terms only (the term filter lands before
+    the groupBy, so the exploded set shrinks to matching terms), df/avgdl as
+    two tiny broadcast aggregates, score as one more per-doc agg. Terms are
+    a literal array — nothing about the query touches the shuffle key."""
+    q = [t.lower() for t in query_terms]
+    tf = doc_terms(df, id_col, text_col).filter(F.col("term").isin(q))
+    corpus_stats = df.select(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(words_col(F.col(text_col)))).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count_distinct("id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus_stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.sum("contrib").alias("score"), F.count("*").alias("n_matched")
+    )
+    return per_doc.orderBy(F.desc("score"), F.asc("id")).limit(k)
+
+
+def bigram_pmi(
+    df: DataFrame, text_col: str, min_count: int = 5, top_n: int | None = None
+) -> DataFrame:
+    """Adjacent-word collocations by pointwise mutual information:
+    pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with p over the bigram/unigram
+    totals of the whole corpus. Only bigrams with count ≥ min_count.
+
+    Two aggregations (bigram counts, unigram counts) off one bound word
+    array per row; unigram counts join back twice — both sides are
+    vocabulary-sized (small vs the corpus; broadcast-eligible under AQE)."""
+    from raptor_spark.functions import bind_col
+
+    def _bigrams(w: Column) -> Column:
+        return F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.concat_ws("\x01", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # NOT persisted: the three consumers below re-run scan+split (cheap,
+    # column-pruned) — pinning a tokenized copy of a 100 TB corpus in
+    # storage would be the real cost. A pipeline that reuses postings
+    # should materialize doc_terms() as a stage table instead.
+    words = df.select(words_col(F.col(text_col)).alias("ws"))
+    bigrams = (
+        words.select(F.explode(bind_col(F.col("ws"), _bigrams)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+        .select(
+            F.split_part(F.col("bg"), F.lit("\x01"), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit("\x01"), F.lit(2)).alias("w2"),
+            "n_ab",
+        )
+    )
+    unigrams = (
+        words.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    totals = words.select(
+        F.sum(F.size("ws")).alias("n_words"),
+        F.sum(F.greatest(F.size("ws") - 1, F.lit(0))).alias("n_bigrams"),
+    )
+    u1 = unigrams.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
+    u2 = unigrams.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
+    out = (
+        bigrams.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.log(
+                (F.col("n_ab") / F.col("n_bigrams"))
+                / ((F.col("n_a") / F.col("n_words")) * (F.col("n_b") / F.col("n_words")))
+            ).alias("pmi"),
+        )
+    )
+    if top_n is not None:
+        out = out.orderBy(F.desc("pmi"), "w1", "w2").limit(top_n)
+    return out

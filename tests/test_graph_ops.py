@@ -1,0 +1,98 @@
+"""Semantic gates for operators/graph.py and cc.merge_components on graphs
+with hand-countable structure, plus the incremental-CC ≡ full-recompute
+identity the checkpoint-restart story rests on."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from raptor_spark.cc import connected_components, merge_components
+from raptor_spark.operators.graph import (
+    degrees,
+    symmetrize,
+    triangle_stats,
+    two_hop_counts,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a long, b long")
+
+
+def test_symmetrize_drops_self_loops_and_dups(spark):
+    e = _edges(spark, [(1, 2), (2, 1), (1, 1), (2, 3), (2, 3)])
+    rows = {(r.src, r.dst) for r in symmetrize(e).collect()}
+    assert rows == {(1, 2), (2, 1), (2, 3), (3, 2)}
+
+
+def test_degrees_on_star_plus_edge(spark):
+    # star 0-{1,2,3} plus chord 1-2
+    e = _edges(spark, [(0, 1), (0, 2), (0, 3), (1, 2)])
+    d = {r.id: r.degree for r in degrees(e).collect()}
+    assert d == {0: 3, 1: 2, 2: 2, 3: 1}
+
+
+def test_triangle_stats_known_counts(spark):
+    # K4 has 4 triangles, C(3,2)*4 = 12 wedges, clustering 1.0;
+    # appending a pendant vertex adds 3 wedges at vertex 0 and no triangle
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    r = triangle_stats(_edges(spark, k4)).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+    assert r.clustering == 1.0
+
+    r2 = triangle_stats(_edges(spark, k4 + [(0, 9)])).collect()[0]
+    assert (r2.n_nodes, r2.n_edges, r2.n_triangles) == (5, 7, 4)
+    assert r2.n_wedges == 15
+    assert abs(r2.clustering - 3.0 * 4 / 15) < 1e-9
+
+
+def test_triangle_stats_triangle_free(spark):
+    # C4 (square): 4 wedges, 0 triangles
+    r = triangle_stats(_edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])).collect()[0]
+    assert (r.n_wedges, r.n_triangles, r.clustering) == (4, 0, 0.0)
+
+
+def test_two_hop_counts_path(spark):
+    # path 0-1-2-3-4: two-hop neighbors are exactly distance-2 vertices
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    d = {r.id: r.n_two_hop for r in two_hop_counts(e).collect()}
+    assert d == {0: 1, 1: 1, 2: 2, 3: 1, 4: 1}
+
+
+def test_two_hop_excludes_direct_neighbors(spark):
+    # triangle: every 2-hop path lands on a direct neighbor or self → empty
+    e = _edges(spark, [(0, 1), (1, 2), (0, 2)])
+    assert two_hop_counts(e).count() == 0
+
+
+def test_merge_components_equals_full_recompute(spark):
+    import random
+
+    rng = random.Random(7)
+    old = [(rng.randrange(40), rng.randrange(40)) for _ in range(50)]
+    new = [(rng.randrange(30, 70), rng.randrange(30, 70)) for _ in range(40)]
+    old_e = _edges(spark, [(a, b) for a, b in old if a != b])
+    new_e = _edges(spark, [(a, b) for a, b in new if a != b])
+
+    labels = connected_components(old_e)
+    merged = {
+        (r.name, r.component)
+        for r in merge_components(labels, new_e).collect()
+    }
+    full = {
+        (r.name, r.component)
+        for r in connected_components(old_e.unionByName(new_e)).collect()
+    }
+    # merged must contain every vertex of the union graph with the same
+    # component representative (min member); old-only singletons also survive
+    assert merged == full
+
+
+def test_merge_components_preserves_untouched_labels(spark):
+    old_e = _edges(spark, [(1, 2), (3, 4)])
+    labels = connected_components(old_e)
+    merged = {
+        (r.name, r.component)
+        for r in merge_components(labels, _edges(spark, [(10, 11)])).collect()
+    }
+    assert {(1, 1), (2, 1), (3, 3), (4, 3), (10, 10), (11, 10)} == merged

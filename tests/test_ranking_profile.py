@@ -1,0 +1,135 @@
+"""Semantic gates for operators/ranking.py (BM25 / term stats / PMI) and
+operators/profile.py (profiles, grouped stats, funnels) on corpora small
+enough to verify by hand or against pure-Python recomputation."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from raptor_spark.operators.profile import (
+    funnel_stages,
+    grouped_numeric_stats,
+    profile_columns,
+)
+from raptor_spark.operators.ranking import (
+    bigram_pmi,
+    bm25_topk,
+    doc_terms,
+    term_stats,
+)
+
+CORPUS = [
+    (0, "spark shuffle join join"),
+    (1, "spark scan"),
+    (2, "filter scan scan scan"),
+    (3, "join"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_doc_terms_tf_and_dl(docs):
+    rows = {(r.id, r.term): (r.tf, r.dl) for r in doc_terms(docs, "doc_id", "text").collect()}
+    assert rows[(0, "join")] == (2, 4)
+    assert rows[(2, "scan")] == (3, 4)
+    assert rows[(1, "spark")] == (1, 2)
+
+
+def test_term_stats_df_cf_idf(docs):
+    rows = {r.term: r for r in term_stats(docs, "doc_id", "text").collect()}
+    assert (rows["join"].df, rows["join"].cf) == (2, 3)
+    assert (rows["scan"].df, rows["scan"].cf) == (2, 4)
+    # BM25+ idf with N=4, df=2: ln((4-2+0.5)/(2+0.5)+1) = ln(2)
+    assert abs(rows["join"].idf - math.log(2.0)) < 1e-12
+
+
+def test_bm25_ranks_exact_scores(docs):
+    # hand-compute for the query {join}: df=2, N=4, avgdl=11/4
+    out = {r.id: r.score for r in
+           bm25_topk(docs, "doc_id", "text", ["join"], k=4).collect()}
+    idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    k1, b, avgdl = 1.2, 0.75, 11 / 4
+
+    def score(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert set(out) == {0, 3}
+    assert abs(out[0] - score(2, 4)) < 1e-12
+    assert abs(out[3] - score(1, 1)) < 1e-12
+    # at b=0.75 the one-word doc's length normalization beats doc 0's tf=2
+    assert out[3] > out[0]
+
+
+def test_bigram_pmi_exact(spark):
+    # 'a b' appears 2× among 4 bigrams; unigram counts a=3, b=2 of 6 words
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b a")], "doc_id long, text string"
+    )
+    rows = {(r.w1, r.w2): (r.n_ab, r.pmi) for r in bigram_pmi(df, "text", min_count=2).collect()}
+    assert set(rows) == {("a", "b")}
+    n_ab, pmi = rows[("a", "b")]
+    assert n_ab == 2
+    assert abs(pmi - math.log((2 / 4) / ((3 / 6) * (2 / 6)))) < 1e-12
+
+
+def test_profile_columns_nulls_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y"), (None, "y")], "k int, s string"
+    )
+    p = {r.column: r for r in profile_columns(df, ["k", "s"]).collect()}
+    assert p["k"].n_rows == 4 and p["k"].n_nulls == 1 and p["k"].n_distinct == 2
+    assert p["k"].min_s == "1" and p["k"].max_s == "2"
+    assert p["s"].n_nulls == 1 and p["s"].n_distinct == 2
+    assert p["s"].min_s == "x" and p["s"].max_s == "y"
+
+
+def test_grouped_numeric_stats_matches_python(spark):
+    import statistics
+
+    vals = [(i % 2, float(v), float(i)) for i, v in enumerate([3, 7, 1, 9, 4, 6, 2, 8])]
+    df = spark.createDataFrame(vals, "g int, v double, t double")
+    out = {r.g: r for r in grouped_numeric_stats(df, ["g"], "v", "t").collect()}
+    for g in (0, 1):
+        series = [v for gg, v, _ in vals if gg == g]
+        assert out[g].n == len(series)
+        assert abs(out[g].mean - statistics.fmean(series)) < 1e-9
+        assert abs(out[g].stddev - statistics.stdev(series)) < 1e-9
+
+
+def test_funnel_order_and_window(spark):
+    rows = [
+        # u1 completes all three in order within the window
+        (1, 0.0, "view"), (1, 5.0, "click"), (1, 9.0, "purchase"),
+        # u2: click BEFORE first view → stuck at stage 1
+        (2, 10.0, "click"), (2, 20.0, "view"),
+        # u3: purchase before click → stage 2 only
+        (3, 0.0, "view"), (3, 1.0, "purchase"), (3, 2.0, "click"),
+        # u4: click outside the 10s window → stage 1
+        (4, 0.0, "view"), (4, 100.0, "click"),
+        # u5 never views → absent
+        (5, 0.0, "click"), (5, 1.0, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t double, et string")
+    out = {r.u: r.stage for r in
+           funnel_stages(df, "u", "t", "et", ["view", "click", "purchase"],
+                         within_s=10.0).collect()}
+    assert out == {1: 3, 2: 1, 3: 2, 4: 1}
+
+
+def test_funnel_frontier_is_earliest_qualifying(spark):
+    # the SECOND click (after view) is the frontier, not the pre-view one
+    rows = [
+        (1, 0.0, "view"), (1, -5.0, "click"), (1, 3.0, "click"),
+        (1, 4.0, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t double, et string")
+    out = {r.u: r.stage for r in
+           funnel_stages(df, "u", "t", "et", ["view", "click", "purchase"],
+                         within_s=10.0).collect()}
+    assert out == {1: 3}
