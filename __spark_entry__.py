@@ -46,6 +46,22 @@ from raptor_spark.sources import load_table
 
 SEG_LEN = 600.0  # seconds: event → interval [ts, ts+10min]
 
+# DuckDB CTE prefix shared by the graph-analytics oracles: the exact 1-gram
+# Jaccard >= 0.8 near-dup pairs on doc_id < 150 (same edge definition as
+# _jaccard_edge_set), symmetrized into e(s, d).
+GRAPH_EDGE_CTE = r"""w AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
+              FROM documents WHERE doc_id < 150
+            ), p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM w a JOIN w b ON a.doc_id < b.doc_id
+              WHERE len(list_filter(a.ws, x -> list_contains(b.ws, x))) * 1.0 /
+                    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+            ), e AS (
+              SELECT a AS s, b AS d FROM p UNION SELECT b AS s, a AS d FROM p
+            )"""
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
@@ -1048,6 +1064,195 @@ def q_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS levels over the near-dup graph (seed expansion /
+    KG neighborhood radius; operators/graph.bfs_levels, level-synchronous
+    frontier with localCheckpoint lineage truncation). Sources = vertices
+    with id % 10 == 0; unreachable vertices absent on both sides."""
+    from raptor_spark.operators.graph import bfs_levels, symmetrize
+
+    edges = _jaccard_edge_set(spark, sf_dir)
+    sources = (
+        symmetrize(edges)
+        .select(F.col("src").alias("id"))
+        .distinct()
+        .filter(F.col("id") % 10 == 0)
+    )
+    return bfs_levels(edges, sources).select(
+        F.col("id").cast("long").alias("id"), "level"
+    ).orderBy("id")
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-5-iteration PageRank on the symmetrized near-dup graph
+    (hub scoring of canonicalized symbols; operators/graph.pagerank). The
+    oracle unrolls the same five iterations — symmetric graph, so no
+    dangling mass and the arithmetic replays exactly."""
+    from raptor_spark.operators.graph import pagerank
+
+    out = pagerank(_jaccard_edge_set(spark, sf_dir), n_iter=5, damping=0.85)
+    return out.select(
+        F.col("id").cast("long").alias("id"), F.round("rank", 6).alias("rank")
+    ).orderBy("id")
+
+
+def q_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive same-event-type run per user (gaps-and-islands
+    value runs; operators/relational.value_runs + latest_per_key argmax).
+    Ties broken by event_type then run_start."""
+    from raptor_spark.operators.relational import latest_per_key, value_runs
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "t", F.col("ts").cast("timestamp").cast("double")
+    )
+    runs = value_runs(ev, ["user_id"], "t", "event_type", tiebreak=["event_id"])
+    best = latest_per_key(
+        runs,
+        ["user_id"],
+        [F.desc("run_len"), F.asc("event_type"), F.asc("run_start")],
+    )
+    return best.select(
+        "user_id", F.col("event_type").alias("best_type"),
+        F.col("run_len").alias("best_len"),
+    ).orderBy("user_id")
+
+
+def q_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 compaction of each customer's order-status change log:
+    consecutive same-status orders collapse to one validity interval with
+    half-open [valid_from, valid_to) bounds, NULL valid_to on the current
+    version (operators/relational.scd2_compact ≙ lakeFS version history,
+    object_store.py:208-269)."""
+    from raptor_spark.operators.relational import scd2_compact
+
+    orders = _t(spark, sf_dir, "orders")
+    out = scd2_compact(
+        orders, ["o_custkey"], "o_orderdate", "o_orderstatus",
+        tiebreak=["o_orderkey"],
+    )
+    return out.select(
+        "o_custkey", "o_orderstatus", "valid_from", "valid_to",
+        F.col("n_rows").alias("n_orders"),
+    ).orderBy("o_custkey", "valid_from")
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user activity matrix: event counts pivoted to one column per
+    type (explicit value list, so the pivot is a single pass with no
+    distinct-values pre-job — the form that survives a grouped 10^9-user
+    table)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "signup", "error"]
+    out = ev.groupBy("user_id").pivot("event_type", types).agg(F.count(F.lit(1)))
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    ).orderBy("user_id")
+
+
+def q_pricing_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-format melt of the per-returnflag pricing aggregates (DataFrame
+    unpivot/stack — the inverse of the pivot surface; measures are rounded
+    BEFORE the melt so both engines share the rounding)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"],
+        "measure", "val",
+    ).orderBy("l_returnflag", "measure")
+
+
+def q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (p25/median/p75/p90 of order totals per
+    priority) via the linear-interpolation `percentile` aggregate — the
+    exact twin of the sketch family's approx_quantiles_events (swap-in at
+    the billion-row tier)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction from the semi-structured props column
+    (from_json with an explicit schema — JVM-side parse, no UDF), rolled up
+    per event type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection: events whose value sits > 2.5 sample
+    standard deviations from their type's mean (drift/outlier audit on the
+    grouped_stats surface). The per-type stats frame is vertex-count-sized
+    and broadcast back onto the event stream — the scan side never
+    shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.5)
+        .select(
+            "event_id", "event_type",
+            F.round("value", 2).alias("value"),
+            F.round("z", 4).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms over the doc_id < 100 slice
+    (idf = ln((N+1)/(df+1)), scores rounded BEFORE the per-doc ranking so
+    the cutoff is rounding-stable; ties by term). The df table is
+    vocabulary-sized and broadcast onto the posting list."""
+    from raptor_spark.operators.ranking import doc_terms
+    from raptor_spark.operators.relational import topk_per_group
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    n_docs = docs.count()
+    terms = doc_terms(docs, "doc_id", "text")
+    df_tab = terms.groupBy("term").agg(F.count("*").alias("df"))
+    scored = terms.join(F.broadcast(df_tab), "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+        ),
+    )
+    top = topk_per_group(
+        scored, ["id"], [F.desc("tfidf"), F.asc("term")], k=3
+    )
+    return top.select(
+        F.col("id").alias("doc_id"), "term", "tf", "df", "tfidf", "rank"
+    ).orderBy("doc_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -1109,6 +1314,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split": q_stratified_split,
         "column_profile": q_column_profile,
         "grouped_stats": q_grouped_stats,
+        "graph_bfs": q_graph_bfs,
+        "graph_pagerank": q_graph_pagerank,
+        "event_streaks": q_event_streaks,
+        "order_status_history": q_order_status_history,
+        "event_type_pivot": q_event_type_pivot,
+        "pricing_unpivot": q_pricing_unpivot,
+        "order_percentiles": q_order_percentiles,
+        "event_props_json": q_event_props_json,
+        "event_outliers": q_event_outliers,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -1998,6 +2213,167 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT tr.s) AS BIGINT) AS n_shared
             FROM tr JOIN ev USING (s)
             GROUP BY tr.doc_id ORDER BY id
+        """,
+        "graph_bfs": f"""
+            WITH RECURSIVE {GRAPH_EDGE_CTE},
+            b AS (
+              SELECT s AS id, 0 AS level FROM e WHERE s % 10 = 0
+              UNION
+              SELECT e.d, b.level + 1
+              FROM b JOIN e ON b.id = e.s WHERE b.level < 100
+            )
+            SELECT id, min(level) AS level FROM b GROUP BY id ORDER BY id
+        """,
+        "graph_pagerank": f"""
+            WITH {GRAPH_EDGE_CTE},
+            deg AS (SELECT s, count(*) AS odeg FROM e GROUP BY s),
+            nn AS (SELECT count(*) AS n FROM deg),
+            r0 AS (SELECT s AS id, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+            {", ".join(
+                f'''r{i} AS (
+                  SELECT e.d AS id,
+                         (1.0 - 0.85) / (SELECT n FROM nn)
+                         + 0.85 * sum(r{i - 1}.rank / deg.odeg) AS rank
+                  FROM e JOIN r{i - 1} ON e.s = r{i - 1}.id
+                         JOIN deg ON e.s = deg.s
+                  GROUP BY e.d
+                )''' for i in range(1, 6)
+            )}
+            SELECT id, round(rank, 6) AS "rank" FROM r5 ORDER BY id
+        """,
+        "event_streaks": """
+            WITH r AS (
+              SELECT user_id, event_type, epoch(ts) AS t,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                   - row_number() OVER (
+                       PARTITION BY user_id, event_type ORDER BY ts, event_id
+                     ) AS grp
+              FROM events
+            ), runs AS (
+              SELECT user_id, event_type, min(t) AS run_start,
+                     count(*) AS run_len
+              FROM r GROUP BY user_id, event_type, grp
+            ), best AS (
+              SELECT user_id, event_type, run_len,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY run_len DESC, event_type ASC, run_start ASC
+                     ) AS rn
+              FROM runs
+            )
+            SELECT user_id, event_type AS best_type, run_len AS best_len
+            FROM best WHERE rn = 1 ORDER BY user_id
+        """,
+        "order_status_history": """
+            WITH r AS (
+              SELECT o_custkey, o_orderstatus, o_orderdate,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rn,
+                     row_number() OVER (
+                       PARTITION BY o_custkey, o_orderstatus
+                       ORDER BY o_orderdate, o_orderkey) AS rnv
+              FROM orders
+            ), runs AS (
+              -- lead must order by sequence position (first_rn), not
+              -- valid_from: adjacent runs of a day-resolution change log
+              -- can share their start timestamp
+              SELECT o_custkey, o_orderstatus,
+                     min(o_orderdate) AS valid_from, count(*) AS n_orders,
+                     min(rn) AS first_rn
+              FROM r GROUP BY o_custkey, o_orderstatus, rn - rnv
+            )
+            SELECT o_custkey, o_orderstatus, valid_from,
+                   lead(valid_from) OVER (
+                     PARTITION BY o_custkey ORDER BY first_rn) AS valid_to,
+                   n_orders
+            FROM runs ORDER BY o_custkey, first_rn
+        """,
+        "event_type_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'view') AS n_view,
+                   count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'error') AS n_error
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "pricing_unpivot": """
+            WITH a AS (
+              SELECT l_returnflag,
+                     round(sum(l_quantity), 2) AS sum_qty,
+                     round(sum(l_extendedprice), 2) AS sum_price,
+                     round(sum(l_discount), 2) AS sum_disc
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM a
+            UNION ALL
+            SELECT l_returnflag, 'sum_price', sum_price FROM a
+            UNION ALL
+            SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+            ORDER BY l_returnflag, measure
+        """,
+        "order_percentiles": """
+            SELECT o_orderpriority, count(*) AS n,
+                   round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "event_props_json": """
+            WITH k AS (
+              SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS INT) AS k
+              FROM events
+            )
+            SELECT event_type, count(k) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   round(avg(k), 4) AS avg_k
+            FROM k GROUP BY event_type ORDER BY event_type
+        """,
+        "event_outliers": """
+            WITH s AS (
+              SELECT event_type, avg(value) AS mu,
+                     stddev_samp(value) AS sigma
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type,
+                   round(e.value, 2) AS value,
+                   round((e.value - s.mu) / s.sigma, 4) AS z
+            FROM events e JOIN s USING (event_type)
+            WHERE abs((e.value - s.mu) / s.sigma) > 2.5
+            ORDER BY e.event_id
+        """,
+        "tfidf_top_terms": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x != '') AS ws
+              FROM documents WHERE doc_id < 100
+            ), t AS (
+              SELECT doc_id, unnest(ws) AS term FROM w
+            ), tf AS (
+              SELECT doc_id AS id, term, count(*) AS tf
+              FROM t GROUP BY doc_id, term
+            ), dft AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), n AS (
+              SELECT count(*) AS n_docs FROM documents WHERE doc_id < 100
+            ), sc AS (
+              SELECT tf.id, tf.term, tf.tf, dft.df,
+                     round(tf.tf * ln((n.n_docs + 1.0) / (dft.df + 1.0)),
+                           6) AS tfidf
+              FROM tf JOIN dft USING (term) CROSS JOIN n
+            ), rk AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY id ORDER BY tfidf DESC, term ASC
+                     ) AS rn
+              FROM sc
+            )
+            SELECT id AS doc_id, term, tf, df, tfidf, rn AS "rank"
+            FROM rk WHERE rn <= 3 ORDER BY doc_id, rn
         """,
     }
 

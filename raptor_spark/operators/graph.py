@@ -108,6 +108,89 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     )
 
 
+def bfs_levels(
+    edges: DataFrame, sources: DataFrame, max_levels: int = 100
+) -> DataFrame:
+    """(id, level): minimum hop distance from the source set over the
+    undirected graph; vertices unreachable within ``max_levels`` are absent.
+    The seed-expansion primitive of KG neighborhood queries (and the
+    multi-source variant is crawl-frontier scheduling).
+
+    Level-synchronous frontier expansion: each round is one equi-join of the
+    CURRENT frontier (only the newly discovered vertices, not the whole
+    visited set) against the symmetrized edge list, plus one anti-join
+    against visited — both shuffles carry (id) or (id, level) rows only,
+    never payloads. ``localCheckpoint`` per round truncates the otherwise
+    linearly growing lineage (same discipline as cc.connected_components);
+    the edge list is persisted once and reused by every round. Rounds =
+    graph diameter from the sources, the BFS lower bound.
+    """
+    sym = symmetrize(edges).persist()
+    visited = (
+        sources.select("id").distinct().withColumn("level", F.lit(0)).localCheckpoint()
+    )
+    frontier = visited.select("id")
+    level = 0
+    while level < max_levels:
+        level += 1
+        nxt = (
+            frontier.join(sym, frontier["id"] == sym["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("level", F.lit(level))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("id")
+    sym.unpersist()
+    return visited
+
+
+def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85) -> DataFrame:
+    """(id, rank): fixed-iteration PageRank over the SYMMETRIZED edge list —
+    the hub-importance score of the canonicalized symbol graph. On a
+    symmetric graph every vertex has out-degree ≥ 1, so there is no dangling
+    mass and a fixed-K oracle can replay the arithmetic exactly.
+
+    Each iteration is one shuffle: ranks (re-keyed by vertex) hash-join the
+    edge list on src, contributions partial-aggregate into the dst groupBy
+    (map-side combine keeps the shuffle at vertex cardinality, not edge
+    cardinality). The edge list is repartitioned by the join key once and
+    persisted, so every iteration reuses its layout instead of re-shuffling
+    the (much larger) edge side; ranks are localCheckpointed per iteration
+    to keep the plan flat at any K.
+    """
+    sym = symmetrize(edges)
+    out_deg = sym.groupBy("src").agg(F.count("*").alias("odeg"))
+    links = sym.join(out_deg, "src").repartition("src").persist()
+    n = links.select("src").distinct().count()
+    ranks = (
+        links.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("rank", F.lit(1.0 / n))
+    )
+    for _ in range(n_iter):
+        contribs = links.join(ranks, links["src"] == ranks["id"]).select(
+            F.col("dst").alias("id"), (F.col("rank") / F.col("odeg")).alias("c")
+        )
+        ranks = (
+            contribs.groupBy("id")
+            .agg(F.sum("c").alias("in_sum"))
+            .select(
+                "id",
+                (F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("in_sum")).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint()
+        )
+    links.unpersist()
+    return ranks
+
+
 def two_hop_counts(edges: DataFrame) -> DataFrame:
     """(id, n_two_hop): distinct vertices exactly two hops away (reachable
     via a neighbor, not self, not already a direct neighbor)."""

@@ -131,6 +131,68 @@ def sessionize(
     )
 
 
+def value_runs(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: list[str] = (),
+) -> DataFrame:
+    """Gaps-and-islands VALUE runs: maximal stretches of consecutive rows
+    (ordered by ``ts_col`` then ``tiebreak`` within each key) that share the
+    same ``value_col``. Output: (keys, value_col, run_start, run_end,
+    run_len, run_seq) where run_seq is the run's 1-based position in the
+    key's sequence — the deterministic ordering handle even when ``ts_col``
+    has ties across adjacent runs (day-resolution change logs). The
+    row_number-difference trick — two window passes over ONE
+    partitioning of the data plus the final groupBy; no joins, and the
+    second window re-uses the first's sort (same partition keys, value
+    appended), so Spark plans a single exchange."""
+    order = [F.asc(ts_col), *[F.asc(c) for c in tiebreak]]
+    w_all = Window.partitionBy(*keys).orderBy(*order)
+    w_val = Window.partitionBy(*keys, value_col).orderBy(*order)
+    runs = df.withColumn("_rn", F.row_number().over(w_all)).withColumn(
+        "_run", F.col("_rn") - F.row_number().over(w_val)
+    )
+    grouped = runs.groupBy(*keys, value_col, "_run").agg(
+        F.min(ts_col).alias("run_start"),
+        F.max(ts_col).alias("run_end"),
+        F.count("*").alias("run_len"),
+        F.min("_rn").alias("_first_rn"),
+    )
+    w_seq = Window.partitionBy(*keys).orderBy("_first_rn")
+    return grouped.withColumn("run_seq", F.row_number().over(w_seq)).drop(
+        "_run", "_first_rn"
+    )
+
+
+def scd2_compact(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    attr_col: str,
+    tiebreak: list[str] = (),
+) -> DataFrame:
+    """Collapse an append-only change log into SCD-2 validity intervals:
+    consecutive rows with the same ``attr_col`` merge into one version row
+    (keys, attr, valid_from, valid_to, n_rows) with half-open validity —
+    ``valid_to`` is the start of the NEXT version, NULL for the current one.
+    The lakeFS latest-version/history shape (object_store.py:208-269)
+    generalized to any attribute. One window pass over the (already tiny)
+    run table on top of value_runs' single exchange."""
+    runs = value_runs(df, keys, ts_col, attr_col, tiebreak)
+    # order versions by run_seq, not run_start: a day-resolution change log
+    # can start two adjacent versions on the same timestamp
+    w = Window.partitionBy(*keys).orderBy("run_seq")
+    return runs.select(
+        *keys,
+        F.col(attr_col),
+        F.col("run_start").alias("valid_from"),
+        F.lead("run_start").over(w).alias("valid_to"),
+        F.col("run_len").alias("n_rows"),
+    )
+
+
 def grouped_array_mean(
     df: DataFrame, keys: list[str], array_col: str
 ) -> DataFrame:

@@ -8,7 +8,9 @@ import pyspark.sql.functions as F
 
 from raptor_spark.cc import connected_components, merge_components
 from raptor_spark.operators.graph import (
+    bfs_levels,
     degrees,
+    pagerank,
     symmetrize,
     triangle_stats,
     two_hop_counts,
@@ -63,6 +65,77 @@ def test_two_hop_excludes_direct_neighbors(spark):
     # triangle: every 2-hop path lands on a direct neighbor or self → empty
     e = _edges(spark, [(0, 1), (1, 2), (0, 2)])
     assert two_hop_counts(e).count() == 0
+
+
+def test_bfs_levels_path_and_unreachable(spark):
+    # path 0-1-2-3-4 plus isolated edge 10-11; source {0}
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)])
+    src = spark.createDataFrame([(0,)], "id long")
+    got = {r.id: r.level for r in bfs_levels(e, src).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_bfs_levels_multi_source_min_distance(spark):
+    # sources at both ends of a path take the min distance
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    src = spark.createDataFrame([(0,), (4,)], "id long")
+    got = {r.id: r.level for r in bfs_levels(e, src).collect()}
+    assert got == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_bfs_levels_random_graph_matches_python_bfs(spark):
+    import random
+    from collections import deque
+
+    rng = random.Random(11)
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(90)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    sources = [v for v in adj if v % 7 == 0]
+    dist = {v: 0 for v in sources}
+    dq = deque(sources)
+    while dq:
+        v = dq.popleft()
+        for u in adj[v]:
+            if u not in dist:
+                dist[u] = dist[v] + 1
+                dq.append(u)
+    e = _edges(spark, pairs)
+    src = spark.createDataFrame([(v,) for v in sources], "id long")
+    got = {r.id: r.level for r in bfs_levels(e, src).collect()}
+    assert got == dist
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import random
+
+    rng = random.Random(5)
+    pairs = [(rng.randrange(25), rng.randrange(25)) for _ in range(40)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    # python reference on the symmetrized distinct edge set
+    sym = {(a, b) for a, b in pairs} | {(b, a) for a, b in pairs}
+    nodes = sorted({v for edge in sym for v in edge})
+    odeg = {v: sum(1 for s, _ in sym if s == v) for v in nodes}
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d in sorted(sym):
+            contrib[d] += rank[s] / odeg[s]
+        rank = {v: (1.0 - 0.85) / n + 0.85 * contrib[v] for v in nodes}
+    got = {r.id: r.rank for r in pagerank(_edges(spark, pairs), n_iter=5).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-9, v
+
+
+def test_pagerank_sums_to_one(spark):
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0), (3, 0)])
+    total = sum(r.rank for r in pagerank(e, n_iter=8).collect())
+    assert abs(total - 1.0) < 1e-9
 
 
 def test_merge_components_equals_full_recompute(spark):
