@@ -1253,6 +1253,55 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "rank")
 
 
+def q_rolling_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day rolling order count/total per customer via a RANGE window
+    frame (value-based, so timestamp ties land in the same frame on every
+    engine — no ordering ambiguity, unlike a rows frame)."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    t = F.col("o_orderdate").cast("timestamp").cast("double")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(t)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey",
+            F.count("*").over(w).alias("n_30d"),
+            F.round(F.sum("o_totalprice").over(w), 2).alias("sum_30d"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window event rates: 10-minute windows every 5 minutes
+    (F.window with a slide — each event lands in exactly two windows; the
+    batch twin of the streaming windowed-count operator)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_v"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_v")
+        .orderBy("window_start")
+    )
+
+
+def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein fuzzy-match pairs on 40-char prefixes within a
+    language block (operators/dedup.edit_distance_pairs — the edit-distance
+    face of alias canonicalization)."""
+    from raptor_spark.operators.dedup import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    out = edit_distance_pairs(
+        docs, "doc_id", "text", ["lang"], prefix_len=40, max_dist=26
+    )
+    return out.select("a", "b", "dist").orderBy("a", "b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -1324,6 +1373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props_json": q_event_props_json,
         "event_outliers": q_event_outliers,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "rolling_range_sum": q_rolling_range_sum,
+        "sliding_window_counts": q_sliding_window_counts,
+        "fuzzy_prefix_pairs": q_fuzzy_prefix_pairs,
     }
 
 
@@ -2374,6 +2426,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, term, tf, df, tfidf, rn AS "rank"
             FROM rk WHERE rn <= 3 ORDER BY doc_id, rn
+        """,
+        "rolling_range_sum": """
+            SELECT o_custkey, o_orderkey,
+                   count(*) OVER w AS n_30d,
+                   round(sum(o_totalprice) OVER w, 2) AS sum_30d
+            FROM orders
+            WINDOW w AS (
+              PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+              RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+            )
+            ORDER BY o_orderkey
+        """,
+        "sliding_window_counts": """
+            WITH s AS (
+              SELECT value,
+                     TIMESTAMP '1970-01-01 00:00:00' + to_seconds(
+                       CAST(floor(epoch(ts) / 300) * 300 AS BIGINT)) AS s1
+              FROM events
+            ), x AS (
+              SELECT value,
+                     unnest([s1 - INTERVAL 300 SECONDS, s1]) AS window_start
+              FROM s
+            )
+            SELECT window_start, count(*) AS n, round(sum(value), 2) AS sum_v
+            FROM x GROUP BY window_start ORDER BY window_start
+        """,
+        "fuzzy_prefix_pairs": """
+            WITH b AS (
+              SELECT doc_id, lang, substr(text, 1, 40) AS p
+              FROM documents WHERE doc_id < 80
+            )
+            SELECT a.doc_id AS a, c.doc_id AS b,
+                   levenshtein(a.p, c.p) AS dist
+            FROM b a JOIN b c ON a.lang = c.lang AND a.doc_id < c.doc_id
+            WHERE levenshtein(a.p, c.p) <= 26
+            ORDER BY a, b
         """,
     }
 

@@ -400,3 +400,41 @@ def embedding_near_dup(
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     return pairs.dropDuplicates(["a", "b"])
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    prefix_len: int = 40,
+    max_dist: int = 12,
+) -> DataFrame:
+    """Blocked fuzzy-match candidate pairs by Levenshtein distance on a
+    fixed-length prefix — the edit-distance face of entity canonicalization
+    (aliased symbol names that MinHash's set semantics miss: transpositions,
+    single-char edits in short strings).
+
+    Scale shape: a self-equi-join on ``block_cols`` (never all-pairs; the
+    block key bounds each task's candidate set, and AQE skew-split handles a
+    hot block), comparing only ``prefix_len``-char prefixes so the DP cost
+    per pair is a constant O(prefix_len^2) — JVM-side ``levenshtein``, no
+    Python. Pairs are emitted a < b once. For unblocked corpora compose with
+    a cheap blocking key first (simhash band, length bucket, first-token).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.substring(F.col(text_col), 1, prefix_len).alias("prefix"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, block_cols)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -323,3 +323,43 @@ def test_ann_topk_finds_planted_neighbors(spark, emb):
     )
     bad = joined.filter(F.abs(F.col("cosine") - F.col("c2")) > 1e-6).count()
     assert bad == 0
+
+
+def test_edit_distance_pairs_matches_python_dp(spark):
+    import itertools
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    rows = [
+        (1, "g", "the quick brown fox"),
+        (2, "g", "the quick brown fax"),
+        (3, "g", "a completely different sentence here"),
+        (4, "g", "the quick brown foxes jumped"),
+        (5, "h", "the quick brown fox"),  # other block: never pairs with 1-4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    from raptor_spark.operators.dedup import edit_distance_pairs
+
+    out = edit_distance_pairs(
+        df, "doc_id", "text", ["lang"], prefix_len=25, max_dist=10
+    )
+    got = {(r.a, r.b): r.dist for r in out.collect()}
+    want = {}
+    by_block = {}
+    for i, g, t in rows:
+        by_block.setdefault(g, []).append((i, t[:25]))
+    for g, items in by_block.items():
+        for (i, s), (j, t) in itertools.combinations(sorted(items), 2):
+            d = lev(s, t)
+            if d <= 10:
+                want[(i, j)] = d
+    assert got == want
+    assert all(a < b for a, b in got)
