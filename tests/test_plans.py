@@ -139,3 +139,22 @@ def test_extraction_is_arrow_vectorized(spark):
     # mapInPandas (Arrow batches), never row-at-a-time BatchEvalPython
     assert "MapInPandas" in p, p
     assert "BatchEvalPython" not in p, p
+
+
+def test_round2_analytics_plans_stay_clean(spark):
+    """The round-2 read-side additions: equi/broadcast joins only, no
+    row-at-a-time Python, and the intended broadcast on the stats/df
+    joins (a shuffle of the big side on a stats key would be wrong)."""
+    for name in (
+        "fuzzy_prefix_pairs", "event_outliers", "tfidf_top_terms",
+        "rolling_range_sum", "sliding_window_counts", "event_streaks",
+        "order_status_history", "event_type_pivot", "pricing_unpivot",
+        "order_percentiles", "event_props_json",
+    ):
+        p = plan_str(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "BatchEvalPython" not in p, name
+    for name in ("event_outliers", "tfidf_top_terms"):
+        p = plan_str(QUERIES[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in p, name
