@@ -31,16 +31,75 @@ def windowed_event_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     ts_col: str = "ts",
+    slide: str | None = None,
 ) -> DataFrame:
+    """Tumbling (default) or sliding (``slide`` < ``window``) watermarked
+    event counts. Sliding windows multiply state by window/slide overlapping
+    buckets per event — bounded, watermark-expired."""
     # watermarks require TIMESTAMP (not NTZ); session tz is UTC so the cast
     # is a no-op on the epoch
     events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    w = (
+        F.window(F.col(ts_col), window, slide)
+        if slide is not None
+        else F.window(F.col(ts_col), window)
+    )
     return (
         events.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .groupBy(w.alias("w"), F.col("event_type"))
         .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
+
+
+def streaming_outliers(
+    events: DataFrame,
+    stats: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    z_threshold: float = 2.5,
+) -> DataFrame:
+    """Stream-static z-score anomaly detection: the streaming side joins a
+    STATIC per-key stats table (mu, sigma — e.g. yesterday's batch profile
+    from operators/profile.grouped_numeric_stats) and keeps rows beyond the
+    threshold. The static side is re-read per micro-batch and broadcast —
+    a map-only streaming stage with no state at all, the cheapest possible
+    streaming operator; re-commit the stats table to rotate the model
+    without restarting the query."""
+    z = (F.col(value_col) - F.col("mu")) / F.col("sigma")
+    return (
+        events.join(F.broadcast(stats), key_col)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > z_threshold)
+        .drop("mu", "sigma")
+    )
+
+
+def stream_merge_to_catalog(
+    df: DataFrame,
+    catalog,
+    table: str,
+    key: list[str],
+    checkpoint: str,
+) -> None:
+    """Stream upsert: foreachBatch → Catalog.merge (keyed copy-on-write
+    upsert, the Qdrant insert-by-id semantics, api_insert.py:88-171) so a
+    restarted/replayed micro-batch is idempotent by key — exactly-once
+    EFFECTS on top of at-least-once delivery. Drains available data, then
+    stops (AvailableNow; production would drop the trigger)."""
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        catalog.merge(table, batch_df, key, meta={"batch_id": batch_id})
+
+    q = (
+        df.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def streaming_triple_extract(files_stream: DataFrame) -> DataFrame:

@@ -237,3 +237,94 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark, tmp_path_facto
     )
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == n_emitted
+
+
+def test_sliding_windowed_counts_match_batch(spark, tmp_path_factory):
+    """Sliding windows (10 min every 5) through the streaming operator must
+    agree with the batch F.window sliding aggregation on every window the
+    watermark closed."""
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    in_dir = str(tmp_path_factory.mktemp("sl_in") / "events")
+    events.write.mode("overwrite").parquet(in_dir)
+    out = str(tmp_path_factory.mktemp("sl_out") / "agg")
+    ckpt = str(tmp_path_factory.mktemp("sl_out") / "ckpt")
+
+    stream = spark.readStream.schema(events.schema).parquet(in_dir)
+    run_available_now(
+        windowed_event_counts(stream, window="10 minutes", slide="5 minutes"),
+        out, ckpt,
+    )
+    got = spark.read.parquet(out)
+    batch = (
+        events.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("bn"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "bn")
+    )
+    assert got.count() > 0
+    joined = got.join(batch, ["window_start", "event_type"], "left")
+    assert joined.filter(F.col("bn").isNull()).count() == 0
+    assert joined.filter(F.col("n") != F.col("bn")).count() == 0
+
+
+def test_streaming_outliers_match_batch(spark, tmp_path_factory):
+    """Stream-static z-score filter: static stats frame joined into the
+    stream must flag exactly the batch outlier set (map-only, no state)."""
+    from raptor_spark.streaming import streaming_outliers
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    in_dir = str(tmp_path_factory.mktemp("oz_in") / "events")
+    events.write.mode("overwrite").parquet(in_dir)
+    out = str(tmp_path_factory.mktemp("oz_out") / "rows")
+    ckpt = str(tmp_path_factory.mktemp("oz_out") / "ckpt")
+
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    stream = spark.readStream.schema(events.schema).parquet(in_dir)
+    run_available_now(streaming_outliers(stream, stats), out, ckpt)
+    got = spark.read.parquet(out)
+
+    batch_ids = {
+        r.event_id
+        for r in events.join(stats, "event_type")
+        .filter(F.abs((F.col("value") - F.col("mu")) / F.col("sigma")) > 2.5)
+        .collect()
+    }
+    assert batch_ids, "fixture must contain outliers"
+    assert {r.event_id for r in got.collect()} == batch_ids
+
+
+def test_stream_merge_to_catalog_idempotent(spark, tmp_path_factory):
+    """foreachBatch keyed merge: replaying the SAME input through a fresh
+    checkpoint must leave the table unchanged (upsert-by-key), and changed
+    rows must update in place."""
+    from raptor_spark.catalog import Catalog
+    from raptor_spark.streaming import stream_merge_to_catalog
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").limit(200)
+    in_dir = str(tmp_path_factory.mktemp("mg_in") / "events")
+    events.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("mg_cat")))
+
+    def drain(ck):
+        stream = spark.readStream.schema(events.schema).parquet(in_dir)
+        stream_merge_to_catalog(stream, cat, "ev", ["event_id"], ck)
+
+    drain(str(tmp_path_factory.mktemp("mg_ck") / "a"))
+    first = {(r.event_id, r.value) for r in cat.read("ev").collect()}
+    assert len(first) == events.count()
+
+    # replay with a FRESH checkpoint (simulated at-least-once duplicate)
+    drain(str(tmp_path_factory.mktemp("mg_ck") / "b"))
+    again = {(r.event_id, r.value) for r in cat.read("ev").collect()}
+    assert again == first
+
+    # changed subset updates in place
+    changed = events.limit(50).withColumn("value", F.col("value") + 1000.0)
+    changed.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    drain(str(tmp_path_factory.mktemp("mg_ck") / "c"))
+    final = cat.read("ev")
+    assert final.count() == events.count()
+    assert final.filter(F.col("value") > 1000.0).count() >= 40
