@@ -1302,6 +1302,45 @@ def q_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", "dist").orderBy("a", "b")
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition audit: duplicate fraction of
+    word bigrams + keep/drop verdict (operators/text.repetition_stats). The
+    0.05 threshold splits the fixtures 398 keep / 102 drop — non-vacuous on
+    both classes."""
+    from raptor_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(
+        docs, "doc_id", "text", n=2, max_dup_frac=0.05
+    ).orderBy("id")
+
+
+def q_part_supply_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface (SURVEY.md §2.6): part keys supplied from NATION_9
+    INTERSECT / EXCEPT those from NATION_11, tagged by op. The nation-
+    filtered supplier side is broadcast; the set ops shuffle only distinct
+    part keys (narrow ints), so the plan holds at 100× lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    sn = sup.join(
+        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", "n_name")
+
+    def keys(name: str) -> DataFrame:
+        supp = sn.filter(F.col("n_name") == name).select("s_suppkey")
+        return (
+            li.join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+            .select("l_partkey")
+            .distinct()
+        )
+
+    a, b = keys("NATION_9"), keys("NATION_11")
+    both = a.intersect(b).withColumn("op", F.lit("both"))
+    only_a = a.subtract(b).withColumn("op", F.lit("only_9"))
+    return both.unionByName(only_a).orderBy("op", "l_partkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -1376,6 +1415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_range_sum": q_rolling_range_sum,
         "sliding_window_counts": q_sliding_window_counts,
         "fuzzy_prefix_pairs": q_fuzzy_prefix_pairs,
+        "doc_repetition": q_doc_repetition,
+        "part_supply_setops": q_part_supply_setops,
     }
 
 
@@ -2462,6 +2503,48 @@ def oracle_sql() -> dict[str, str]:
             FROM b a JOIN b c ON a.lang = c.lang AND a.doc_id < c.doc_id
             WHERE levenshtein(a.p, c.p) <= 26
             ORDER BY a, b
+        """,
+        "doc_repetition": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 2
+                          THEN [ws[i] || ' ' || ws[i+1]
+                                FOR i IN generate_series(1, len(ws) - 1)]
+                          ELSE [array_to_string(ws, ' ')] END AS gs
+              FROM w
+            ), s AS (
+              SELECT doc_id AS id, len(gs) AS n_ngrams,
+                     len(list_distinct(gs)) AS n_distinct
+              FROM g
+            )
+            SELECT id, n_ngrams, n_distinct,
+                   round(1.0 - n_distinct * 1.0 / n_ngrams, 6) AS dup_frac,
+                   CAST(round(1.0 - n_distinct * 1.0 / n_ngrams, 6) <= 0.05
+                        AS INT) AS keep
+            FROM s ORDER BY id
+        """,
+        "part_supply_setops": """
+            WITH sn AS (
+              SELECT s_suppkey, n_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            ), a AS (
+              SELECT DISTINCT l_partkey FROM lineitem
+              JOIN sn ON l_suppkey = s_suppkey WHERE n_name = 'NATION_9'
+            ), b AS (
+              SELECT DISTINCT l_partkey FROM lineitem
+              JOIN sn ON l_suppkey = s_suppkey WHERE n_name = 'NATION_11'
+            )
+            SELECT l_partkey, 'both' AS op
+            FROM (SELECT l_partkey FROM a INTERSECT SELECT l_partkey FROM b)
+            UNION ALL
+            SELECT l_partkey, 'only_9' AS op
+            FROM (SELECT l_partkey FROM a EXCEPT SELECT l_partkey FROM b)
+            ORDER BY op, l_partkey
         """,
     }
 

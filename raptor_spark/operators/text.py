@@ -203,3 +203,46 @@ def fingerprint_col(text: Column, n_grams: int = 4) -> Column:
     # bind: inlining the split into the per-position slice re-ran the regex
     # split O(n_words) times per row
     return F.array_min(bind_col(words_col(text), _shingles))
+
+
+def ngrams_col(text: Column, n: int = 2) -> Column:
+    """ALL word n-grams (with multiplicity) as array<string> — the counting
+    twin of dedup.word_shingles_col's distinct set. Pure column exprs; the
+    split-word array is bound once per row (HOF lambdas get no CSE)."""
+
+    def build(w: Column) -> Column:
+        def gram_at(i: Column) -> Column:
+            return F.concat_ws(
+                " ", *[F.element_at(w, i + F.lit(k + 1)) for k in range(n)]
+            )
+
+        return F.when(
+            F.size(w) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(w) - n), gram_at),
+        ).otherwise(F.array(F.concat_ws(" ", w)))
+
+    return bind_col(words_col(text), build)
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, max_dup_frac: float = 0.2
+) -> DataFrame:
+    """Gopher-style intra-document repetition audit: the duplicate fraction
+    of word n-grams per document, plus the keep/drop verdict at
+    ``max_dup_frac`` (documents dominated by repeated phrases are template
+    boilerplate, not content — the classic pretraining-corpus quality rule).
+
+    Map-only: two narrow projections, no shuffle, no UDF; the n-gram array
+    lives only inside the row's projection. The verdict compares the
+    ROUNDED fraction so engine-identical rounding decides the boundary."""
+    g = ngrams_col(F.col(text_col), n)
+    tmp = df.select(F.col(id_col).alias("id"), g.alias("_g"))
+    out = tmp.select(
+        "id",
+        F.size("_g").alias("n_ngrams"),
+        F.size(F.array_distinct("_g")).alias("n_distinct"),
+    )
+    dup = F.round(1.0 - F.col("n_distinct") / F.col("n_ngrams"), 6)
+    return out.withColumn("dup_frac", dup).withColumn(
+        "keep", (F.col("dup_frac") <= max_dup_frac).cast("int")
+    )

@@ -116,3 +116,34 @@ def test_fingerprint_col_deterministic(spark):
     }
     assert got[0] == got[1]          # same content → same fingerprint
     assert got[0] != got[2]          # different content → different
+
+
+def test_repetition_stats_known_values(spark):
+    from raptor_spark.operators.text import repetition_stats
+
+    rows = [
+        (0, "a b a b a b"),        # bigrams: ab ba ab ba ab → 5 grams, 2 distinct
+        (1, "one two three four"), # 3 grams, all distinct
+        (2, "solo"),               # < n words → single whole-text gram
+        (3, ""),                   # empty → [""] gram, dup 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.id: (r.n_ngrams, r.n_distinct, r.dup_frac, r.keep)
+        for r in repetition_stats(df, "doc_id", "text", n=2, max_dup_frac=0.2).collect()
+    }
+    assert got[0] == (5, 2, 0.6, 0)
+    assert got[1] == (3, 3, 0.0, 1)
+    assert got[2] == (1, 1, 0.0, 1)
+    assert got[3] == (1, 1, 0.0, 1)
+
+
+def test_doc_repetition_query_nonvacuous(spark):
+    # CLAUDE.md pitfall: a keep/drop gate where every row lands on one side
+    # verifies nothing. Both classes must be present on the fixtures.
+    import __spark_entry__ as entry_mod
+    from tests.conftest import SF_DIR
+
+    out = entry_mod.q_doc_repetition(spark, SF_DIR)
+    counts = {r.keep: r.n for r in out.groupBy("keep").count().withColumnRenamed("count", "n").collect()}
+    assert counts.get(0, 0) > 0 and counts.get(1, 0) > 0
