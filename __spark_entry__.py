@@ -1341,6 +1341,25 @@ def q_part_supply_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only_a).orderBy("op", "l_partkey")
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding column (SemDeDup-
+    style semantic clustering; operators/similarity.kmeans_clusters). Seeded
+    by lowest vec_id so DuckDB can replay the full 2-iteration loop; the
+    assignment (argmax dot) is verified per vector against the SQL oracle.
+    Cast to double up front so both engines do double arithmetic."""
+    from raptor_spark.operators.similarity import kmeans_clusters
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    out = kmeans_clusters(
+        emb, n_cells=8, corpus_id="vec_id", vec="v", iters=2, seed_order="id"
+    )
+    return out.select(
+        F.col("id").alias("vec_id"), "cell", F.round("cosine", 4).alias("cosine")
+    ).orderBy("vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -1417,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_prefix_pairs": q_fuzzy_prefix_pairs,
         "doc_repetition": q_doc_repetition,
         "part_supply_setops": q_part_supply_setops,
+        "embedding_clusters": q_embedding_clusters,
     }
 
 
@@ -2545,6 +2565,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_partkey, 'only_9' AS op
             FROM (SELECT l_partkey FROM a EXCEPT SELECT l_partkey FROM b)
             ORDER BY op, l_partkey
+        """,
+        "embedding_clusters": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), s AS (
+              SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+              FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+            ), c0 AS (
+              SELECT cell, [x / sqrt(list_dot_product(v, v)) FOR x IN v] AS c
+              FROM s
+            ), a0 AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c0.cell,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.v, c0.c) DESC, c0.cell DESC
+                       ) AS rn
+                FROM e, c0) WHERE rn = 1
+            ), m0 AS (
+              SELECT cell, pos, avg(x) AS mx FROM (
+                SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+                FROM a0) GROUP BY cell, pos
+            ), n0 AS (
+              SELECT cell, list(mx ORDER BY pos) AS mv FROM m0 GROUP BY cell
+            ), c1 AS (
+              SELECT c0.cell,
+                     COALESCE([x / sqrt(list_dot_product(n0.mv, n0.mv))
+                               FOR x IN n0.mv], c0.c) AS c
+              FROM c0 LEFT JOIN n0 ON c0.cell = n0.cell
+            ), a1 AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c1.cell,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.v, c1.c) DESC, c1.cell DESC
+                       ) AS rn
+                FROM e, c1) WHERE rn = 1
+            ), m1 AS (
+              SELECT cell, pos, avg(x) AS mx FROM (
+                SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+                FROM a1) GROUP BY cell, pos
+            ), n1 AS (
+              SELECT cell, list(mx ORDER BY pos) AS mv FROM m1 GROUP BY cell
+            ), c2 AS (
+              SELECT c1.cell,
+                     COALESCE([x / sqrt(list_dot_product(n1.mv, n1.mv))
+                               FOR x IN n1.mv], c1.c) AS c
+              FROM c1 LEFT JOIN n1 ON c1.cell = n1.cell
+            )
+            SELECT vec_id, cell,
+                   round(list_dot_product(v, c) / sqrt(list_dot_product(v, v)),
+                         4) AS cosine
+            FROM (
+              SELECT e.vec_id, e.v, c2.cell, c2.c,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c2.c) DESC, c2.cell DESC
+                     ) AS rn
+              FROM e, c2) WHERE rn = 1
+            ORDER BY vec_id
         """,
     }
 

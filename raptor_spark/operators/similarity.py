@@ -112,16 +112,26 @@ def ivf_centroids(
     corpus_id: str = "id",
     vec: str = "vec",
     kmeans_iters: int = 1,
+    seed_order: str = "hash",
 ) -> list[tuple[int, list[float]]]:
     """Deterministic IVF codebook: seed with the n_cells corpus vectors of
     smallest xxhash64(id) (content-derived, partition-order-free), then run
     ``kmeans_iters`` distributed Lloyd steps (assign → per-cell element-wise
     mean via posexplode/groupBy — never collects a cell to one machine).
     Returns normalized centroids; only n_cells × dim floats ever reach the
-    driver."""
+    driver.
+
+    ``seed_order="id"`` seeds with the n_cells lowest ids instead of the
+    hash order — same algorithm, but replicable by engines without Spark's
+    xxhash64 (the SQL-oracle path for cluster-assignment verification)."""
+    ordering = (
+        [F.col("id")]
+        if seed_order == "id"
+        else [F.xxhash64(F.col("id").cast("string")), F.col("id")]
+    )
     seeds = (
         corpus.select(F.col(corpus_id).alias("id"), F.col(vec).alias("v"))
-        .orderBy(F.xxhash64(F.col("id").cast("string")), F.col("id"))
+        .orderBy(*ordering)
         .limit(n_cells)
         .collect()
     )
@@ -153,6 +163,45 @@ def ivf_centroids(
         new = dict((r.cell, _norm(list(r.mv))) for r in means)
         cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
     return cents
+
+
+def kmeans_clusters(
+    corpus: DataFrame,
+    n_cells: int,
+    corpus_id: str = "id",
+    vec: str = "vec",
+    iters: int = 1,
+    seed_order: str = "hash",
+) -> DataFrame:
+    """(id, cell, cosine) — deterministic Lloyd's k-means assignment over an
+    embedding column (the SemDeDup-style semantic-clustering primitive; the
+    IVF codebook's standalone face). Scale shape: the codebook is n_cells ×
+    dim broadcast literals; assignment is one map-only pass, so the whole
+    operator is ``iters + 1`` corpus scans, a per-(cell, pos) mean shuffle
+    per iteration, and zero data shuffled at assignment time.
+
+    Ties in the argmax resolve to the LARGER cell id (array_sort + reverse),
+    which SQL oracles mirror as ORDER BY dot DESC, cell DESC."""
+    cents = ivf_centroids(
+        corpus, n_cells, corpus_id, vec, kmeans_iters=iters, seed_order=seed_order
+    )
+    v = F.col(vec)
+    scored = F.array(
+        *[
+            F.struct(
+                dot_col(v, F.array(*[F.lit(float(x)) for x in cv])).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    best = F.reverse(F.array_sort(scored))[0]
+    return corpus.select(
+        F.col(corpus_id).alias("id"),
+        best["cid"].alias("cell"),
+        # centroids are unit vectors, so cosine = dot / |v|
+        (best["d"] / norm_col(v)).alias("cosine"),
+    )
 
 
 def ivf_topk(

@@ -363,3 +363,32 @@ def test_edit_distance_pairs_matches_python_dp(spark):
                 want[(i, j)] = d
     assert got == want
     assert all(a < b for a, b in got)
+
+
+def test_kmeans_clusters_planted(spark):
+    """Three well-separated planted groups along distinct axes: every member
+    must land in its seed's cell with cosine ≈ 1, regardless of partitioning."""
+    from raptor_spark.operators.similarity import kmeans_clusters
+
+    # id = g + 10*j so the 3 lowest ids (0, 1, 2) are one seed per group
+    rows = []
+    for g in range(3):
+        base = [0.0] * 6
+        base[g * 2] = 1.0
+        for j in range(5):
+            v = list(base)
+            v[g * 2 + 1] = 0.01 * j  # tiny within-group jitter
+            rows.append((g + 10 * j, v))
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+
+    out = {r.id: (r.cell, r.cosine) for r in
+           kmeans_clusters(df, 3, iters=2, seed_order="id").collect()}
+    out_rep = {r.id: (r.cell, r.cosine) for r in
+               kmeans_clusters(df.repartition(5), 3, iters=2, seed_order="id").collect()}
+    assert set(out) == {g + 10 * j for g in range(3) for j in range(5)}
+    for g in range(3):
+        cells = {out[g + 10 * j][0] for j in range(5)}
+        assert len(cells) == 1, f"group {g} split across cells {cells}"
+        assert all(out[g + 10 * j][1] > 0.99 for j in range(5))
+    assert {out[g][0] for g in range(3)} == {0, 1, 2}  # groups separated
+    assert {k: v[0] for k, v in out.items()} == {k: v[0] for k, v in out_rep.items()}
