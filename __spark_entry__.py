@@ -1360,6 +1360,23 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al-style exact span dedup: cut documents into non-overlapping
+    10-word spans, remove every later occurrence of a span already seen
+    (first = smallest (doc_id, pos)), fingerprint the rebuilt text
+    (operators/dedup.span_dedup). Reference parity: the insert-time skip of
+    already-present content generalized from whole-file sha256 to
+    sub-document spans (asset_management/client.py:157-177)."""
+    from raptor_spark.operators.dedup import span_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        span_dedup(docs, "doc_id", "text", span_words=10)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -1437,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "part_supply_setops": q_part_supply_setops,
         "embedding_clusters": q_embedding_clusters,
+        "span_dedup": q_span_dedup,
     }
 
 
@@ -2625,6 +2643,33 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rn
               FROM e, c2) WHERE rn = 1
             ORDER BY vec_id
+        """,
+        "span_dedup": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       AS word,
+                     generate_subscripts(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'), 1)
+                       AS pos
+              FROM documents
+            ), s AS (
+              SELECT doc_id, CAST(floor((pos - 1) / 10) AS INT) AS g,
+                     string_agg(word, ' ' ORDER BY pos) AS span
+              FROM w GROUP BY doc_id, g
+            ), r AS (
+              SELECT doc_id, g, span,
+                     row_number() OVER (
+                       PARTITION BY span ORDER BY doc_id, g) AS rn
+              FROM s
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_removed,
+                   md5(COALESCE(
+                     string_agg(span, ' ' ORDER BY g) FILTER (rn = 1), ''))
+                     AS clean_md5
+            FROM r GROUP BY doc_id ORDER BY doc_id
         """,
     }
 

@@ -438,3 +438,71 @@ def edit_distance_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_words: int = 10,
+) -> DataFrame:
+    """(id, n_spans, n_removed, clean_md5) — exact substring-span dedup in
+    the style of "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al. 2022): documents are cut into non-overlapping ``span_words``-
+    word spans, every later occurrence of a span already seen (first
+    occurrence = smallest (id, position)) is removed, and the document is
+    reassembled from its surviving spans. ``clean_md5`` fingerprints the
+    rebuilt text so the full rewrite is verifiable without shipping it.
+
+    Scale shape: span text shuffles exactly once (the first-occurrence
+    window partitioned by the span string — the same shuffle suffix-array
+    dedup pipelines pay); the rebuild joins only the REMOVED (id, pos) set
+    back to the documents and drops positions from the re-derived span
+    array, so full document text never moves through a shuffle. A hot span
+    ("the the the ..." boilerplate) skews the window's partition; AQE
+    skew-split handles it because rows are narrow (id, pos, span).
+    """
+    from pyspark.sql import Window
+
+    k = span_words
+
+    def spans_of(text: Column) -> Column:
+        def build(w: Column) -> Column:
+            n = F.ceil(F.size(w) / F.lit(k)).cast("int")
+            return F.transform(
+                F.sequence(F.lit(0), n - F.lit(1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i * k + 1, k)),
+            )
+
+        from raptor_spark.functions import bind_col
+
+        return bind_col(_words(text), build)
+
+    base = df.select(
+        F.col(id_col).alias("id"), spans_of(F.col(text_col)).alias("spans")
+    )
+    spans = base.select("id", F.posexplode("spans").alias("pos", "span"))
+    first = Window.partitionBy("span").orderBy("id", "pos")
+    removed = (
+        spans.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") > 1)
+        .groupBy("id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("rm"),
+            F.count("*").alias("n_removed"),
+        )
+    )
+    rm = F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    return (
+        base.join(removed, "id", "left")
+        .select(
+            "id",
+            F.size("spans").cast("long").alias("n_spans"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.filter("spans", lambda s, i: ~F.array_contains(rm, i))
+                )
+            ).alias("clean_md5"),
+        )
+    )

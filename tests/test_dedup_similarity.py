@@ -392,3 +392,37 @@ def test_kmeans_clusters_planted(spark):
         assert all(out[g + 10 * j][1] > 0.99 for j in range(5))
     assert {out[g][0] for g in range(3)} == {0, 1, 2}  # groups separated
     assert {k: v[0] for k, v in out.items()} == {k: v[0] for k, v in out_rep.items()}
+
+
+def test_span_dedup_hand_fixture(spark):
+    """Pins first-occurrence-wins semantics: earlier (id, pos) keeps the
+    span; within-doc repeats, cross-doc repeats, full removal, and short
+    docs all behave; result is partition-invariant."""
+    import hashlib
+
+    from raptor_spark.operators.dedup import span_dedup
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    df = spark.createDataFrame(
+        [
+            (0, "m n o m n o"),   # within-doc repeat: second span removed
+            (1, "a b c d e f"),
+            (2, "a b c x y z"),   # "a b c" seen in doc 1 -> removed
+            (3, "d e f d e f"),   # both spans seen earlier -> fully removed
+            (4, "q r"),           # single short span, kept
+        ],
+        "doc_id long, text string",
+    )
+    want = {
+        0: (2, 1, md5("m n o")),
+        1: (2, 0, md5("a b c d e f")),
+        2: (2, 1, md5("x y z")),
+        3: (2, 2, md5("")),
+        4: (1, 0, md5("q r")),
+    }
+    for d in (df, df.repartition(4)):
+        got = {
+            r.id: (r.n_spans, r.n_removed, r.clean_md5)
+            for r in span_dedup(d, "doc_id", "text", span_words=3).collect()
+        }
+        assert got == want
