@@ -1360,6 +1360,28 @@ def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (operators/similarity.semdedup_prune):
+    k-means cells, then inside each cell prune vectors whose cosine to a
+    lower-id cell-mate exceeds 0.3 (keep-lowest-id). max_sim exposes the
+    full within-cell pairwise computation to the hash gate; the 0.3
+    threshold is calibrated to the fixtures (random embeddings, max
+    pairwise cosine ~0.48) so both classes are populated."""
+    from raptor_spark.operators.similarity import semdedup_prune
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return (
+        semdedup_prune(
+            emb, n_cells=8, threshold=0.3, corpus_id="vec_id", vec="v",
+            iters=2, seed_order="id",
+        )
+        .select(F.col("id").alias("vec_id"), "cell", "max_sim", "pruned")
+        .orderBy("vec_id")
+    )
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lee-et-al-style exact span dedup: cut documents into non-overlapping
     10-word spans, remove every later occurrence of a span already seen
@@ -1455,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_supply_setops": q_part_supply_setops,
         "embedding_clusters": q_embedding_clusters,
         "span_dedup": q_span_dedup,
+        "semdedup_prune": q_semdedup_prune,
     }
 
 
@@ -2670,6 +2693,74 @@ def oracle_sql() -> dict[str, str]:
                      string_agg(span, ' ' ORDER BY g) FILTER (rn = 1), ''))
                      AS clean_md5
             FROM r GROUP BY doc_id ORDER BY doc_id
+        """,
+        "semdedup_prune": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), s AS (
+              SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+              FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+            ), c0 AS (
+              SELECT cell, [x / sqrt(list_dot_product(v, v)) FOR x IN v] AS c
+              FROM s
+            ), a0 AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c0.cell,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.v, c0.c) DESC, c0.cell DESC
+                       ) AS rn
+                FROM e, c0) WHERE rn = 1
+            ), m0 AS (
+              SELECT cell, pos, avg(x) AS mx FROM (
+                SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+                FROM a0) GROUP BY cell, pos
+            ), n0 AS (
+              SELECT cell, list(mx ORDER BY pos) AS mv FROM m0 GROUP BY cell
+            ), c1 AS (
+              SELECT c0.cell,
+                     COALESCE([x / sqrt(list_dot_product(n0.mv, n0.mv))
+                               FOR x IN n0.mv], c0.c) AS c
+              FROM c0 LEFT JOIN n0 ON c0.cell = n0.cell
+            ), a1 AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c1.cell,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.v, c1.c) DESC, c1.cell DESC
+                       ) AS rn
+                FROM e, c1) WHERE rn = 1
+            ), m1 AS (
+              SELECT cell, pos, avg(x) AS mx FROM (
+                SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+                FROM a1) GROUP BY cell, pos
+            ), n1 AS (
+              SELECT cell, list(mx ORDER BY pos) AS mv FROM m1 GROUP BY cell
+            ), c2 AS (
+              SELECT c1.cell,
+                     COALESCE([x / sqrt(list_dot_product(n1.mv, n1.mv))
+                               FOR x IN n1.mv], c1.c) AS c
+              FROM c1 LEFT JOIN n1 ON c1.cell = n1.cell
+            ), fin AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c2.cell,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.v, c2.c) DESC, c2.cell DESC
+                       ) AS rn
+                FROM e, c2) WHERE rn = 1
+            ), best AS (
+              SELECT b.vec_id,
+                     max(list_cosine_similarity(a.v, b.v)) AS ms
+              FROM fin a JOIN fin b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              GROUP BY b.vec_id
+            )
+            SELECT f.vec_id, f.cell,
+                   COALESCE(round(best.ms, 4), -1.0) AS max_sim,
+                   CAST(COALESCE(best.ms >= 0.3, FALSE) AS INT) AS pruned
+            FROM fin f LEFT JOIN best ON f.vec_id = best.vec_id
+            ORDER BY f.vec_id
         """,
     }
 

@@ -338,3 +338,53 @@ def ann_topk(
     scored = cands.select("qid", "id", cosine_col("cvec", "qvec").alias("cosine"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semdedup_prune(
+    corpus: DataFrame,
+    n_cells: int,
+    threshold: float,
+    corpus_id: str = "id",
+    vec: str = "vec",
+    iters: int = 1,
+    seed_order: str = "hash",
+) -> DataFrame:
+    """(id, cell, max_sim, pruned) — SemDeDup-style semantic pruning
+    (Abbas et al. 2023): cluster the embedding space with k-means, then
+    inside each cell mark every vector whose cosine to a LOWER-id cell-mate
+    exceeds ``threshold`` as pruned (keep-lowest-id representative — the
+    paper prunes one vector of each near-dup pair; lowest-id is the
+    deterministic tiebreak). ``max_sim`` is that max cosine (-1.0 when the vector has no
+    lower-id cell-mate), so the full pairwise computation is verifiable
+    even when few rows cross the threshold.
+
+    Scale shape: never all-pairs — the self-join is an equi-join on the
+    cell id, so cost is sum over cells of |cell|^2; pick ``n_cells``
+    proportional to corpus size (the paper's regime) to bound cells.
+    Vectors shuffle once per join side; AQE skew-split handles a hot cell.
+    """
+    assign = kmeans_clusters(
+        corpus, n_cells, corpus_id, vec, iters=iters, seed_order=seed_order
+    ).select("id", "cell")
+    base = (
+        corpus.select(F.col(corpus_id).alias("id"), F.col(vec).alias("v"))
+        .join(assign, "id")
+        .persist()  # self-joins of unpersisted frames recompute both sides
+    )
+    a, b = base.alias("a"), base.alias("b")
+    best = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("b.id").alias("id"))
+        .agg(F.max(cosine_col(F.col("a.v"), F.col("b.v"))).alias("max_sim"))
+    )
+    return (
+        base.join(best, "id", "left")
+        .select(
+            "id",
+            "cell",
+            F.coalesce(F.round("max_sim", 4), F.lit(-1.0)).alias("max_sim"),
+            F.when(F.col("max_sim") >= threshold, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("pruned"),
+        )
+    )

@@ -426,3 +426,32 @@ def test_span_dedup_hand_fixture(spark):
             for r in span_dedup(d, "doc_id", "text", span_words=3).collect()
         }
         assert got == want
+
+
+def test_semdedup_prune_planted(spark):
+    """Two planted near-dup pairs in separate cells: the higher id of each
+    pair is pruned with max_sim ~1; singletons keep max_sim -1; a far
+    cell-mate stays below threshold. Partition-invariant."""
+    from raptor_spark.operators.similarity import semdedup_prune
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [1.0, 0.001]),   # near-dup of 0, same cell
+            (3, [0.0, 1.0]),     # exact dup of 1
+            (4, [-1.0, 0.2]),    # lands in cell 1, cosine ~0.2 to members
+        ],
+        "id long, vec array<double>",
+    )
+    for d in (df, df.repartition(3)):
+        out = {
+            r.id: (r.max_sim, r.pruned)
+            for r in semdedup_prune(
+                d, n_cells=2, threshold=0.9, iters=1, seed_order="id"
+            ).collect()
+        }
+        assert {i for i, (_, p) in out.items() if p == 1} == {2, 3}
+        assert out[2][0] > 0.999 and out[3][0] == 1.0
+        assert out[0][0] == -1.0 and out[1][0] == -1.0
+        assert 0.1 < out[4][0] < 0.3
