@@ -90,20 +90,34 @@ def brute_force_topk(
     )
 
 
-def _nearest_cells(vec: Column, centroids: list[tuple[int, list[float]]], n: int) -> Column:
-    """array<int> of the n centroid ids with highest dot(vec, centroid).
-    Centroids are pre-normalized, so dot-argmax ≡ cosine-argmax; the whole
-    expression is JVM-side over a broadcast-literal centroid table."""
-    scored = F.array(
+def _scored_cells(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<d, cid>> of dot(vec, centroid) per centroid, sorted so
+    element 0 is the best cell (ties → larger cid). The centroid table is
+    ONE literal array-of-structs and the dot product appears ONCE inside a
+    transform lambda — building a separate zip_with/aggregate tree per
+    centroid made Catalyst analysis + codegen the dominant cost of every
+    Lloyd iteration (measured ~6 s/iteration at n_cells=8, dim=64; ~10×
+    the actual 2000-row scan)."""
+    cmat = F.array(
         *[
             F.struct(
-                dot_col(vec, F.array(*[F.lit(float(x)) for x in cv])).alias("d"),
                 F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("c"),
             )
             for cid, cv in centroids
         ]
     )
-    return F.slice(F.reverse(F.array_sort(scored)), 1, n).cid
+    scored = F.transform(
+        cmat, lambda s: F.struct(dot_col(vec, s.c).alias("d"), s.cid.alias("cid"))
+    )
+    return F.reverse(F.array_sort(scored))
+
+
+def _nearest_cells(vec: Column, centroids: list[tuple[int, list[float]]], n: int) -> Column:
+    """array<int> of the n centroid ids with highest dot(vec, centroid).
+    Centroids are pre-normalized, so dot-argmax ≡ cosine-argmax; the whole
+    expression is JVM-side over a broadcast-literal centroid table."""
+    return F.slice(_scored_cells(vec, centroids), 1, n).cid
 
 
 def ivf_centroids(
@@ -172,13 +186,18 @@ def kmeans_clusters(
     vec: str = "vec",
     iters: int = 1,
     seed_order: str = "hash",
+    keep_vec: bool = False,
 ) -> DataFrame:
-    """(id, cell, cosine) — deterministic Lloyd's k-means assignment over an
-    embedding column (the SemDeDup-style semantic-clustering primitive; the
-    IVF codebook's standalone face). Scale shape: the codebook is n_cells ×
-    dim broadcast literals; assignment is one map-only pass, so the whole
-    operator is ``iters + 1`` corpus scans, a per-(cell, pos) mean shuffle
-    per iteration, and zero data shuffled at assignment time.
+    """(id, cell, cosine[, v]) — deterministic Lloyd's k-means assignment
+    over an embedding column (the SemDeDup-style semantic-clustering
+    primitive; the IVF codebook's standalone face). Scale shape: the
+    codebook is n_cells × dim broadcast literals; assignment is one
+    map-only pass, so the whole operator is ``iters + 1`` corpus scans, a
+    per-(cell, pos) mean shuffle per iteration, and zero data shuffled at
+    assignment time. ``keep_vec`` carries the vector through the map-only
+    assignment so downstream within-cell work needs no join back to the
+    corpus (assignment is a projection — joining it back on id would pay a
+    full shuffle of both sides for nothing).
 
     Ties in the argmax resolve to the LARGER cell id (array_sort + reverse),
     which SQL oracles mirror as ORDER BY dot DESC, cell DESC."""
@@ -186,21 +205,13 @@ def kmeans_clusters(
         corpus, n_cells, corpus_id, vec, kmeans_iters=iters, seed_order=seed_order
     )
     v = F.col(vec)
-    scored = F.array(
-        *[
-            F.struct(
-                dot_col(v, F.array(*[F.lit(float(x)) for x in cv])).alias("d"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cv in cents
-        ]
-    )
-    best = F.reverse(F.array_sort(scored))[0]
+    best = _scored_cells(v, cents)[0]
     return corpus.select(
         F.col(corpus_id).alias("id"),
         best["cid"].alias("cell"),
         # centroids are unit vectors, so cosine = dot / |v|
         (best["d"] / norm_col(v)).alias("cosine"),
+        *([v.alias("v")] if keep_vec else []),
     )
 
 
@@ -363,12 +374,12 @@ def semdedup_prune(
     proportional to corpus size (the paper's regime) to bound cells.
     Vectors shuffle once per join side; AQE skew-split handles a hot cell.
     """
-    assign = kmeans_clusters(
-        corpus, n_cells, corpus_id, vec, iters=iters, seed_order=seed_order
-    ).select("id", "cell")
     base = (
-        corpus.select(F.col(corpus_id).alias("id"), F.col(vec).alias("v"))
-        .join(assign, "id")
+        kmeans_clusters(
+            corpus, n_cells, corpus_id, vec,
+            iters=iters, seed_order=seed_order, keep_vec=True,
+        )
+        .select("id", "cell", "v")
         .persist()  # self-joins of unpersisted frames recompute both sides
     )
     a, b = base.alias("a"), base.alias("b")
