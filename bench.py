@@ -74,6 +74,9 @@ def main() -> None:
         "asof_enrich",
         "time_rollup",
         "sessionize",
+        "span_dedup",
+        "embedding_clusters",
+        "semdedup_prune",
     ]
     timings: dict[str, float] = {}
     for name in bench_queries:
