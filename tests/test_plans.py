@@ -158,3 +158,20 @@ def test_round2_analytics_plans_stay_clean(spark):
     for name in ("event_outliers", "tfidf_top_terms"):
         p = plan_str(QUERIES[name](spark, SF_DIR))
         assert "BroadcastHashJoin" in p, name
+
+
+def test_curation_flagship_plans_stay_bounded(spark):
+    """span_dedup and semdedup_prune scale claims, pinned: every join is an
+    equi-join (span hash / cell id / doc id — never cartesian or
+    nested-loop), no Python in the plan, and an exchange budget so a
+    refactor can't silently re-shuffle document text or vectors."""
+    import re
+
+    budgets = {"span_dedup": 6, "semdedup_prune": 6, "embedding_clusters": 2}
+    for name, max_exchanges in budgets.items():
+        p = plan_str(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "BatchEvalPython" not in p and "PythonUDF" not in p, name
+        n = len(re.findall(r"\(\d+\) Exchange", p))
+        assert n <= max_exchanges, (name, n)
