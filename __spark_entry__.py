@@ -1399,6 +1399,68 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term co-occurrence edge construction over the corpus
+    (operators/graph.cooccurrence_edges): top-40 vocabulary by document
+    frequency, edge (a, b, n_docs) for vocabulary pairs co-occurring in ≥ 5
+    documents — the text-side KG edge builder (the reference's same-object
+    entity linking, generalized to corpus-level co-mention edges)."""
+    from raptor_spark.operators.graph import cooccurrence_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    return cooccurrence_edges(
+        docs, "doc_id", "text", vocab_size=40, min_docs=5
+    ).orderBy("a", "b")
+
+
+def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard manifest (operators/curation.shard_corpus):
+    md5-bucket shard routing, id-ordered concat, payload sha256 — the
+    byte-exact contract a resumable shard writer must reproduce."""
+    from raptor_spark.operators.curation import shard_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_corpus(docs, "doc_id", "text", n_shards=8).orderBy("shard")
+
+
+def q_lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language mixing weights
+    (operators/curation.temperature_mix, α = 0.3, 1000-doc epoch budget) —
+    the multilingual-LM balancing rule p_l ∝ (n_l/N)^α."""
+    from raptor_spark.operators.curation import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_mix(docs, "lang", alpha=0.3, budget=1000)
+    return out.select(
+        F.col("key").alias("lang"),
+        "n_docs",
+        F.round("p_raw", 6).alias("p_raw"),
+        F.round("p_temp", 6).alias("p_temp"),
+        F.round("expected_docs", 2).alias("expected_docs"),
+    ).orderBy("lang")
+
+
+def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping (operators/curation.cap_per_key): keep at
+    most 5 docs per source, longest-first (ties by doc_id), audited per
+    source — the per-domain cap of web-corpus curation."""
+    from raptor_spark.operators.curation import cap_per_key
+
+    docs = _t(spark, sf_dir, "documents")
+    capped = cap_per_key(
+        docs, "source", [F.desc("n_chars"), F.asc("doc_id")], k=5
+    )
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_chars"))).alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -1478,6 +1540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_clusters": q_embedding_clusters,
         "span_dedup": q_span_dedup,
         "semdedup_prune": q_semdedup_prune,
+        "term_cooccurrence": q_term_cooccurrence,
+        "corpus_shards": q_corpus_shards,
+        "lang_temperature_mix": q_lang_temperature_mix,
+        "source_caps": q_source_caps,
     }
 
 
@@ -2761,6 +2827,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(best.ms >= 0.3, FALSE) AS INT) AS pruned
             FROM fin f LEFT JOIN best ON f.vec_id = best.vec_id
             ORDER BY f.vec_id
+        """,
+        "term_cooccurrence": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x != '')) AS ws
+              FROM documents
+            ), t AS (
+              SELECT doc_id, unnest(ws) AS term FROM w
+            ), v AS (
+              SELECT term FROM (
+                SELECT term, count(*) AS df FROM t GROUP BY term
+              ) ORDER BY df DESC, term ASC LIMIT 40
+            ), i AS (
+              SELECT t.doc_id, t.term FROM t JOIN v USING (term)
+            )
+            SELECT x.term AS a, y.term AS b, count(*) AS n_docs
+            FROM i x JOIN i y ON x.doc_id = y.doc_id AND x.term < y.term
+            GROUP BY a, b HAVING count(*) >= 5
+            ORDER BY a, b
+        """,
+        "corpus_shards": f"""
+            WITH b AS (
+              SELECT doc_id, text, md5(text) AS h FROM documents
+            ), s AS (
+              SELECT doc_id, text,
+                     (({hb('h', 1)}) * 256 + ({hb('h', 2)})) % 8 AS shard
+              FROM b
+            )
+            SELECT shard, count(*) AS n_docs,
+                   CAST(sum(length(text)) + (count(*) - 1) AS BIGINT) AS n_chars,
+                   sha256(string_agg(text, chr(10) ORDER BY doc_id))
+                     AS payload_sha256
+            FROM s GROUP BY shard ORDER BY shard
+        """,
+        "lang_temperature_mix": """
+            WITH c AS (
+              SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+            ), n AS (
+              SELECT sum(n_docs) AS n_total FROM c
+            ), r AS (
+              SELECT lang, n_docs,
+                     n_docs / n_total AS p_raw,
+                     pow(n_docs / n_total, 0.3) AS w
+              FROM c CROSS JOIN n
+            ), z AS (
+              SELECT sum(w) AS zz FROM r
+            )
+            SELECT lang, n_docs,
+                   round(p_raw, 6) AS p_raw,
+                   round(w / zz, 6) AS p_temp,
+                   round(1000.0 * w / zz, 2) AS expected_docs
+            FROM r CROSS JOIN z ORDER BY lang
+        """,
+        "source_caps": """
+            WITH r AS (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM documents
+            )
+            SELECT source, count(*) AS n_total,
+                   CAST(sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kept,
+                   CAST(sum(CASE WHEN rn <= 5 THEN n_chars END) AS BIGINT)
+                     AS kept_chars
+            FROM r GROUP BY source ORDER BY source
         """,
     }
 

@@ -102,6 +102,97 @@ def dequantize_col(q: Column, scale: Column) -> Column:
     return F.transform(q, lambda x: x.cast("double") * scale / F.lit(127.0))
 
 
+def shard_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 8,
+    sep: str = "\n",
+) -> DataFrame:
+    """Deterministic training-shard manifest: route every doc to a shard by
+    content-hash bucket (never ``rand()`` — the same doc lands in the same
+    shard on any engine / partitioning), concatenate each shard's docs in id
+    order, and fingerprint the payload. Output per shard: ``(shard, n_docs,
+    n_chars, payload_sha256)``.
+
+    Scale shape: ONE shuffle keyed by shard. At 100 TB the concat step is a
+    ``repartition(shard).sortWithinPartitions(id)`` streaming file write;
+    the ordered in-memory concat here is the *verifiable contract* — the
+    sha256 pins byte-exact payload order, which is what a resumable shard
+    writer must reproduce (≙ the reference's deterministic insert batching,
+    qdrant_search_docker/api_insert.py:88-171). n_chars comes from the agg
+    (Σ|text| + separators), not from re-materializing the payload."""
+    rows = df.select(
+        (md5_bucket_col(F.col(text_col)) % n_shards).alias("shard"),
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+    )
+    packed = rows.groupBy("shard").agg(
+        F.array_sort(F.collect_list(F.struct("id", "text"))).alias("xs"),
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+    )
+    return packed.select(
+        "shard",
+        "n_docs",
+        (F.col("sum_chars") + (F.col("n_docs") - 1) * len(sep)).alias("n_chars"),
+        F.sha2(
+            F.array_join(F.transform("xs", lambda s: s["text"]), sep), 256
+        ).alias("payload_sha256"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame, key_col: str, alpha: float = 0.3, budget: int = 1000
+) -> DataFrame:
+    """Temperature-flattened multinomial mixing weights per group — the
+    multilingual-LM data-balancing rule p_k ∝ (n_k / N)^α (α < 1 upsamples
+    the tail, α = 1 is proportional). Output per key: raw share, flattened
+    share, and the expected doc count for a ``budget``-doc epoch.
+
+    Scale shape: one partial-aggregated groupBy to per-key counts (tiny —
+    vocabulary of keys), then two broadcast cross-joins for the N and Z
+    normalizers. Nothing after the first agg touches corpus-sized data, and
+    there is no single-partition window."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n_docs")
+    )
+    n_total = counts.agg(F.sum("n_docs").alias("n_total"))
+    raw = counts.crossJoin(F.broadcast(n_total)).withColumn(
+        "p_raw", F.col("n_docs") / F.col("n_total")
+    )
+    raw = raw.withColumn("w", F.pow(F.col("p_raw"), F.lit(alpha)))
+    z = raw.agg(F.sum("w").alias("z"))
+    return raw.crossJoin(F.broadcast(z)).select(
+        "key",
+        "n_docs",
+        "p_raw",
+        (F.col("w") / F.col("z")).alias("p_temp"),
+        (F.lit(float(budget)) * F.col("w") / F.col("z")).alias("expected_docs"),
+    )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list,
+    k: int,
+) -> DataFrame:
+    """Per-key quota capping (the per-domain cap of web-corpus curation:
+    keep at most ``k`` docs per source, best-first). ``order_cols`` is the
+    keep-priority ordering; ties MUST be broken by a unique column for
+    determinism. Adds a boolean ``kept`` column.
+
+    Scale shape: one shuffle keyed by ``key_col`` for the row_number window.
+    A hot domain makes the key skewed — the window is rank-only (no payload
+    agg), so the skewed partition streams; if the cap is small relative to
+    the skew, pre-filtering with a capped groupBy count is the next step."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    return df.withColumn("kept", F.row_number().over(w) <= k)
+
+
 def ngram_contamination(
     train: DataFrame,
     eval_set: DataFrame,

@@ -212,3 +212,50 @@ def two_hop_counts(edges: DataFrame) -> DataFrame:
     out = out.localCheckpoint()
     sym.unpersist()
     return out
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 40,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Term co-occurrence edge construction over a document corpus — the
+    text-side analogue of the KG edge builder (the reference links entities
+    that appear in the same object; here the edge (a, b, n_docs) counts
+    documents where both vocabulary terms occur). Vocabulary is pruned to
+    the top ``vocab_size`` terms by document frequency (ties by term), so
+    the classic co-occurrence blow-up is bounded by construction.
+
+    Scale shape: the (doc, term) incidence is filtered by a BROADCAST join
+    against the tiny vocab before the pair expansion, so each doc expands to
+    at most C(vocab_size, 2) pairs regardless of corpus size; the self-join
+    is an equi-join on doc id over the persisted incidence (never recompute
+    the lineage twice, never all-pairs on terms). Two shuffles total: one on
+    doc id for the pair join, one on (a, b) for the count."""
+    from raptor_spark.operators.text import words_col
+
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(words_col(F.col(text_col)))).alias("term"),
+    )
+    vocab = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term")
+    )
+    inc = terms.join(F.broadcast(vocab), "term").persist()
+    pairs = (
+        inc.select("id", F.col("term").alias("a"))
+        .join(inc.select("id", F.col("term").alias("b")), "id")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    out = pairs.localCheckpoint()
+    inc.unpersist()
+    return out

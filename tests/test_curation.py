@@ -146,3 +146,65 @@ def test_md5_bucket_matches_duckdb(spark, docs):
         ).fetchall()
     )
     assert got == want and len(got) == 50
+
+
+def test_shard_corpus_matches_python_recomputation(spark):
+    """Every doc lands in exactly one shard; payload sha256 / n_chars equal
+    a pure-Python recomputation of the contract (md5-bucket routing,
+    id-ordered concat) — the byte-exact shard-writer spec."""
+    import hashlib
+
+    from raptor_spark.operators.curation import shard_corpus
+
+    rows = [(i, f"doc {i} body " * (1 + i % 3)) for i in range(37)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["shard"]: r
+        for r in shard_corpus(df, "id", "text", n_shards=4).collect()
+    }
+
+    shards: dict[int, list[tuple[int, str]]] = {}
+    for i, text in rows:
+        b = int(hashlib.md5(text.encode()).hexdigest()[:4], 16) % 4
+        shards.setdefault(b, []).append((i, text))
+    assert sum(r["n_docs"] for r in out.values()) == len(rows)
+    for b, members in shards.items():
+        members.sort()
+        payload = "\n".join(t for _, t in members)
+        assert out[b]["n_docs"] == len(members)
+        assert out[b]["n_chars"] == len(payload)
+        assert out[b]["payload_sha256"] == hashlib.sha256(payload.encode()).hexdigest()
+
+
+def test_temperature_mix_flattens_and_normalizes(spark):
+    """α < 1 upsamples the tail (p_temp > p_raw for the smallest group),
+    Σp_temp = 1, Σexpected = budget, and α = 1 is exactly proportional."""
+    from raptor_spark.operators.curation import temperature_mix
+
+    rows = [("big", i) for i in range(90)] + [("small", i) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, i long")
+
+    out = {r["key"]: r for r in temperature_mix(df, "k", alpha=0.3, budget=1000).collect()}
+    assert out["small"]["p_temp"] > out["small"]["p_raw"]
+    assert out["big"]["p_temp"] < out["big"]["p_raw"]
+    assert abs(sum(r["p_temp"] for r in out.values()) - 1.0) < 1e-12
+    assert abs(sum(r["expected_docs"] for r in out.values()) - 1000.0) < 1e-9
+
+    prop = {r["key"]: r for r in temperature_mix(df, "k", alpha=1.0, budget=1000).collect()}
+    assert abs(prop["small"]["p_temp"] - 0.1) < 1e-12
+    assert abs(prop["big"]["expected_docs"] - 900.0) < 1e-9
+
+
+def test_cap_per_key_keeps_best_k(spark):
+    """kept=True is exactly the top-k rows per key under the priority
+    ordering (longest first, ties by id)."""
+    from raptor_spark.operators.curation import cap_per_key
+
+    rows = [
+        ("s1", 1, 100), ("s1", 2, 300), ("s1", 3, 300), ("s1", 4, 50),
+        ("s2", 5, 10),
+    ]
+    df = spark.createDataFrame(rows, "source string, id long, n int")
+    out = cap_per_key(df, "source", [F.desc("n"), F.asc("id")], k=2)
+    kept = {r["id"] for r in out.filter("kept").collect()}
+    assert kept == {2, 3, 5}

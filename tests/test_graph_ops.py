@@ -169,3 +169,21 @@ def test_merge_components_preserves_untouched_labels(spark):
         for r in merge_components(labels, _edges(spark, [(10, 11)])).collect()
     }
     assert {(1, 1), (2, 1), (3, 3), (4, 3), (10, 10), (11, 10)} == merged
+
+
+def test_cooccurrence_edges_tiny_corpus(spark):
+    """Edge weights equal per-document-distinct co-mention counts on a
+    hand-built corpus (duplicate terms inside one doc count once)."""
+    from raptor_spark.operators.graph import cooccurrence_edges
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "a c a")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["a"], r["b"]): r["n_docs"]
+        for r in cooccurrence_edges(
+            docs, "doc_id", "text", vocab_size=10, min_docs=1
+        ).collect()
+    }
+    assert out == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 1}
