@@ -1461,6 +1461,56 @@ def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity acceptance audit (operators/profile.fk_orphans):
+    orphan counts per FK relationship — the full orders→customer edge (clean,
+    0 orphans) plus two RESTRICTED-dimension audits (customers in the
+    BUILDING segment, finished orders) that are non-zero on the fixtures, so
+    the oracle verifies real counts, never an all-zero vacuity."""
+    from raptor_spark.operators.profile import fk_orphans
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return fk_orphans(
+        [
+            ("orders->customer", orders, "o_custkey", customer, "c_custkey"),
+            (
+                "orders->customer[BUILDING]",
+                orders,
+                "o_custkey",
+                customer.filter(F.col("c_mktsegment") == "BUILDING"),
+                "c_custkey",
+            ),
+            (
+                "lineitem->orders[F]",
+                lineitem,
+                "l_orderkey",
+                orders.filter(F.col("o_orderstatus") == "F"),
+                "o_orderkey",
+            ),
+        ]
+    ).orderBy("relation")
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/curation.weighted_sample_topk, Efraimidis–Spirakis keys from
+    the content hash): top-20 docs weighted by length — quality-weighted
+    corpus subsampling that is bit-reproducible across engines."""
+    from raptor_spark.operators.curation import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample_topk(
+        docs, "doc_id", "text", F.col("n_chars").cast("double"), k=20
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("w").cast("long").alias("w"),
+        F.round("es_key", 6).alias("es_key"),
+    ).orderBy(F.desc("es_key"), F.asc("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -1544,6 +1594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_shards": q_corpus_shards,
         "lang_temperature_mix": q_lang_temperature_mix,
         "source_caps": q_source_caps,
+        "fk_integrity": q_fk_integrity,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -2896,6 +2948,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN rn <= 5 THEN n_chars END) AS BIGINT)
                      AS kept_chars
             FROM r GROUP BY source ORDER BY source
+        """,
+        "fk_integrity": """
+            WITH rel AS (
+              SELECT 'orders->customer' AS relation,
+                     (SELECT count(*) FROM orders) AS n_child,
+                     (SELECT count(*) FROM orders o
+                      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                        WHERE c.c_custkey = o.o_custkey))
+                       AS n_orphans
+              UNION ALL
+              SELECT 'orders->customer[BUILDING]',
+                     (SELECT count(*) FROM orders),
+                     (SELECT count(*) FROM orders o
+                      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                        WHERE c.c_mktsegment = 'BUILDING'
+                                          AND c.c_custkey = o.o_custkey))
+              UNION ALL
+              SELECT 'lineitem->orders[F]',
+                     (SELECT count(*) FROM lineitem),
+                     (SELECT count(*) FROM lineitem l
+                      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                        WHERE o.o_orderstatus = 'F'
+                                          AND o.o_orderkey = l.l_orderkey))
+            )
+            SELECT relation, n_child, n_orphans FROM rel ORDER BY relation
+        """,
+        "weighted_sample": f"""
+            WITH b AS (
+              SELECT doc_id, CAST(n_chars AS DOUBLE) AS w, md5(text) AS h
+              FROM documents
+            ), k AS (
+              SELECT doc_id, w,
+                     pow(((({hb('h', 1)}) * 256 + ({hb('h', 2)})) % 65536 + 1.0)
+                           / 65536.0,
+                         1.0 / w) AS es_key
+              FROM b
+            )
+            SELECT doc_id, CAST(w AS BIGINT) AS w,
+                   round(es_key, 6) AS es_key
+            FROM k ORDER BY es_key DESC, doc_id ASC LIMIT 20
         """,
     }
 

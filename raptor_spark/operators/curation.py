@@ -225,3 +225,29 @@ def ngram_contamination(
         .groupBy("id")
         .agg(F.count_distinct("s").alias("n_shared"))
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weight: Column,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row draws u ∈ (0, 1] from its CONTENT
+    hash (never ``rand()``), keys on u^(1/w), and the global top-k by key
+    is an exact weighted sample — rows with twice the weight are twice as
+    likely to survive, yet the selection is bit-reproducible across
+    engines, runs, and partitionings.
+
+    Scale shape: the key is a pure column expression; top-k is a
+    TakeOrderedAndProject (per-partition heap + driver merge of k·P rows),
+    never a full sort. Adds ``es_key``; ties broken by id downstream."""
+    u = (md5_bucket_col(F.col(text_col)) + 1.0) / 65536.0
+    key = F.pow(u, 1.0 / weight)
+    return (
+        df.select(F.col(id_col).alias("id"), weight.alias("w"), key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("id"))
+        .limit(k)
+    )

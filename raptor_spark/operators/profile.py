@@ -118,3 +118,29 @@ def funnel_stages(
         .agg(F.max("stage").alias("stage"))
         .select(F.col("u").alias(user_col), "stage")
     )
+
+
+def fk_orphans(
+    pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit over a star schema: for each
+    ``(name, child_df, child_key, parent_df, parent_key)`` relationship,
+    count child rows whose key has no parent — the FK check a 100 TB ingest
+    runs as an acceptance gate (≙ the reference's insert-time existence
+    checks against MySQL lineage, database.py:146-182).
+
+    Scale shape: one LEFT ANTI equi-join per relationship; parent key sets
+    are distinct-projected first so the join's build side is the key
+    column, not the dimension payload — for dimension-sized parents Spark
+    broadcasts it, for fact-sized parents AQE falls back to a shuffled
+    anti-join on the key. Output one row per relationship (tiny)."""
+    outs = []
+    for name, child, ck, parent, pk in pairs:
+        keys = parent.select(F.col(pk).alias(ck)).distinct()
+        orphans = child.select(ck).join(keys, ck, "left_anti")
+        outs.append(
+            child.select(F.count("*").alias("n_child"))
+            .crossJoin(orphans.select(F.count("*").alias("n_orphans")))
+            .select(F.lit(name).alias("relation"), "n_child", "n_orphans")
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)

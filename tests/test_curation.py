@@ -208,3 +208,30 @@ def test_cap_per_key_keeps_best_k(spark):
     out = cap_per_key(df, "source", [F.desc("n"), F.asc("id")], k=2)
     kept = {r["id"] for r in out.filter("kept").collect()}
     assert kept == {2, 3, 5}
+
+
+def test_weighted_sample_matches_python_recomputation(spark):
+    """The E-S top-k is bit-reproducible: ids, weights, and keys equal a
+    pure-Python recomputation from the same content hashes."""
+    import hashlib
+
+    from raptor_spark.operators.curation import weighted_sample_topk
+
+    rows = [(i, f"text number {i}", float(10 + (i * 7) % 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, text string, w double")
+    got = [
+        (r["id"], r["w"], r["es_key"])
+        for r in weighted_sample_topk(df, "id", "text", F.col("w"), k=15).collect()
+    ]
+
+    def key(text: str, w: float) -> float:
+        u = (int(hashlib.md5(text.encode()).hexdigest()[:4], 16) % 65536 + 1.0) / 65536.0
+        return u ** (1.0 / w)
+
+    want = sorted(
+        ((i, w, key(t, w)) for i, t, w in rows),
+        key=lambda x: (-x[2], x[0]),
+    )[:15]
+    assert [(i, w) for i, w, _ in got] == [(i, w) for i, w, _ in want]
+    for (_, _, a), (_, _, b) in zip(got, want):
+        assert abs(a - b) < 1e-12

@@ -133,3 +133,26 @@ def test_funnel_frontier_is_earliest_qualifying(spark):
            funnel_stages(df, "u", "t", "et", ["view", "click", "purchase"],
                          within_s=10.0).collect()}
     assert out == {1: 3}
+
+
+def test_fk_orphans_counts_known_orphans(spark):
+    """Orphan counts per relationship on a hand-built child/parent pair,
+    including a restricted-parent audit."""
+    import pyspark.sql.functions as F
+
+    from raptor_spark.operators.profile import fk_orphans
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 11), (4, 99)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10, "a"), (11, "b")], "pk long, grp string")
+    out = {
+        r["relation"]: (r["n_child"], r["n_orphans"])
+        for r in fk_orphans(
+            [
+                ("full", child, "fk", parent, "pk"),
+                ("only-a", child, "fk", parent.filter(F.col("grp") == "a"), "pk"),
+            ]
+        ).collect()
+    }
+    assert out == {"full": (4, 1), "only-a": (4, 2)}
