@@ -220,6 +220,7 @@ def cooccurrence_edges(
     text_col: str,
     vocab_size: int = 40,
     min_docs: int = 5,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Term co-occurrence edge construction over a document corpus — the
     text-side analogue of the KG edge builder (the reference links entities
@@ -256,6 +257,9 @@ def cooccurrence_edges(
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
+    if not checkpoint:
+        # lazy plan for inspection/composition; caller owns inc's lifetime
+        return pairs
     out = pairs.localCheckpoint()
     inc.unpersist()
     return out
