@@ -1511,6 +1511,50 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("es_key"), F.asc("doc_id"))
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the sketch scale path of
+    decontaminate_docs: the eval slice's 3-gram shingles are compressed to
+    a fixed ~128 KiB bitmap (curation.bloom_build) that probe jobs
+    broadcast instead of re-shipping the shingle strings
+    (curation.bloom_contamination; reference membership check:
+    qdrant_search_docker/api_insert.py:130-165). Same (id, n_flagged)
+    contract as the exact join, fp rate (set_bits/m)^3 ≈ 1e-5/shingle —
+    and the ORACLE replays the identical bitmap, so the comparison is
+    exact, false positives included."""
+    from raptor_spark.operators.curation import bloom_build, bloom_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    bloom = bloom_build(ev, "text", n=3)
+    out = bloom_contamination(tr, bloom, "doc_id", "text", n=3)
+    return out.select(
+        F.col("id").alias("doc_id"), F.col("n_flagged").cast("long").alias("n_flagged")
+    ).orderBy("doc_id")
+
+
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-contribution scoring (curation.shingle_novelty): per doc,
+    the fraction of its distinct 3-gram shingles it contributes first by
+    doc_id order — the deduped-token-count idea (Lee et al. 2022 §4) used
+    to rank ingestion value. Top-50 least-novel docs (the drop candidates),
+    ties by doc_id."""
+    from raptor_spark.operators.curation import shingle_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    out = shingle_novelty(docs, "doc_id", "text", n=3)
+    return (
+        out.select(
+            F.col("id").alias("doc_id"),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_novel").cast("long").alias("n_novel"),
+            "novelty",
+        )
+        .orderBy(F.asc("novelty"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -1596,6 +1640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_caps": q_source_caps,
         "fk_integrity": q_fk_integrity,
         "weighted_sample": q_weighted_sample,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "shingle_novelty": q_shingle_novelty,
     }
 
 
@@ -1614,6 +1660,18 @@ def oracle_sql() -> dict[str, str]:
             f"((strpos('0123456789abcdef', substr({h}, {2 * i - 1}, 1)) - 1) * 16"
             f" + (strpos('0123456789abcdef', substr({h}, {2 * i}, 1)) - 1))"
         )
+
+    def h20(h: str) -> str:
+        """First 5 hex chars of md5 varchar ``h`` as a 20-bit BIGINT — the
+        DuckDB replay of conv(substring(md5(..), 1, 5), 16, 10)
+        (operators/curation._bloom_pos)."""
+        e = f"(strpos('0123456789abcdef', substr({h}, 1, 1)) - 1)"
+        for i in range(2, 6):
+            e = (
+                f"(({e}) * 16 + "
+                f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1))"
+            )
+        return f"CAST({e} AS BIGINT)"
 
     return {
         "interval_argmax": f"""
@@ -2988,6 +3046,84 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(w AS BIGINT) AS w,
                    round(es_key, 6) AS es_key
             FROM k ORDER BY es_key DESC, doc_id ASC LIMIT 20
+        """,
+        "bloom_decontaminate": rf"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(ws) >= 3 THEN
+                       list_distinct([array_to_string(ws[i:i+2], ' ')
+                                      for i in generate_series(1, len(ws) - 2)])
+                     ELSE [array_to_string(ws, ' ')] END) AS s
+              FROM t
+            ), evh AS (
+              SELECT md5(s || '#bf1') AS h1, md5(s || '#bf2') AS h2,
+                     md5(s || '#bf3') AS h3
+              FROM (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+            ), evp AS (
+              SELECT unnest([({h20('h1')}) % 1048576,
+                             ({h20('h2')}) % 1048576,
+                             ({h20('h3')}) % 1048576]) AS pos
+              FROM evh
+            ), bloom AS (
+              SELECT pos // 63 AS word_idx,
+                     bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word
+              FROM evp GROUP BY 1
+            ), trh AS (
+              SELECT doc_id, s, md5(s || '#bf1') AS h1,
+                     md5(s || '#bf2') AS h2, md5(s || '#bf3') AS h3
+              FROM sh WHERE doc_id % 50 <> 0
+            ), trp AS (
+              SELECT doc_id, s,
+                     unnest([({h20('h1')}) % 1048576,
+                             ({h20('h2')}) % 1048576,
+                             ({h20('h3')}) % 1048576]) AS pos
+              FROM trh
+            ), probe AS (
+              SELECT p.doc_id, p.s,
+                     coalesce(((b.word >> CAST(p.pos % 63 AS INT)) & 1) = 1,
+                              false) AS hit
+              FROM trp p LEFT JOIN bloom b ON b.word_idx = p.pos // 63
+            ), flags AS (
+              SELECT doc_id, s,
+                     sum(CASE WHEN hit THEN 1 ELSE 0 END) = 3 AS flagged
+              FROM probe GROUP BY doc_id, s
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_flagged
+            FROM flags GROUP BY doc_id
+            HAVING sum(CASE WHEN flagged THEN 1 ELSE 0 END) > 0
+            ORDER BY doc_id
+        """,
+        "shingle_novelty": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(ws) >= 3 THEN
+                       list_distinct([array_to_string(ws[i:i+2], ' ')
+                                      for i in generate_series(1, len(ws) - 2)])
+                     ELSE [array_to_string(ws, ' ')] END) AS s
+              FROM t
+            ), f AS (
+              SELECT s, min(doc_id) AS first_id FROM sh GROUP BY s
+            ), per AS (
+              SELECT sh.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_shingles,
+                     CAST(sum(CASE WHEN f.first_id = sh.doc_id
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+              FROM sh JOIN f USING (s)
+              GROUP BY sh.doc_id
+            )
+            SELECT doc_id, n_shingles, n_novel,
+                   round(n_novel / CAST(n_shingles AS DOUBLE), 4) AS novelty
+            FROM per ORDER BY novelty ASC, doc_id ASC LIMIT 50
         """,
     }
 

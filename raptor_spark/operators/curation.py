@@ -251,3 +251,142 @@ def weighted_sample_topk(
         .orderBy(F.desc("es_key"), F.asc("id"))
         .limit(k)
     )
+
+
+# -- Bloom-filter membership (the sketch scale path of decontamination) ----
+#
+# ngram_contamination joins the training corpus against the eval set's
+# DISTINCT shingles — exact, but the eval side must be shipped (broadcast or
+# shuffled) as full shingle STRINGS. The Bloom form compresses the eval set
+# to a fixed-size bitmap (m bits ≈ 128 KiB at m=2^20) that any number of
+# downstream jobs can reuse: the reference's insert-time "have I seen this
+# content" check (qdrant_search_docker/api_insert.py:130-165) at corpus
+# scale. Words are 63-bit (not 64) so ``1 << bit`` never overflows a signed
+# BIGINT in either engine — DuckDB raises on 1::BIGINT << 63, and the oracle
+# must replay the exact same bitmap.
+
+BLOOM_WORD_BITS = 63
+
+
+def _bloom_pos(s: Column, i: int, m_bits: int) -> Column:
+    """i-th Bloom position of shingle ``s``: the first 5 hex chars (20 bits)
+    of md5(s || '#bf<i>'), mod m — reproducible byte-for-byte in SQL."""
+    h = F.md5(F.concat(s, F.lit(f"#bf{i}")))
+    return F.conv(F.substring(h, 1, 5), 16, 10).cast("long") % m_bits
+
+
+def bloom_build(
+    df: DataFrame, text_col: str, n: int = 3, m_bits: int = 1 << 20, k: int = 3
+) -> DataFrame:
+    """Build a Bloom bitmap over the word n-gram shingles of ``df`` as
+    (word_idx, word) rows: word_idx = pos // 63, word = OR of 1 << (pos % 63).
+
+    Scale shape: one shuffle (distinct shingles), one map-side-combining
+    bit_or aggregation; the output is ≤ m/63 rows (~16 k at m=2^20)
+    regardless of input size — mergeable across corpus shards by a further
+    bit_or, and always broadcastable to the probe side."""
+    from raptor_spark.operators.dedup import word_shingles_col
+
+    sh = df.select(
+        F.explode(word_shingles_col(F.col(text_col), n)).alias("s")
+    ).distinct()
+    pos = sh.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("s"), i, m_bits) for i in range(1, k + 1)])
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word_idx"),
+            F.expr(f"shiftleft(1L, CAST(pos % {BLOOM_WORD_BITS} AS INT))").alias("w1"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("w1").alias("word"))
+    )
+
+
+def bloom_contamination(
+    train: DataFrame,
+    bloom: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """(id, n_flagged) per training doc: how many of its distinct shingles
+    the Bloom filter claims are in the eval set (all k probe bits set).
+    Same output contract as ngram_contamination, with a false-positive rate
+    of (set_bits/m)^k (~1e-5 per shingle at the defaults) instead of an
+    exact join — the trade a 100 TB corpus makes to avoid re-shipping the
+    benchmark shingle set to every probe job.
+
+    Scale shape: the bitmap is broadcast (≤16 k rows); probes are k
+    broadcast-hash lookups per shingle, no shuffle of shingle strings; the
+    only wide op is the final per-doc count."""
+    from raptor_spark.operators.dedup import word_shingles_col
+
+    sh = train.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles_col(F.col(text_col), n)).alias("s"),
+    )
+    pos = sh.select(
+        "id",
+        "s",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("s"), i, m_bits) for i in range(1, k + 1)])
+        ).alias("pos"),
+    ).select(
+        "id",
+        "s",
+        F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word_idx"),
+        F.expr(f"CAST(pos % {BLOOM_WORD_BITS} AS INT)").alias("bit"),
+    )
+    probed = pos.join(F.broadcast(bloom), "word_idx", "left").select(
+        "id",
+        "s",
+        F.coalesce(
+            F.expr("(shiftright(word, bit) & 1L) = 1L"), F.lit(False)
+        ).alias("hit"),
+    )
+    per_shingle = probed.groupBy("id", "s").agg(
+        (F.sum(F.col("hit").cast("int")) == k).alias("flagged")
+    )
+    return (
+        per_shingle.groupBy("id")
+        .agg(F.sum(F.col("flagged").cast("long")).alias("n_flagged"))
+        .filter(F.col("n_flagged") > 0)
+    )
+
+
+def shingle_novelty(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-doc novelty: of the doc's distinct word n-grams, how many does it
+    contribute FIRST (by ascending id)? Corpus pipelines score marginal
+    value this way — "new token fraction" — to order ingestion and drop
+    docs whose content is already covered (the deduped-token-count idea of
+    Lee et al. 2022 §4, applied at doc granularity).
+
+    Scale shape: one groupBy shingle (min id — map-side combinable), one
+    equi-join back on the shingle to label novelty, one per-doc count.
+    Never all-pairs; the shingle strings shuffle once."""
+    from raptor_spark.operators.dedup import word_shingles_col
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles_col(F.col(text_col), n)).alias("s"),
+    )
+    first = sh.groupBy("s").agg(F.min("id").alias("first_id"))
+    return (
+        sh.join(first, "s")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("first_id") == F.col("id")).cast("long")).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 4),
+        )
+    )

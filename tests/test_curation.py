@@ -235,3 +235,78 @@ def test_weighted_sample_matches_python_recomputation(spark):
     assert [(i, w) for i, w, _ in got] == [(i, w) for i, w, _ in want]
     for (_, _, a), (_, _, b) in zip(got, want):
         assert abs(a - b) < 1e-12
+
+
+def test_bloom_contamination_superset_of_exact(spark):
+    """Bloom membership has NO false negatives: every (id, shingle) the
+    exact join flags is flagged by the filter too, so per-doc n_flagged >=
+    n_shared; and the false-positive overshoot is tiny at the default
+    (m=2^20, k=3) sizing."""
+    from raptor_spark.operators.curation import (
+        bloom_build,
+        bloom_contamination,
+        ngram_contamination,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+
+    exact = {
+        r["id"]: r["n_shared"]
+        for r in ngram_contamination(tr, ev, "doc_id", "text", n=3).collect()
+    }
+    bloom = bloom_build(ev, "text", n=3)
+    got = {
+        r["id"]: r["n_flagged"]
+        for r in bloom_contamination(bloom=bloom, train=tr, id_col="doc_id",
+                                     text_col="text", n=3).collect()
+    }
+
+    assert set(exact) <= set(got)
+    for i, n in exact.items():
+        assert got[i] >= n, (i, got[i], n)
+    overshoot = sum(got.values()) - sum(exact.values())
+    assert overshoot <= max(2, len(exact) // 20), overshoot
+
+
+def test_bloom_bitmap_is_mergeable_and_bounded(spark):
+    """Building over two disjoint halves and bit_or-merging the bitmaps
+    equals building over the union (the shard-merge path); words stay in
+    the non-negative 63-bit domain so the oracle's 1<<bit never overflows."""
+    from raptor_spark.operators.curation import bloom_build
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") % 50 == 0
+    )
+    a = bloom_build(docs.filter(F.col("doc_id") % 100 == 0), "text")
+    b = bloom_build(docs.filter(F.col("doc_id") % 100 != 0), "text")
+    merged = (
+        a.unionByName(b)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    full = bloom_build(docs, "text")
+    m = {r["word_idx"]: r["word"] for r in merged.collect()}
+    f = {r["word_idx"]: r["word"] for r in full.collect()}
+    assert m == f
+    assert all(w >= 0 for w in f.values())
+
+
+def test_shingle_novelty_conserves_first_contributions(spark):
+    """Sum of n_novel over docs == number of distinct shingles in the
+    corpus (each shingle is 'novel' exactly once), and the lowest-id doc
+    is fully novel."""
+    from raptor_spark.operators.dedup import word_shingles_col
+    from raptor_spark.operators.curation import shingle_novelty
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+    out = shingle_novelty(docs, "doc_id", "text", n=3).collect()
+    total_novel = sum(r["n_novel"] for r in out)
+    n_distinct = (
+        docs.select(F.explode(word_shingles_col(F.col("text"), 3)).alias("s"))
+        .select("s").distinct().count()
+    )
+    assert total_novel == n_distinct
+    first = min(out, key=lambda r: r["id"])
+    assert first["n_novel"] == first["n_shingles"] and first["novelty"] == 1.0

@@ -207,3 +207,17 @@ def test_round2_audit_query_plans_stay_clean(spark):
                  "source_caps", "fk_integrity", "weighted_sample"):
         p = plan_str(QUERIES[name](spark, SF_DIR))
         assert "BatchEvalPython" not in p and "PythonUDF" not in p, name
+
+
+def test_bloom_and_novelty_plans(spark):
+    """The Bloom probe side is a broadcast lookup (the bitmap is <=16k rows
+    by construction — never a shuffled join), and both curation queries
+    stay JVM-side end to end."""
+    p = plan_str(QUERIES["bloom_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p[:800]
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
+    assert "CartesianProduct" not in p
+
+    p = plan_str(QUERIES["shingle_novelty"](spark, SF_DIR))
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
+    assert "CartesianProduct" not in p
