@@ -77,6 +77,8 @@ def main() -> None:
         "span_dedup",
         "embedding_clusters",
         "semdedup_prune",
+        "bloom_decontaminate",
+        "shingle_novelty",
     ]
     timings: dict[str, float] = {}
     for name in bench_queries:
