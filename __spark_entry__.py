@@ -1555,6 +1555,39 @@ def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-based quality gating (curation.quantile_gate): drop each
+    language's bottom quartile by length — per-group exact-percentile
+    threshold broadcast back onto the fact side (never a global cutoff,
+    never a shuffle of the corpus). Output per lang: survivors, threshold,
+    and the kept minimum (≥ threshold by construction)."""
+    from raptor_spark.operators.curation import quantile_gate
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = quantile_gate(docs, "lang", "n_chars", q=0.25)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.first("q_thr"), 4).alias("threshold"),
+            F.min("n_chars").alias("min_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the length distribution per source
+    against the src0 slice (operators/profile.psi_drift) — the drift
+    monitor a continuously-ingesting corpus runs per source/day. src0
+    scores exactly 0 on its own grid; every other source is scored on the
+    SAME reference deciles."""
+    from raptor_spark.operators.profile import psi_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return psi_drift(docs, "source", "n_chars", "src0").orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -1642,6 +1675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "bloom_decontaminate": q_bloom_decontaminate,
         "shingle_novelty": q_shingle_novelty,
+        "quality_gate": q_quality_gate,
+        "source_drift_psi": q_source_drift_psi,
     }
 
 
@@ -3124,6 +3159,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_shingles, n_novel,
                    round(n_novel / CAST(n_shingles AS DOUBLE), 4) AS novelty
             FROM per ORDER BY novelty ASC, doc_id ASC LIMIT 50
+        """,
+        "quality_gate": """
+            WITH thr AS (
+              SELECT lang, quantile_cont(n_chars, 0.25) AS q_thr
+              FROM documents GROUP BY lang
+            )
+            SELECT d.lang,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   round(any_value(t.q_thr), 4) AS threshold,
+                   CAST(min(d.n_chars) AS BIGINT) AS min_kept
+            FROM documents d JOIN thr t USING (lang)
+            WHERE d.n_chars >= t.q_thr
+            GROUP BY d.lang ORDER BY d.lang
+        """,
+        "source_drift_psi": """
+            WITH cuts AS (
+              SELECT quantile_cont(n_chars,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+              FROM documents WHERE source = 'src0'
+            ), b AS (
+              SELECT source,
+                     len(list_filter(cs, c -> c <= n_chars)) AS bucket
+              FROM documents, cuts
+            ), cnt AS (
+              SELECT source, bucket, count(*) AS cnt FROM b GROUP BY 1, 2
+            ), grid AS (
+              SELECT s.source, g.bucket
+              FROM (SELECT DISTINCT source FROM documents) s,
+                   (SELECT unnest(generate_series(0, 9)) AS bucket) g
+            ), filled AS (
+              SELECT grid.source, grid.bucket,
+                     coalesce(cnt.cnt, 0) AS cnt
+              FROM grid LEFT JOIN cnt USING (source, bucket)
+            ), tot AS (
+              SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs
+              FROM filled GROUP BY source
+            ), p AS (
+              SELECT f.source, f.bucket, t.n_docs,
+                     (f.cnt + 0.5) / (t.n_docs + 5.0) AS p
+              FROM filled f JOIN tot t USING (source)
+            ), r AS (
+              SELECT bucket, p AS p_ref FROM p WHERE source = 'src0'
+            )
+            SELECT p.source,
+                   CAST(any_value(p.n_docs) AS BIGINT) AS n_docs,
+                   round(sum((p.p - r.p_ref) * ln(p.p / r.p_ref)), 4) AS psi
+            FROM p JOIN r USING (bucket)
+            GROUP BY p.source ORDER BY p.source
         """,
     }
 

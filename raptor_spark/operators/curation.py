@@ -390,3 +390,24 @@ def shingle_novelty(
             F.round(F.col("n_novel") / F.col("n_shingles"), 4),
         )
     )
+
+
+def quantile_gate(
+    df: DataFrame, key_col: str, value_col: str, q: float = 0.25
+) -> DataFrame:
+    """Keep the rows at/above their group's exact q-quantile of
+    ``value_col`` (threshold attached as ``q_thr``) — distribution-based
+    quality gating ("drop the bottom quartile per language"), the
+    per-group twin of a global score cutoff. Exact linear-interpolation
+    percentile; swap in approx_percentile at the >10^9-rows-per-group tier
+    (operators/sketch.py) — same shape, bounded error.
+
+    Scale shape: one per-group aggregate (rows: #groups — always
+    broadcastable) + one broadcast equi-join; the fact side never
+    shuffles."""
+    thr = df.groupBy(key_col).agg(
+        F.expr(f"percentile({value_col}, {q})").alias("q_thr")
+    )
+    return df.join(F.broadcast(thr), key_col).filter(
+        F.col(value_col) >= F.col("q_thr")
+    )

@@ -144,3 +144,72 @@ def fk_orphans(
             .select(F.lit(name).alias("relation"), "n_child", "n_orphans")
         )
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def psi_drift(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ref_value: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index of ``value_col``'s distribution per
+    ``key_col`` slice against the ``ref_value`` slice — the drift monitor a
+    continuously-ingesting corpus runs per source/day (PSI < 0.1 stable,
+    > 0.25 actionable). Buckets are the reference slice's deciles, so the
+    reference's own PSI is exactly 0 and every slice is scored on the SAME
+    grid.
+
+    Scale shape: the cut points are one n_buckets-1 element row (broadcast
+    to every probe row — never a per-row subquery); bucket assignment is a
+    JVM-side array filter; the only shuffles are the (key, bucket) count
+    and the per-key roll-up. Zero-count buckets are materialized from an
+    exploded sequence (a missing bucket must still contribute to the sum)
+    and Laplace-smoothed (+0.5) so the log term is always finite.
+    """
+    probs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
+    cuts = (
+        df.filter(F.col(key_col) == ref_value)
+        .agg(F.expr(f"percentile({value_col}, array({probs}))").alias("cuts"))
+    )
+    bucketed = (
+        df.join(F.broadcast(cuts))
+        .select(
+            F.col(key_col).alias("k"),
+            F.size(
+                F.filter("cuts", lambda c: c <= F.col(value_col))
+            ).alias("bucket"),
+        )
+        .groupBy("k", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    keys = df.select(F.col(key_col).alias("k")).distinct()
+    grid = keys.crossJoin(
+        df.sparkSession.range(1)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("bucket"))
+    )
+    filled = (
+        grid.join(bucketed, ["k", "bucket"], "left")
+        .select("k", "bucket", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    tot = filled.groupBy("k").agg(F.sum("cnt").alias("n_docs"))
+    p = filled.join(F.broadcast(tot), "k").select(
+        "k",
+        "bucket",
+        "n_docs",
+        ((F.col("cnt") + 0.5) / (F.col("n_docs") + 0.5 * n_buckets)).alias("p"),
+    )
+    ref = p.filter(F.col("k") == ref_value).select(
+        "bucket", F.col("p").alias("p_ref")
+    )
+    return (
+        p.join(F.broadcast(ref), "bucket")
+        .groupBy("k", "n_docs")
+        .agg(
+            F.round(
+                F.sum((F.col("p") - F.col("p_ref")) * F.log(F.col("p") / F.col("p_ref"))),
+                4,
+            ).alias("psi")
+        )
+        .select(F.col("k").alias(key_col), F.col("n_docs").cast("long").alias("n_docs"), "psi")
+    )

@@ -310,3 +310,37 @@ def test_shingle_novelty_conserves_first_contributions(spark):
     assert total_novel == n_distinct
     first = min(out, key=lambda r: r["id"])
     assert first["n_novel"] == first["n_shingles"] and first["novelty"] == 1.0
+
+
+def test_quantile_gate_keeps_top_three_quartiles(spark):
+    """Survivors are exactly the rows >= their group's interpolated p25,
+    and every survivor carries a threshold it satisfies."""
+    from raptor_spark.operators.curation import quantile_gate
+
+    rows = [("a", i) for i in [10, 20, 30, 40, 50]] + [("b", i) for i in [1, 2, 3, 4]]
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = quantile_gate(df, "k", "v", q=0.25).collect()
+    # p25(a) = 20 (exact order stat), p25(b) = 1.75 (interpolated)
+    kept = sorted((r["k"], r["v"]) for r in out)
+    assert kept == [("a", 20), ("a", 30), ("a", 40), ("a", 50),
+                    ("b", 2), ("b", 3), ("b", 4)]
+    assert all(r["v"] >= r["q_thr"] for r in out)
+
+
+def test_psi_drift_zero_on_reference_and_orders_shift(spark):
+    """The reference slice scores exactly 0 on its own grid; an identically
+    distributed slice scores near 0; a location-shifted slice scores
+    strictly higher."""
+    from raptor_spark.operators.profile import psi_drift
+
+    rows = (
+        [("ref", float(i % 100)) for i in range(1000)]
+        + [("same", float((i * 7) % 100)) for i in range(1000)]
+        + [("shift", 100.0 + float(i % 100)) for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r["k"]: r["psi"] for r in psi_drift(df, "k", "v", "ref").collect()}
+    assert got["ref"] == 0.0
+    assert got["same"] < 0.05
+    assert got["shift"] > 1.0
+    assert got["shift"] > got["same"]

@@ -221,3 +221,17 @@ def test_bloom_and_novelty_plans(spark):
     p = plan_str(QUERIES["shingle_novelty"](spark, SF_DIR))
     assert "BatchEvalPython" not in p and "PythonUDF" not in p
     assert "CartesianProduct" not in p
+
+
+def test_quality_gate_and_psi_plans(spark):
+    """The per-group threshold and the decile grid are broadcast (tiny by
+    construction); neither query falls into CartesianProduct or
+    row-at-a-time Python."""
+    p = plan_str(QUERIES["quality_gate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p[:800]
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
+
+    p = plan_str(QUERIES["source_drift_psi"](spark, SF_DIR))
+    assert "CartesianProduct" not in p, p[:800]
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
