@@ -8,7 +8,9 @@
 #
 # Usage: BENCH/run_scaling.sh [N] [FILES] [MODE]
 #        (defaults N=2 → 2 vs 8 cores, FILES=200000, MODE=extract;
-#         MODE=dedup runs MinHash+LSH near-dup pairs instead)
+#         MODE=dedup runs MinHash+LSH near-dup pairs instead;
+#         MODE=curation runs Bloom-filter decontamination — use the full
+#         200k corpus, smaller inputs under-drive it, see BASELINE.md)
 #
 # Default N=2: the sandbox box reports 32 logical CPUs (16 physical) and
 # boosts clocks when few cores are busy, so comparisons that cross the SMT

@@ -28,7 +28,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="parquet dir of the files corpus")
     ap.add_argument(
-        "--mode", default="extract", choices=["extract", "pipeline", "dedup"]
+        "--mode",
+        default="extract",
+        choices=["extract", "pipeline", "dedup", "curation"],
     )
     ap.add_argument("--output", default="", help="pipeline mode: output dir")
     args = ap.parse_args()
@@ -74,6 +76,25 @@ def main() -> None:
                 docs, "doc_id", "text", n_hashes=32, n_bands=16,
                 shingle_n=2, jaccard_threshold=0.5,
             ).count()
+        if args.mode == "curation":
+            # Bloom-filter decontamination over the corpus content — build
+            # the bitmap from a 2% eval slice, probe the rest (the sketch
+            # face of the same two-cluster-size gate)
+            from pyspark.sql import functions as F
+
+            from raptor_spark.operators.curation import (
+                bloom_build,
+                bloom_contamination,
+            )
+
+            docs = files.select(
+                F.xxhash64("repo", "path").alias("doc_id"),
+                F.col("content").alias("text"),
+            )
+            ev = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) == 0)
+            tr = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) != 0)
+            bloom = bloom_build(ev, "text", n=3)
+            return bloom_contamination(tr, bloom, "doc_id", "text", n=3).count()
         from raptor_spark.pipeline import Pipeline
 
         out = Pipeline(spark, args.output).run(files)
