@@ -82,3 +82,40 @@ def test_exact_dedup_partition_invariant(spark, docs):
              for r in exact_dedup(d, "doc_id", "text").collect()}
         )
     assert results[0] == results[1] == results[2]
+
+
+def test_bloom_and_novelty_partition_invariant(spark, docs):
+    """Bloom flags, novelty fractions, quantile thresholds, and PSI scores
+    are pure content functions — identical under any layout."""
+    from raptor_spark.operators.curation import (
+        bloom_build,
+        bloom_contamination,
+        quantile_gate,
+        shingle_novelty,
+    )
+    from raptor_spark.operators.profile import psi_drift
+
+    flags, novel, gate, psi = [], [], [], []
+    for d in _layouts(docs):
+        ev = d.filter(F.col("doc_id") % 50 == 0)
+        tr = d.filter(F.col("doc_id") % 50 != 0)
+        bloom = bloom_build(ev, "text")
+        flags.append(
+            {(r.id, r.n_flagged)
+             for r in bloom_contamination(tr, bloom, "doc_id", "text").collect()}
+        )
+        novel.append(
+            {(r.id, r.n_shingles, r.n_novel)
+             for r in shingle_novelty(d, "doc_id", "text").collect()}
+        )
+        gate.append(
+            {(r.lang, r.doc_id)
+             for r in quantile_gate(d, "lang", "n_chars").select("lang", "doc_id").collect()}
+        )
+        psi.append(
+            {(r.source, round(r.psi, 9))
+             for r in psi_drift(d, "source", "n_chars", "src0").collect()}
+        )
+    for results in (flags, novel, gate, psi):
+        assert results[0] == results[1] == results[2]
+        assert results[0], "empty result — invariance is vacuous"
