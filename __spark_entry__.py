@@ -1588,6 +1588,40 @@ def q_source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(docs, "source", "n_chars", "src0").orderBy("source")
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM perplexity per document
+    (curation.lm_perplexity): add-0.5-smoothed bigram model trained on the
+    corpus itself, ppl = exp(-mean ln p). The statistical quality filter of
+    Wenzek et al. 2020 — low ppl = fluent/templated, high ppl = noise."""
+    from raptor_spark.operators.curation import lm_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    out = lm_perplexity(docs, "doc_id", "text", alpha=0.5)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        "ppl",
+    ).orderBy("doc_id")
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final decision (dedup.cluster_representatives):
+    exact-Jaccard pairs → transitive clusters → keep the longest doc per
+    cluster (ties to the smallest id), singletons keep themselves. The
+    kept_ids are the deduped corpus — end-to-end pinned against a DuckDB
+    recursive-CTE + window oracle."""
+    from raptor_spark.operators.dedup import cluster_representatives, near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
+    clusters = near_dup_clusters(pairs)
+    scored = docs.select(
+        F.col("doc_id").alias("id"),
+        F.length("text").cast("long").alias("score"),
+    )
+    return cluster_representatives(scored, clusters).orderBy("cluster")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -1677,6 +1711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_novelty": q_shingle_novelty,
         "quality_gate": q_quality_gate,
         "source_drift_psi": q_source_drift_psi,
+        "lm_perplexity": q_lm_perplexity,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -3207,6 +3243,72 @@ def oracle_sql() -> dict[str, str]:
                    round(sum((p.p - r.p_ref) * ln(p.p / r.p_ref)), 4) AS psi
             FROM p JOIN r USING (bucket)
             GROUP BY p.source ORDER BY p.source
+        """,
+        "lm_perplexity": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x != '') AS ws
+              FROM documents
+            ), b0 AS (
+              SELECT doc_id,
+                     unnest([struct_pack(w1 := ws[i], w2 := ws[i+1])
+                             for i in generate_series(1, len(ws) - 1)]) AS p
+              FROM w WHERE len(ws) >= 2
+            ), bg AS (
+              SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM b0
+            ), bgc AS (
+              SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2
+            ), ctx AS (
+              SELECT w1, sum(n_ab) AS n_ctx FROM bgc GROUP BY w1
+            ), voc AS (
+              SELECT count(DISTINCT wd) AS v
+              FROM (SELECT unnest(ws) AS wd FROM w)
+            )
+            SELECT bg.doc_id AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(exp(-avg(ln((bgc.n_ab + 0.5) /
+                                     (ctx.n_ctx + 0.5 * voc.v)))), 4) AS ppl
+            FROM bg
+            JOIN bgc USING (w1, w2)
+            JOIN ctx USING (w1)
+            CROSS JOIN voc
+            GROUP BY bg.doc_id ORDER BY doc_id
+        """,
+        "dedup_keep_best": r"""
+            WITH RECURSIVE w AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
+              FROM documents WHERE doc_id < 150
+            ), p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM w a JOIN w b ON a.doc_id < b.doc_id
+              WHERE len(list_filter(a.ws, x -> list_contains(b.ws, x))) * 1.0 /
+                    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+            ), e AS (
+              SELECT a AS s, b AS d FROM p UNION SELECT b AS s, a AS d FROM p
+            ), r AS (
+              SELECT s, d FROM e
+              UNION
+              SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
+            ), cl AS (
+              SELECT s AS id, least(s, min(d)) AS cluster FROM r GROUP BY s
+            ), dd AS (
+              SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS score
+              FROM documents WHERE doc_id < 150
+            ), lab AS (
+              SELECT dd.id, dd.score, coalesce(cl.cluster, dd.id) AS cluster
+              FROM dd LEFT JOIN cl ON dd.id = cl.id
+            ), rk AS (
+              SELECT cluster, id, score,
+                     row_number() OVER (PARTITION BY cluster
+                                        ORDER BY score DESC, id ASC) AS rk,
+                     CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT)
+                       AS n_members
+              FROM lab
+            )
+            SELECT cluster, id AS kept_id, score AS kept_score, n_members
+            FROM rk WHERE rk = 1 ORDER BY cluster
         """,
     }
 

@@ -402,6 +402,76 @@ def shingle_novelty(
     )
 
 
+def lm_perplexity(
+    df: DataFrame, id_col: str, text_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): perplexity of
+    each document under an add-alpha-smoothed bigram model trained on the
+    corpus itself — the classic "does this read like the reference corpus"
+    curation filter (low ppl = fluent/boilerplate, high ppl = noise), the
+    statistical stand-in for the reference's model-based relevance scoring
+    (qdrant_search_docker/api_document_search_with_cache.py:157-237).
+
+    p(w2|w1) = (c(w1,w2) + alpha) / (c(w1·) + alpha·V) with c over corpus
+    bigram counts, c(w1·) the bigram-context total derived FROM the bigram
+    counts (no second corpus aggregation), and V the unigram vocabulary.
+    ppl(doc) = exp(-mean ln p over the doc's bigrams, with multiplicity).
+    Docs with < 2 words have no bigrams and drop out (score undefined).
+
+    Scale shape: one explode+groupBy for bigram counts (map-side
+    combinable), context totals re-aggregated from that vocabulary-sized
+    table (not from the corpus), scoring is the bigram explode joined to
+    two vocabulary-sized count tables (AQE broadcasts them when they fit)
+    + one per-doc aggregate. The corpus shuffles once, as (id, bigram)
+    rows; everything else is vocabulary-scale."""
+    from raptor_spark.functions import bind_col
+    from raptor_spark.operators.text import words_col
+
+    def _bigrams(w: Column) -> Column:
+        return F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.concat_ws(
+                    "\x01", F.element_at(w, i + 1), F.element_at(w, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    doc_bg = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(bind_col(words_col(F.col(text_col)), _bigrams)).alias("bg"),
+    )
+    bg_counts = doc_bg.groupBy("bg").agg(F.count("*").alias("n_ab"))
+    ctx = (
+        bg_counts.select(
+            F.split_part(F.col("bg"), F.lit("\x01"), F.lit(1)).alias("w1"), "n_ab"
+        )
+        .groupBy("w1")
+        .agg(F.sum("n_ab").alias("n_ctx"))
+    )
+    vocab = df.select(
+        F.explode(words_col(F.col(text_col))).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+    scored = (
+        doc_bg.join(bg_counts, "bg")
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit("\x01"), F.lit(1)))
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            F.log(
+                (F.col("n_ab") + F.lit(alpha))
+                / (F.col("n_ctx") + F.lit(alpha) * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.exp(-F.avg("lp")), 4).alias("ppl"),
+    )
+
+
 def quantile_gate(
     df: DataFrame, key_col: str, value_col: str, q: float = 0.25
 ) -> DataFrame:

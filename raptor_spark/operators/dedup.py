@@ -357,6 +357,45 @@ def near_dup_clusters(pairs: DataFrame) -> DataFrame:
     )
 
 
+def cluster_representatives(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "id", score_col: str = "score"
+) -> DataFrame:
+    """Keep-best-per-duplicate-group — the decision step that finishes a
+    dedup pipeline: given per-doc scores and the (id, cluster) assignment
+    from near_dup_clusters, emit one representative per cluster (highest
+    score, ties to the smallest id) plus the member count. Docs absent from
+    ``clusters`` are singletons (cluster = own id), so the output is a
+    complete keep-list: its kept_ids ARE the deduped corpus. Generalizes
+    the reference's insert-or-skip keep-one choice (qdrant_search_docker/
+    api_insert.py:130-165) from "first seen wins" to "best quality wins".
+
+    Scale shape: ``clusters`` is pair-derived (tiny vs the corpus) so the
+    left join broadcasts; one shuffle on cluster serves both window
+    functions (rank + member count). The corpus never self-joins."""
+    from pyspark.sql import Window
+
+    base = docs.select(F.col(id_col).alias("id"), F.col(score_col).alias("score"))
+    lab = base.join(clusters, "id", "left").withColumn(
+        "cluster", F.coalesce(F.col("cluster"), F.col("id"))
+    )
+    byc = Window.partitionBy("cluster")
+    ranked = lab.select(
+        "cluster",
+        "id",
+        "score",
+        F.row_number()
+        .over(byc.orderBy(F.desc("score"), F.asc("id")))
+        .alias("rk"),
+        F.count("*").over(byc).alias("n_members"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "cluster",
+        F.col("id").alias("kept_id"),
+        F.col("score").alias("kept_score"),
+        "n_members",
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     id_col: str,

@@ -327,6 +327,44 @@ def test_quantile_gate_keeps_top_three_quartiles(spark):
     assert all(r["v"] >= r["q_thr"] for r in out)
 
 
+def test_lm_perplexity_matches_python_recomputation(spark):
+    """ppl on a tiny hand corpus equals a pure-Python recomputation of the
+    add-alpha bigram model, and a repeated/templated doc scores LOWER
+    perplexity than a one-off-word doc (the CCNet filter direction)."""
+    import math
+    from collections import Counter
+
+    from raptor_spark.operators.curation import lm_perplexity
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the mat",
+        3: "zebra quark vortex nimbus ember",
+        4: "the dog sat on the rug",
+    }
+    df = spark.createDataFrame(list(texts.items()), "id long, text string")
+    out = {r["id"]: r for r in lm_perplexity(df, "id", "text").collect()}
+
+    # pure-Python model
+    alpha = 0.5
+    doc_words = {i: t.split() for i, t in texts.items()}
+    bgc: Counter = Counter()
+    for ws in doc_words.values():
+        bgc.update(zip(ws, ws[1:]))
+    ctx: Counter = Counter()
+    for (w1, _), n in bgc.items():
+        ctx[w1] += n
+    vocab = len({w for ws in doc_words.values() for w in ws})
+    for i, ws in doc_words.items():
+        bgs = list(zip(ws, ws[1:]))
+        nll = -sum(
+            math.log((bgc[b] + alpha) / (ctx[b[0]] + alpha * vocab)) for b in bgs
+        ) / len(bgs)
+        assert out[i]["n_bigrams"] == len(bgs)
+        assert out[i]["ppl"] == pytest.approx(round(math.exp(nll), 4), abs=1e-4)
+    assert out[1]["ppl"] < out[3]["ppl"]  # templated beats noise
+
+
 def test_psi_drift_zero_on_reference_and_orders_shift(spark):
     """The reference slice scores exactly 0 on its own grid; an identically
     distributed slice scores near 0; a location-shifted slice scores

@@ -121,6 +121,29 @@ def test_near_dup_clusters_match_union_find(spark, docs):
     pairs.unpersist()
 
 
+def test_cluster_representatives_keep_best(spark):
+    """Hand fixture: chain cluster {1,2,3}, pair {10,11}, singleton 20.
+    The representative is the max-score member (ties to min id), member
+    counts are exact, singletons keep themselves, and the kept_ids union
+    covers every cluster exactly once."""
+    from raptor_spark.operators.dedup import cluster_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 2), (20, 7)],
+        "id long, score long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "id long, cluster long"
+    )
+    got = {
+        r["cluster"]: (r["kept_id"], r["kept_score"], r["n_members"])
+        for r in cluster_representatives(docs, clusters).collect()
+    }
+    # cluster 1: scores 5,9,9 -> id 2 wins the 9-tie; cluster 10: id 10 (4>2);
+    # singleton 20 keeps itself with n_members=1
+    assert got == {1: (2, 9, 3), 10: (10, 4, 2), 20: (20, 7, 1)}
+
+
 def test_prefix_filtered_candidates_equal_exhaustive(spark, docs):
     """Prefix filtering must be lossless: the default (prefix-filtered)
     candidate generation yields exactly the pairs of an exhaustive

@@ -119,3 +119,37 @@ def test_bloom_and_novelty_partition_invariant(spark, docs):
     for results in (flags, novel, gate, psi):
         assert results[0] == results[1] == results[2]
         assert results[0], "empty result — invariance is vacuous"
+
+
+def test_lm_perplexity_and_keep_best_partition_invariant(spark, docs):
+    """LM perplexity (rounded output — the per-doc log-prob mean is summed
+    in partition order, so the 4-dp rounding is the contract surface) and
+    the keep-best representative choice are layout-independent."""
+    from raptor_spark.operators.curation import lm_perplexity
+    from raptor_spark.operators.dedup import (
+        cluster_representatives,
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    ppl, kept = [], []
+    for d in _layouts(docs):
+        ppl.append(
+            {(r.id, r.n_bigrams, r.ppl)
+             for r in lm_perplexity(d, "doc_id", "text").collect()}
+        )
+        sub = d.filter(F.col("doc_id") < 150)
+        clusters = near_dup_clusters(
+            ngram_jaccard_pairs(sub, "doc_id", "text", n=1, threshold=0.8)
+        )
+        scored = sub.select(
+            F.col("doc_id").alias("id"),
+            F.length("text").cast("long").alias("score"),
+        )
+        kept.append(
+            {(r.cluster, r.kept_id, r.n_members)
+             for r in cluster_representatives(scored, clusters).collect()}
+        )
+    for results in (ppl, kept):
+        assert results[0] == results[1] == results[2]
+        assert results[0], "empty result — invariance is vacuous"
