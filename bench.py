@@ -79,6 +79,7 @@ def main() -> None:
         "semdedup_prune",
         "bloom_decontaminate",
         "shingle_novelty",
+        "lm_perplexity",
     ]
     timings: dict[str, float] = {}
     for name in bench_queries:

@@ -223,6 +223,21 @@ def test_bloom_and_novelty_plans(spark):
     assert "CartesianProduct" not in p
 
 
+def test_lm_perplexity_and_keep_best_plans(spark):
+    """LM scoring stays JVM-side with no cartesian expansion (the vocab
+    scalar arrives via a 1-row broadcast, never a shuffle), and the
+    keep-best window query never self-joins the corpus."""
+    p = plan_str(QUERIES["lm_perplexity"](spark, SF_DIR))
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p, p[:800]  # the vocab scalar
+
+    p = plan_str(QUERIES["dedup_keep_best"](spark, SF_DIR))
+    assert "BatchEvalPython" not in p and "PythonUDF" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p, p[:800]
+
+
 def test_quality_gate_and_psi_plans(spark):
     """The per-group threshold and the decile grid are broadcast (tiny by
     construction); neither query falls into CartesianProduct or
