@@ -1604,6 +1604,26 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (similarity.hard_negatives): per
+    query vector, the cosine-rank band (5, 10] — below the positives,
+    above random — the negative pool for retrieval-model training data."""
+    from raptor_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    out = hard_negatives(corpus, qs, k_skip=5, k_take=5)
+    return out.select(
+        "qid",
+        "id",
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("qid", "rank")
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's final decision (dedup.cluster_representatives):
     exact-Jaccard pairs → transitive clusters → keep the longest doc per
@@ -1713,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_drift_psi": q_source_drift_psi,
         "lm_perplexity": q_lm_perplexity,
         "dedup_keep_best": q_dedup_keep_best,
+        "hard_negatives": q_hard_negatives,
     }
 
 
@@ -3309,6 +3330,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cluster, id AS kept_id, score AS kept_score, n_members
             FROM rk WHERE rk = 1 ORDER BY cluster
+        """,
+        "hard_negatives": """
+            WITH q AS (
+              SELECT vec_id AS qid, embedding AS qv
+              FROM embeddings WHERE vec_id < 5
+            ), s AS (
+              SELECT q.qid, e.vec_id AS id,
+                     list_cosine_similarity(e.embedding, q.qv) AS cos
+              FROM embeddings e CROSS JOIN q
+            ), r AS (
+              SELECT qid, id, cos,
+                     row_number() OVER (PARTITION BY qid
+                                        ORDER BY cos DESC, id ASC) AS rk
+              FROM s
+            )
+            SELECT qid, id, round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rank
+            FROM r WHERE rk > 5 AND rk <= 10
+            ORDER BY qid, rk
         """,
     }
 

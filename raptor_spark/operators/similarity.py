@@ -90,6 +90,29 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_skip: int = 5,
+    k_take: int = 10,
+    corpus_id: str = "id",
+    query_id: str = "qid",
+    vec: str = "vec",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the corpus
+    rows ranked (k_skip, k_skip+k_take] by exact cosine — just below the
+    presumed positives (rank ≤ k_skip, which includes the query itself when
+    it is in the corpus), far above random draws. This band is the standard
+    negative pool for training retrieval/embedding models (the training-data
+    twin of the reference's similarity read path, api_insert.py:130-143).
+
+    Same scale shape as brute_force_topk: queries broadcast, corpus scanned
+    once, only (k_skip+k_take)·|queries| rows survive past the window."""
+    return brute_force_topk(
+        corpus, queries, k_skip + k_take, corpus_id, query_id, vec
+    ).filter(F.col("rank") > k_skip)
+
+
 def _scored_cells(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
     """array<struct<d, cid>> of dot(vec, centroid) per centroid, sorted so
     element 0 is the best cell (ties → larger cid). The centroid table is

@@ -121,6 +121,29 @@ def test_near_dup_clusters_match_union_find(spark, docs):
     pairs.unpersist()
 
 
+def test_hard_negatives_band_is_exact(spark):
+    """Planted geometry on the unit circle: corpus vectors at increasing
+    angles from the query, so cosine rank == angular order. The (k_skip,
+    k_skip+k_take] band must contain exactly the middle vectors — no
+    positives (top ranks), no tail."""
+    import math
+
+    from raptor_spark.operators.similarity import hard_negatives
+
+    corpus_rows = [
+        (i, [math.cos(i * 0.1), math.sin(i * 0.1)]) for i in range(12)
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "id long, vec array<double>")
+    qs = spark.createDataFrame([(0, [1.0, 0.0])], "qid long, vec array<double>")
+    got = sorted(
+        (r["rank"], r["id"])
+        for r in hard_negatives(corpus, qs, k_skip=3, k_take=4).collect()
+    )
+    # angular order == id order: ranks 1..3 are ids 0..2 (skipped),
+    # the band holds ranks 4..7 == ids 3..6
+    assert got == [(4, 3), (5, 4), (6, 5), (7, 6)]
+
+
 def test_cluster_representatives_keep_best(spark):
     """Hand fixture: chain cluster {1,2,3}, pair {10,11}, singleton 20.
     The representative is the max-score member (ties to min id), member
