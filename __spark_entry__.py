@@ -1604,6 +1604,22 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (text.sliding_chunks): 32-word
+    contexts at stride 16 — the context-packing/RAG-overlap counterpart of
+    the disjoint sentence chunker (text_chunks). Map-only at any scale."""
+    from raptor_spark.operators.text import sliding_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sliding_chunks(docs, "doc_id", "text", size=32, stride=16)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "n_tokens",
+        "chunk_text",
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining (similarity.hard_negatives): per
     query vector, the cosine-rank band (5, 10] — below the positives,
@@ -1734,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "dedup_keep_best": q_dedup_keep_best,
         "hard_negatives": q_hard_negatives,
+        "sliding_chunks": q_sliding_chunks,
     }
 
 
@@ -3348,6 +3365,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid, id, round(cos, 4) AS cosine, CAST(rk AS BIGINT) AS rank
             FROM r WHERE rk > 5 AND rk <= 10
             ORDER BY qid, rk
+        """,
+        "sliding_chunks": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x != '') AS ws
+              FROM documents
+            ), c AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(0,
+                       CASE WHEN len(ws) <= 32 THEN 0
+                            ELSE CAST(ceil((len(ws) - 32) / 16.0) AS INT)
+                       END)) AS chunk_idx
+              FROM w
+            ), s AS (
+              SELECT doc_id, chunk_idx,
+                     ws[chunk_idx * 16 + 1 : chunk_idx * 16 + 32] AS cw
+              FROM c
+            )
+            SELECT doc_id,
+                   CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(len(cw) AS BIGINT) AS n_tokens,
+                   array_to_string(cw, ' ') AS chunk_text
+            FROM s ORDER BY doc_id, chunk_idx
         """,
     }
 

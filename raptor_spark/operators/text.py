@@ -157,6 +157,46 @@ def chunk_by_token_budget(
     )
 
 
+def sliding_chunks(
+    df: DataFrame, id_col: str, text_col: str, size: int = 128, stride: int = 64
+) -> DataFrame:
+    """Overlapping fixed-stride token windows — the context-packing
+    complement of chunk_by_token_budget (which packs disjoint
+    sentence-aligned chunks): chunk c covers words [c·stride, c·stride+size),
+    so with stride < size every token lands in ~size/stride chunks. This is
+    how LLM training pipelines window long documents into model contexts
+    and how RAG indexes overlap chunks to avoid boundary-split answers.
+
+    Map-only: the word array is bound once per row, chunk starts come from
+    one computed index sequence, each chunk is an array slice — no shuffle,
+    no UDF; a 100 TB corpus chunks at scan speed."""
+    from raptor_spark.functions import bind_col
+
+    def build(w: Column) -> Column:
+        n = F.size(w)
+        n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+            F.ceil((n - size) / F.lit(float(stride))).cast("int") + 1
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda c: F.struct(
+                c.alias("chunk_idx"),
+                F.slice(w, c * stride + 1, size).alias("cw"),
+            ),
+        )
+
+    chunks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(bind_col(words_col(F.col(text_col)), build)).alias("ch"),
+    )
+    return chunks.select(
+        "id",
+        F.col("ch.chunk_idx").alias("chunk_idx"),
+        F.size("ch.cw").cast("long").alias("n_tokens"),
+        F.array_join("ch.cw", " ").alias("chunk_text"),
+    )
+
+
 def clean_cell_col(text: Column) -> Column:
     """Cell text cleaning (office_processor.py:382-389): collapse whitespace,
     escape pipe — pure regexp_replace chain."""

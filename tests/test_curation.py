@@ -327,6 +327,36 @@ def test_quantile_gate_keeps_top_three_quartiles(spark):
     assert all(r["v"] >= r["q_thr"] for r in out)
 
 
+def test_sliding_chunks_cover_and_overlap(spark):
+    """Every word of the doc appears in at least one chunk in order, chunk 0
+    is exactly the first ``size`` words, consecutive chunks overlap by
+    size - stride words, and a short doc yields one whole-doc chunk."""
+    from raptor_spark.operators.text import sliding_chunks
+
+    long_words = [f"w{i}" for i in range(50)]
+    df = spark.createDataFrame(
+        [(1, " ".join(long_words)), (2, "just five little words here")],
+        "id long, text string",
+    )
+    out = sliding_chunks(df, "id", "text", size=16, stride=8)
+    rows = {(r["id"], r["chunk_idx"]): r for r in out.collect()}
+    # doc 1: 50 words -> ceil((50-16)/8)+1 = 6 chunks
+    d1 = sorted(k[1] for k in rows if k[0] == 1)
+    assert d1 == [0, 1, 2, 3, 4, 5]
+    assert rows[(1, 0)]["chunk_text"].split() == long_words[:16]
+    for c in d1:
+        got = rows[(1, c)]["chunk_text"].split()
+        assert got == long_words[c * 8 : c * 8 + 16]
+    # reconstruction: union of chunk words covers the doc exactly in order
+    covered = sorted({w for c in d1 for w in rows[(1, c)]["chunk_text"].split()},
+                     key=lambda w: int(w[1:]))
+    assert covered == long_words
+    # doc 2: single whole-doc chunk
+    assert rows[(2, 0)]["chunk_text"] == "just five little words here"
+    assert rows[(2, 0)]["n_tokens"] == 5
+    assert len([k for k in rows if k[0] == 2]) == 1
+
+
 def test_lm_perplexity_matches_python_recomputation(spark):
     """ppl on a tiny hand corpus equals a pure-Python recomputation of the
     add-alpha bigram model, and a repeated/templated doc scores LOWER
