@@ -102,6 +102,50 @@ def stream_merge_to_catalog(
     q.awaitTermination()
 
 
+def streaming_decontaminate(
+    docs_stream: DataFrame,
+    bloom: DataFrame,
+    catalog,
+    table: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> None:
+    """Continuous-ingest benchmark decontamination: each arriving micro-batch
+    of documents is probed against the STATIC eval-set Bloom bitmap
+    (curation.bloom_build — ≤16k rows, broadcast per batch) and the flagged
+    (id, n_flagged) rows are merged into a catalog table keyed by id, so a
+    replayed batch is idempotent. Flagging is per-document (no cross-doc
+    state), so the streamed result is row-identical to the batch operator
+    over the same corpus — the parity the test pins. Re-commit the bitmap
+    table to rotate the benchmark set without restarting the query.
+
+    foreachBatch (not a stream-static join in the query graph) because the
+    probe ends in a per-doc aggregation: inside foreachBatch it runs under
+    batch semantics per micro-batch, which is exact here since a document's
+    shingles never span batches."""
+    from raptor_spark.operators.curation import bloom_contamination
+
+    bitmap = bloom.localCheckpoint()  # once, outside the per-batch closure
+
+    def _probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        flagged = bloom_contamination(batch_df, bitmap, id_col, text_col, n=n)
+        if flagged.isEmpty():
+            return
+        catalog.merge(table, flagged, ["id"], meta={"batch_id": batch_id})
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_probe_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_triple_extract(files_stream: DataFrame) -> DataFrame:
     return extract_triples(files_stream)
 

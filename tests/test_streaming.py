@@ -296,6 +296,52 @@ def test_streaming_outliers_match_batch(spark, tmp_path_factory):
     assert {r.event_id for r in got.collect()} == batch_ids
 
 
+def test_streaming_decontaminate_matches_batch(spark, tmp_path_factory):
+    """Streamed Bloom decontamination (two micro-batch files, availableNow)
+    produces a catalog table row-identical to the batch operator over the
+    same corpus, and replaying the input is idempotent."""
+    from raptor_spark.catalog import Catalog
+    from raptor_spark.operators.curation import bloom_build, bloom_contamination
+    from raptor_spark.streaming import streaming_decontaminate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    bloom = bloom_build(ev, "text", n=3)
+    want = {
+        (r.id, r.n_flagged)
+        for r in bloom_contamination(tr, bloom, "doc_id", "text", n=3).collect()
+    }
+    assert want, "fixture produced no flagged docs; parity is vacuous"
+
+    in_dir = str(tmp_path_factory.mktemp("bd_in") / "docs")
+    # two files -> at least two micro-batches under maxFilesPerTrigger=1
+    tr.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    tr.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("bd_cat")))
+
+    def drain(ck):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        streaming_decontaminate(stream, bloom, cat, "flagged", ck)
+
+    drain(str(tmp_path_factory.mktemp("bd_ck") / "a"))
+    got = {(r.id, r.n_flagged) for r in cat.read("flagged").collect()}
+    assert got == want
+
+    # replay with a fresh checkpoint (at-least-once duplicate) — unchanged
+    drain(str(tmp_path_factory.mktemp("bd_ck") / "b"))
+    again = {(r.id, r.n_flagged) for r in cat.read("flagged").collect()}
+    assert again == want
+
+
 def test_stream_merge_to_catalog_idempotent(spark, tmp_path_factory):
     """foreachBatch keyed merge: replaying the SAME input through a fresh
     checkpoint must leave the table unchanged (upsert-by-key), and changed
