@@ -30,7 +30,7 @@ def main() -> None:
     ap.add_argument(
         "--mode",
         default="extract",
-        choices=["extract", "pipeline", "dedup", "curation"],
+        choices=["extract", "pipeline", "dedup", "curation", "lm"],
     )
     ap.add_argument("--output", default="", help="pipeline mode: output dir")
     args = ap.parse_args()
@@ -95,6 +95,19 @@ def main() -> None:
             tr = docs.filter(F.pmod(F.col("doc_id"), F.lit(50)) != 0)
             bloom = bloom_build(ev, "text", n=3)
             return bloom_contamination(tr, bloom, "doc_id", "text", n=3).count()
+        if args.mode == "lm":
+            # Bigram-LM perplexity scoring over the corpus content — the
+            # statistical quality-filter face of the same gate: one corpus
+            # shuffle as (id, bigram) rows + vocabulary-sized count joins
+            from pyspark.sql import functions as F
+
+            from raptor_spark.operators.curation import lm_perplexity
+
+            docs = files.select(
+                F.xxhash64("repo", "path").alias("doc_id"),
+                F.col("content").alias("text"),
+            )
+            return lm_perplexity(docs, "doc_id", "text").count()
         from raptor_spark.pipeline import Pipeline
 
         out = Pipeline(spark, args.output).run(files)
