@@ -1658,6 +1658,24 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_representatives(scored, clusters).orderBy("cluster")
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split (curation.leakage_safe_split): the
+    split key is the exact-Jaccard near-dup cluster id, so duplicate-group
+    members never straddle train and test — the leakage guard naive
+    content-hash splits miss."""
+    from raptor_spark.operators.curation import leakage_safe_split
+    from raptor_spark.operators.dedup import near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
+    clusters = near_dup_clusters(pairs)
+    base = docs.select(F.col("doc_id").alias("id"))
+    out = leakage_safe_split(base, clusters)
+    return out.select(
+        F.col("id").alias("doc_id"), "cluster", "split"
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -1751,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "hard_negatives": q_hard_negatives,
         "sliding_chunks": q_sliding_chunks,
+        "leakage_safe_split": q_leakage_safe_split,
     }
 
 
@@ -3389,6 +3408,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(cw) AS BIGINT) AS n_tokens,
                    array_to_string(cw, ' ') AS chunk_text
             FROM s ORDER BY doc_id, chunk_idx
+        """,
+        "leakage_safe_split": f"""
+            WITH RECURSIVE w AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS ws
+              FROM documents WHERE doc_id < 150
+            ), p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM w a JOIN w b ON a.doc_id < b.doc_id
+              WHERE len(list_filter(a.ws, x -> list_contains(b.ws, x))) * 1.0 /
+                    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+            ), e AS (
+              SELECT a AS s, b AS d FROM p UNION SELECT b AS s, a AS d FROM p
+            ), r AS (
+              SELECT s, d FROM e
+              UNION
+              SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
+            ), cl AS (
+              SELECT s AS id, least(s, min(d)) AS cluster FROM r GROUP BY s
+            ), lab AS (
+              SELECT d.doc_id AS doc_id,
+                     coalesce(cl.cluster, d.doc_id) AS cluster
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
+              LEFT JOIN cl ON d.doc_id = cl.id
+            ), b AS (
+              SELECT doc_id, cluster,
+                     (({hb('h', 1)}) * 256 + ({hb('h', 2)})) % 65536 % 10 AS r
+              FROM (SELECT doc_id, cluster,
+                           md5(CAST(cluster AS VARCHAR)) AS h
+                    FROM lab)
+            )
+            SELECT doc_id, cluster,
+                   CASE WHEN r < 8 THEN 'train'
+                        WHEN r < 9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b ORDER BY doc_id
         """,
     }
 

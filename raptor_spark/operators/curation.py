@@ -65,6 +65,32 @@ def split_assignment_col(
     return expr
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "id",
+    fractions: tuple[int, ...] = (8, 1, 1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+) -> DataFrame:
+    """Dedup-aware train/val/test assignment: the split key is the near-dup
+    CLUSTER id (own id for singletons), so every member of a duplicate
+    group lands in the same split — the guard against eval contamination
+    through near-duplicates (Lee et al. 2022 §6.2: duplicated text leaks
+    across naive splits). Assignment reuses split_assignment_col over the
+    cluster id rendered as a string — content-derived, never rand(), so
+    the same doc lands in the same split on every engine and every run.
+
+    Scale shape: ``clusters`` is pair-derived (tiny vs the corpus) so the
+    left join broadcasts; the split itself is a map-only expression."""
+    lab = docs.join(clusters, id_col, "left").withColumn(
+        "cluster", F.coalesce(F.col("cluster"), F.col(id_col))
+    )
+    return lab.withColumn(
+        "split",
+        split_assignment_col(F.col("cluster").cast("string"), fractions, names),
+    )
+
+
 def redact_pii_col(c: Column) -> Column:
     """Emails → <EMAIL>, IPv4 → <IP>, long hex tokens → <KEY>, applied in
     that fixed order (a redacted placeholder can never re-match a later

@@ -327,6 +327,34 @@ def test_quantile_gate_keeps_top_three_quartiles(spark):
     assert all(r["v"] >= r["q_thr"] for r in out)
 
 
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """Every member of a near-dup cluster gets the SAME split (the leakage
+    guard), singletons get their own deterministic assignment, all three
+    splits are populated on the fixture, and the assignment equals
+    split_assignment_col over the cluster id."""
+    from raptor_spark.operators.curation import leakage_safe_split
+    from raptor_spark.operators.dedup import near_dup_clusters, ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") < 150
+    )
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
+    clusters = near_dup_clusters(pairs).persist()
+    base = docs.select(F.col("doc_id").alias("id"))
+    out = leakage_safe_split(base, clusters).collect()
+    clusters.unpersist()
+
+    by_cluster: dict[int, set[str]] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["split"])
+    multi = [c for c, members in by_cluster.items()
+             if len([r for r in out if r["cluster"] == c]) > 1]
+    assert multi, "no multi-member clusters on the fixture; guard is vacuous"
+    for c in multi:
+        assert len(by_cluster[c]) == 1, f"cluster {c} straddles splits"
+    assert {r["split"] for r in out} == {"train", "val", "test"}
+
+
 def test_sliding_chunks_cover_and_overlap(spark):
     """Every word of the doc appears in at least one chunk in order, chunk 0
     is exactly the first ``size`` words, consecutive chunks overlap by
