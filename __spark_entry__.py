@@ -1658,6 +1658,18 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_representatives(scored, clusters).orderBy("cluster")
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention matrix over the events table
+    (relational.cohort_retention): cohort by first active day, retained
+    fraction per (cohort_day, day_offset)."""
+    from raptor_spark.operators.relational import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts").orderBy(
+        "cohort_day", "day_offset"
+    )
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-aware train/val/test split (curation.leakage_safe_split): the
     split key is the exact-Jaccard near-dup cluster id, so duplicate-group
@@ -1770,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "sliding_chunks": q_sliding_chunks,
         "leakage_safe_split": q_leakage_safe_split,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -3444,6 +3457,30 @@ def oracle_sql() -> dict[str, str]:
                         WHEN r < 9 THEN 'val'
                         ELSE 'test' END AS split
             FROM b ORDER BY doc_id
+        """,
+        "cohort_retention": """
+            WITH act AS (
+              SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+              FROM events
+            ), first AS (
+              SELECT u, min(day) AS cohort_day FROM act GROUP BY u
+            ), sizes AS (
+              SELECT cohort_day, count(DISTINCT u) AS cohort_n
+              FROM first GROUP BY cohort_day
+            ), ret AS (
+              SELECT f.cohort_day,
+                     date_diff('day', f.cohort_day, a.day) AS day_offset,
+                     count(DISTINCT a.u) AS n_active
+              FROM act a JOIN first f USING (u)
+              GROUP BY 1, 2
+            )
+            SELECT strftime(r.cohort_day, '%Y-%m-%d') AS cohort_day,
+                   CAST(r.day_offset AS BIGINT) AS day_offset,
+                   CAST(r.n_active AS BIGINT) AS n_active,
+                   CAST(s.cohort_n AS BIGINT) AS cohort_n,
+                   round(r.n_active * 1.0 / s.cohort_n, 4) AS retention
+            FROM ret r JOIN sizes s USING (cohort_day)
+            ORDER BY cohort_day, day_offset
         """,
     }
 

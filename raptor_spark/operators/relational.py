@@ -274,3 +274,40 @@ def adaptive_threshold(
         F.stddev_pop(col).alias("s"),
     ).first()
     return float(row.q) + sigma_mult * float(row.s or 0.0)
+
+
+def cohort_retention(
+    df: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """Classic cohort-retention matrix: users are cohorted by their first
+    active day; for each (cohort_day, day_offset) report how many cohort
+    members were active and the retained fraction. The product-analytics
+    read path every event warehouse serves (the events-table counterpart
+    of the reference's per-user query history, SURVEY.md §2.4).
+
+    Scale shape: one distinct over (user, day) — the only corpus-sized
+    shuffle; the first-day table is user-sized and the cohort-size table
+    cohort-sized (both broadcastable); the final aggregate is matrix-sized.
+    Retained fraction is rounded so the 4-dp value is the contract."""
+    act = df.select(
+        F.col(user_col).alias("user"), F.to_date(ts_col).alias("day")
+    ).distinct()
+    first = act.groupBy("user").agg(F.min("day").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.countDistinct("user").alias("cohort_n")
+    )
+    ret = (
+        act.join(first, "user")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user").alias("n_active"))
+    )
+    return ret.join(F.broadcast(sizes), "cohort_day").select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("cohort_n").cast("long").alias("cohort_n"),
+        F.round(F.col("n_active") / F.col("cohort_n"), 4).alias("retention"),
+    )

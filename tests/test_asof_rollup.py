@@ -162,3 +162,30 @@ def test_rollup_hierarchy_matches_direct_aggregation(spark):
         d = direct.select(*cols, F.round("sum_v", 6).alias("s"), "min_v", "max_v")
         assert g.exceptAll(d).count() == 0, grain
     out.unpersist()
+
+
+def test_cohort_retention_hand_fixture(spark):
+    """Three users, two cohorts: u1/u2 first active Jan 1 (u1 returns Jan 2,
+    both return Jan 3), u3 first active Jan 2 only. Day-0 retention is 1.0
+    for every cohort by construction."""
+    from raptor_spark.operators.relational import cohort_retention
+
+    rows = [
+        (1, "2024-01-01 08:00:00"), (1, "2024-01-02 09:00:00"),
+        (1, "2024-01-03 10:00:00"), (1, "2024-01-03 11:00:00"),
+        (2, "2024-01-01 12:00:00"), (2, "2024-01-03 13:00:00"),
+        (3, "2024-01-02 14:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    got = {
+        (r["cohort_day"], r["day_offset"]): (r["n_active"], r["cohort_n"], r["retention"])
+        for r in cohort_retention(ev, "user_id", "ts").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 2, 1.0),
+        ("2024-01-01", 1): (1, 2, 0.5),
+        ("2024-01-01", 2): (2, 2, 1.0),
+        ("2024-01-02", 0): (1, 1, 1.0),
+    }
