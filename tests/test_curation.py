@@ -440,3 +440,33 @@ def test_psi_drift_zero_on_reference_and_orders_shift(spark):
     assert got["same"] < 0.05
     assert got["shift"] > 1.0
     assert got["shift"] > got["same"]
+
+
+@pytest.mark.parametrize("seed,size,stride", [(1, 16, 8), (2, 7, 3), (3, 5, 5)])
+def test_sliding_chunks_randomized_parity(spark, seed, size, stride):
+    """For ANY doc length (including n < size, n == size, n % stride edges)
+    the Spark chunker must equal a pure-Python reference chunker."""
+    import random
+
+    from raptor_spark.operators.text import sliding_chunks
+
+    rng = random.Random(seed)
+    docs = []
+    for i in range(60):
+        n = rng.choice([0, 1, size - 1, size, size + 1, rng.randint(2, 80)])
+        docs.append((i, " ".join(f"t{i}x{j}" for j in range(n))))
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = sorted(
+        (r["id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+        for r in sliding_chunks(df, "id", "text", size=size, stride=stride).collect()
+    )
+
+    want = []
+    for i, text in docs:
+        ws = text.split()
+        n = len(ws)
+        n_chunks = 1 if n <= size else -((n - size) // -stride) + 1
+        for c in range(n_chunks):
+            cw = ws[c * stride : c * stride + size]
+            want.append((i, c, len(cw), " ".join(cw)))
+    assert got == sorted(want)
