@@ -62,6 +62,25 @@ GRAPH_EDGE_CTE = r"""w AS (
               SELECT a AS s, b AS d FROM p UNION SELECT b AS s, a AS d FROM p
             )"""
 
+# Weighted variant for the SSSP oracle: edge weight = 1 - jaccard (the
+# dissimilarity distance), same pair set as GRAPH_EDGE_CTE. The jaccard is
+# an int/int double division on both engines, so 1.0 - j replays exactly.
+GRAPH_WEDGE_CTE = r"""w AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
+              FROM documents WHERE doc_id < 150
+            ), p AS (
+              SELECT a, b, j FROM (
+                SELECT a.doc_id AS a, b.doc_id AS b,
+                       len(list_filter(a.ws, x -> list_contains(b.ws, x))) * 1.0 /
+                       len(list_distinct(list_concat(a.ws, b.ws))) AS j
+                FROM w a JOIN w b ON a.doc_id < b.doc_id
+              ) WHERE j >= 0.8
+            ), e AS (
+              SELECT a AS s, b AS d, 1.0 - j AS w FROM p
+              UNION ALL SELECT b AS s, a AS d, 1.0 - j AS w FROM p
+            )"""
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
@@ -1096,6 +1115,60 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-5-round synchronous label-propagation communities on the
+    near-dup graph (operators/graph.label_propagation — neighbor-mode
+    label, ties to the smallest; the densely-linked-neighborhood split of
+    the canonicalized entity graph). The oracle unrolls the same five
+    rounds, so the comparison is exact replay, not convergence."""
+    from raptor_spark.operators.graph import label_propagation
+
+    out = label_propagation(_jaccard_edge_set(spark, sf_dir), n_iter=5)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("community").cast("long").alias("community"),
+    ).orderBy("id")
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-dup graph after 8 peeling rounds with the
+    within-core degree (operators/graph.kcore — KG noise-entity pruning;
+    peeling is monotone, so the early-exit loop equals the oracle's fixed
+    8-round unroll)."""
+    from raptor_spark.operators.graph import kcore
+
+    out = kcore(_jaccard_edge_set(spark, sf_dir), k=2, n_rounds=8)
+    return out.select(
+        F.col("id").cast("long").alias("id"), "core_degree"
+    ).orderBy("id")
+
+
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-round Bellman-Ford shortest dissimilarity distances (edge weight
+    = 1 - jaccard) from the id % 10 == 0 source set over the near-dup graph
+    (operators/graph.sssp — the weighted twin of graph_bfs; distances
+    accumulate one edge per round, the same float association the unrolled
+    oracle replays)."""
+    from raptor_spark.operators.dedup import ngram_jaccard_pairs as _njp
+    from raptor_spark.operators.graph import sssp, symmetrize
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pairs = _njp(docs, "doc_id", "text", n=1, threshold=0.8).select(
+        "a", "b", (F.lit(1.0) - F.col("jaccard")).alias("w")
+    )
+    sources = (
+        symmetrize(pairs.select("a", "b"))
+        .select(F.col("src").alias("id"))
+        .distinct()
+        .filter(F.col("id") % 10 == 0)
+    )
+    out = sssp(pairs, sources, n_rounds=10)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.round("dist", 6).alias("dist"),
+    ).orderBy("id")
+
+
 def q_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive same-event-type run per user (gaps-and-islands
     value runs; operators/relational.value_runs + latest_per_key argmax).
@@ -1751,6 +1824,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_stats": q_grouped_stats,
         "graph_bfs": q_graph_bfs,
         "graph_pagerank": q_graph_pagerank,
+        "graph_communities": q_graph_communities,
+        "graph_kcore": q_graph_kcore,
+        "graph_sssp": q_graph_sssp,
         "event_streaks": q_event_streaks,
         "order_status_history": q_order_status_history,
         "event_type_pivot": q_event_type_pivot,
@@ -2711,6 +2787,55 @@ def oracle_sql() -> dict[str, str]:
                 )''' for i in range(1, 6)
             )}
             SELECT id, round(rank, 6) AS "rank" FROM r5 ORDER BY id
+        """,
+        "graph_communities": f"""
+            WITH {GRAPH_EDGE_CTE.replace("e AS (", "e AS MATERIALIZED (")},
+            l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS label FROM e),
+            {", ".join(
+                f'''l{i} AS MATERIALIZED (
+                  SELECT id, label FROM (
+                    SELECT id, label,
+                           row_number() OVER (
+                             PARTITION BY id ORDER BY c DESC, label ASC
+                           ) AS rn
+                    FROM (SELECT e.s AS id, p.label AS label, count(*) AS c
+                          FROM e JOIN l{i - 1} p ON e.d = p.id
+                          GROUP BY e.s, p.label)
+                  ) WHERE rn = 1
+                )''' for i in range(1, 6)
+            )}
+            SELECT id, label AS community FROM l5 ORDER BY id
+        """,
+        "graph_kcore": f"""
+            WITH {GRAPH_EDGE_CTE.replace("e AS (", "e AS MATERIALIZED (")},
+            v0 AS MATERIALIZED (SELECT DISTINCT s AS id FROM e),
+            {", ".join(
+                f'''v{i} AS MATERIALIZED (
+                  SELECT e.s AS id FROM e
+                  JOIN v{i - 1} x ON e.s = x.id
+                  JOIN v{i - 1} y ON e.d = y.id
+                  GROUP BY e.s HAVING count(*) >= 2
+                )''' for i in range(1, 9)
+            )}
+            SELECT e.s AS id, count(*) AS core_degree
+            FROM e JOIN v8 x ON e.s = x.id JOIN v8 y ON e.d = y.id
+            GROUP BY e.s ORDER BY id
+        """,
+        "graph_sssp": f"""
+            WITH {GRAPH_WEDGE_CTE.replace("e AS (", "e AS MATERIALIZED (")},
+            d0 AS MATERIALIZED (
+              SELECT DISTINCT s AS id, 0.0 AS dist FROM e WHERE s % 10 = 0),
+            {", ".join(
+                f'''d{i} AS MATERIALIZED (
+                  SELECT id, min(dist) AS dist FROM (
+                    SELECT id, dist FROM d{i - 1}
+                    UNION ALL
+                    SELECT e.d AS id, x.dist + e.w AS dist
+                    FROM d{i - 1} x JOIN e ON x.id = e.s
+                  ) GROUP BY id
+                )''' for i in range(1, 11)
+            )}
+            SELECT id, round(dist, 6) AS dist FROM d10 ORDER BY id
         """,
         "event_streaks": """
             WITH r AS (

@@ -214,6 +214,155 @@ def two_hop_counts(edges: DataFrame) -> DataFrame:
     return out
 
 
+def label_propagation(edges: DataFrame, n_iter: int = 5) -> DataFrame:
+    """(id, community): fixed-iteration SYNCHRONOUS label propagation over
+    the symmetrized edge list — community detection for the canonicalized
+    entity graph (the coarse-grained companion of cc.connected_components:
+    CC separates disconnected duplicate groups, LPA splits a connected hub
+    into densely-linked neighborhoods). Deterministic by construction:
+    every vertex starts labeled with its own id, and each round adopts the
+    most frequent label among its NEIGHBORS, ties broken by the smallest
+    label — so a fixed-K SQL oracle replays the rounds exactly (same
+    unrolled-CTE discipline as pagerank).
+
+    Each round is one equi-join of the label table against the edge list
+    (keyed dst) plus two partial-aggregated groupBys — the label shuffle is
+    vertex-sized, never edge-sized; the argmax is a single min(struct)
+    aggregate (no window, no second sort). The edge list is repartitioned
+    by the join key once and persisted; labels localCheckpoint per round to
+    keep the plan flat at any K.
+    """
+    sym = symmetrize(edges)
+    links = sym.repartition("dst").persist()
+    labels = (
+        links.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(n_iter):
+        counts = (
+            links.join(labels, links["dst"] == labels["id"])
+            .groupBy(links["src"].alias("v"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            counts.groupBy("v")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))
+                ).alias("m")
+            )
+            .select(F.col("v").alias("id"), F.col("m.l").alias("label"))
+            .localCheckpoint()
+        )
+    links.unpersist()
+    return labels.withColumnRenamed("label", "community")
+
+
+def kcore(edges: DataFrame, k: int = 2, n_rounds: int = 8) -> DataFrame:
+    """(id, core_degree): vertices surviving ``n_rounds`` of k-core peeling
+    (each round drops vertices whose degree WITHIN the surviving set is
+    < k), with their within-core degree — the KG noise-entity pruning pass
+    (a symbol mentioned once from one file carries no graph signal; the
+    2-core is the smallest subgraph where every entity is multiply
+    corroborated).
+
+    The peeling operator is monotone (survivor sets only shrink), so a
+    round that removes nothing is a fixpoint and the loop exits early —
+    identical output to running all rounds, which is what the fixed-R
+    unrolled SQL oracle does. Each round: two left-semi joins of the edge
+    list against the (vertex-sized) survivor set + one partial-aggregated
+    degree count. Survivor counts are exact set-equality proxies because
+    survivors ⊆ alive each round.
+    """
+    sym = symmetrize(edges).persist()
+    alive = sym.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    n_alive = alive.count()
+    for _ in range(n_rounds):
+        survivors = (
+            sym.join(alive.select(F.col("id").alias("src")), "src", "left_semi")
+            .join(alive.select(F.col("id").alias("dst")), "dst", "left_semi")
+            .groupBy("src")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= k)
+            .select(F.col("src").alias("id"))
+            .localCheckpoint()
+        )
+        n_next = survivors.count()
+        alive = survivors
+        if n_next == n_alive:
+            break
+        n_alive = n_next
+    out = (
+        sym.join(alive.select(F.col("id").alias("src")), "src", "left_semi")
+        .join(alive.select(F.col("id").alias("dst")), "dst", "left_semi")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("core_degree"))
+        .localCheckpoint()
+    )
+    sym.unpersist()
+    return out
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    n_rounds: int = 10,
+    weight_col: str = "w",
+) -> DataFrame:
+    """(id, dist): ``n_rounds``-round Bellman-Ford over the symmetrized
+    WEIGHTED edge list (a, b, w) from a source vertex set — exact shortest
+    distances over paths of at most ``n_rounds`` edges, which IS the spec
+    (run rounds ≥ diameter for full SSSP; a fixed-K oracle unrolls the same
+    relaxations). The weighted twin of bfs_levels: hop counts become
+    dissimilarity distances, the KG proximity score between entities.
+
+    Each round is one equi-join of the current distance table (vertex-sized,
+    (id, dist) rows only) against the persisted edge list plus one
+    min-groupBy with map-side combine. Distances accumulate one edge per
+    round — the same left-to-right float association on every engine, so
+    the arithmetic replays bit-for-bit. Parallel duplicate edges are
+    min-merged up front.
+    """
+    sym = (
+        edges.filter(F.col("a") != F.col("b"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("src"),
+                        F.col("b").alias("dst"),
+                        F.col(weight_col).alias("w"),
+                    ),
+                    F.struct(
+                        F.col("b").alias("src"),
+                        F.col("a").alias("dst"),
+                        F.col(weight_col).alias("w"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .repartition("src")
+        .persist()
+    )
+    dist = sources.select("id").distinct().withColumn("dist", F.lit(0.0))
+    for _ in range(n_rounds):
+        cand = dist.join(sym, dist["id"] == sym["src"]).select(
+            F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    sym.unpersist()
+    return dist
+
+
 def cooccurrence_edges(
     df: DataFrame,
     id_col: str,

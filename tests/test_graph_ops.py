@@ -187,3 +187,125 @@ def test_cooccurrence_edges_tiny_corpus(spark):
         ).collect()
     }
     assert out == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 1}
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    """Two triangles joined by one bridge edge resolve to one community per
+    clique (labels = min clique member after convergence)."""
+    from raptor_spark.operators.graph import label_propagation
+
+    e = _edges(
+        spark,
+        [(0, 1), (0, 2), (1, 2), (5, 6), (5, 7), (6, 7), (2, 5)],
+    )
+    got = {r.id: r.community for r in label_propagation(e, n_iter=5).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 5: 2, 6: 2, 7: 2}
+
+
+def test_label_propagation_matches_python_simulation(spark):
+    """Fixed-K synchronous LPA (neighbor-mode, tie -> min label) equals a
+    pure-python round-by-round simulation on a seeded random graph."""
+    import random
+    from collections import Counter
+
+    from raptor_spark.operators.graph import label_propagation
+
+    rng = random.Random(13)
+    pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(70)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    label = {v: v for v in adj}
+    for _ in range(4):
+        nxt = {}
+        for v in adj:
+            cnt = Counter(label[u] for u in adj[v])
+            best = max(cnt.values())
+            nxt[v] = min(l for l, c in cnt.items() if c == best)
+        label = nxt
+    got = {
+        r.id: r.community
+        for r in label_propagation(_edges(spark, pairs), n_iter=4).collect()
+    }
+    assert got == label
+
+
+def test_kcore_triangle_with_tail(spark):
+    """Triangle + tail 2-3-4: the 2-core is exactly the triangle (the tail
+    peels over two rounds — 4 first, then 3)."""
+    from raptor_spark.operators.graph import kcore
+
+    e = _edges(spark, [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4)])
+    got = {r.id: r.core_degree for r in kcore(e, k=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_kcore_k3_on_k4_plus_pendant(spark):
+    from raptor_spark.operators.graph import kcore
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = {r.id: r.core_degree for r in kcore(_edges(spark, k4 + [(0, 9)]), k=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_kcore_empty_when_no_core(spark):
+    from raptor_spark.operators.graph import kcore
+
+    # a tree has no 2-core
+    e = _edges(spark, [(0, 1), (1, 2), (1, 3), (3, 4)])
+    assert kcore(e, k=2).count() == 0
+
+
+def test_kcore_round_truncation_matches_partial_peel(spark):
+    """n_rounds=1 performs exactly one peel: path 0-1-2-3-4 loses only the
+    endpoints (interior vertices still have degree 2 against the ORIGINAL
+    set)."""
+    from raptor_spark.operators.graph import kcore
+
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    got = {r.id: r.core_degree for r in kcore(e, k=2, n_rounds=1).collect()}
+    # survivors {1,2,3}; degrees WITHIN survivors: 1-2, 2-3
+    assert got == {1: 1, 2: 2, 3: 1}
+
+
+def test_sssp_weighted_path_and_multi_source(spark):
+    from raptor_spark.operators.graph import sssp
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 10.0), (0, 2, 5.0), (2, 3, 1.0), (8, 9, 1.0)],
+        "a long, b long, w double",
+    )
+    src = spark.createDataFrame([(0,)], "id long")
+    got = {r.id: r.dist for r in sssp(e, src).collect()}
+    # 0->2 direct (5.0) beats 0->1->2 (11.0); 8/9 unreachable -> absent
+    assert got == {0: 0.0, 1: 1.0, 2: 5.0, 3: 6.0}
+
+    src2 = spark.createDataFrame([(0,), (9,)], "id long")
+    got2 = {r.id: r.dist for r in sssp(e, src2).collect()}
+    assert got2 == {0: 0.0, 1: 1.0, 2: 5.0, 3: 6.0, 9: 0.0, 8: 1.0}
+
+
+def test_sssp_round_truncation(spark):
+    """n_rounds bounds the path LENGTH in edges: with one round only the
+    direct neighbors relax."""
+    from raptor_spark.operators.graph import sssp
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)], "a long, b long, w double"
+    )
+    src = spark.createDataFrame([(0,)], "id long")
+    got = {r.id: r.dist for r in sssp(e, src, n_rounds=1).collect()}
+    assert got == {0: 0.0, 1: 1.0}
+
+
+def test_sssp_parallel_edges_min_merged(spark):
+    from raptor_spark.operators.graph import sssp
+
+    e = spark.createDataFrame(
+        [(0, 1, 5.0), (0, 1, 2.0), (1, 0, 7.0)], "a long, b long, w double"
+    )
+    src = spark.createDataFrame([(0,)], "id long")
+    got = {r.id: r.dist for r in sssp(e, src).collect()}
+    assert got == {0: 0.0, 1: 2.0}
