@@ -1169,6 +1169,58 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences
+    (operators/profile.transition_counts — lead over (ts, event_id), one
+    pair groupBy, broadcast row-normalizer). The behavioral counterpart of
+    event_funnel: every observed path, not one prescribed one."""
+    from raptor_spark.operators.profile import transition_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = transition_counts(ev, ["user_id"], ["ts", "event_id"], "event_type")
+    return out.orderBy("from_state", "to_state")
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-range equi-width histogram of event values, 16 bins over
+    [50, 450) with outliers clamped into the edge bins — both clamps are
+    non-vacuous on the fixtures (values span 0.01..490)
+    (operators/profile.value_histogram; map-side floor + one groupBy)."""
+    from raptor_spark.operators.profile import value_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return value_histogram(ev, "value", 50.0, 450.0, 16).orderBy("bin")
+
+
+def q_order_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (CDC classification) between two deterministic
+    versions of the orders table: v_old drops o_orderkey % 5 == 0, v_new
+    drops % 3 == 0 and bumps the price of % 7 == 0 rows — so insert /
+    delete / update are all non-empty at every fixture SF
+    (operators/relational.table_diff; one full-outer key join, payloads
+    never joined)."""
+    from raptor_spark.operators.relational import table_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    new = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 7 == 0, 10.0).otherwise(0.0)
+        ).alias("price"),
+    )
+    out = table_diff(old, new, ["o_orderkey"], ["price"])
+    return out.select(
+        "o_orderkey",
+        "change",
+        F.round("old_price", 2).alias("old_price"),
+        F.round("new_price", 2).alias("new_price"),
+    ).orderBy("o_orderkey")
+
+
 def q_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive same-event-type run per user (gaps-and-islands
     value runs; operators/relational.value_runs + latest_per_key argmax).
@@ -1827,6 +1879,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": q_graph_communities,
         "graph_kcore": q_graph_kcore,
         "graph_sssp": q_graph_sssp,
+        "event_transitions": q_event_transitions,
+        "value_histogram": q_value_histogram,
+        "order_diff": q_order_diff,
         "event_streaks": q_event_streaks,
         "order_status_history": q_order_status_history,
         "event_type_pivot": q_event_type_pivot,
@@ -2836,6 +2891,56 @@ def oracle_sql() -> dict[str, str]:
                 )''' for i in range(1, 11)
             )}
             SELECT id, round(dist, 6) AS dist FROM d10 ORDER BY id
+        """,
+        "event_transitions": """
+            WITH s AS (
+              SELECT event_type AS from_state,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS to_state
+              FROM events
+            ), c AS (
+              SELECT from_state, to_state, count(*) AS n
+              FROM s WHERE to_state IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT from_state, to_state, n,
+                   round(n * 1.0 / sum(n) OVER (PARTITION BY from_state), 6) AS p
+            FROM c ORDER BY from_state, to_state
+        """,
+        "value_histogram": """
+            WITH b AS (
+              SELECT least(greatest(
+                       CAST(floor((value - 50.0) / 25.0) AS INTEGER), 0), 15) AS bin
+              FROM events WHERE value IS NOT NULL
+            )
+            SELECT bin,
+                   round(CAST(50.0 + bin * 25.0 AS DOUBLE), 6) AS lo_edge,
+                   round(CAST(50.0 + (bin + 1) * 25.0 AS DOUBLE), 6) AS hi_edge,
+                   count(*) AS n
+            FROM b GROUP BY bin ORDER BY bin
+        """,
+        "order_diff": """
+            WITH o AS (
+              SELECT o_orderkey, o_totalprice AS price
+              FROM orders WHERE o_orderkey % 5 <> 0
+            ), n AS (
+              SELECT o_orderkey,
+                     o_totalprice + (CASE WHEN o_orderkey % 7 = 0
+                                          THEN 10.0 ELSE 0.0 END) AS price
+              FROM orders WHERE o_orderkey % 3 <> 0
+            ), d AS (
+              SELECT o_orderkey,
+                     CASE WHEN o.price IS NULL AND o.o_orderkey IS NULL
+                               THEN 'insert'
+                          WHEN n.price IS NULL AND n.o_orderkey IS NULL
+                               THEN 'delete'
+                          WHEN o.price IS DISTINCT FROM n.price
+                               THEN 'update' END AS change,
+                     round(o.price, 2) AS old_price,
+                     round(n.price, 2) AS new_price
+              FROM o FULL OUTER JOIN n USING (o_orderkey)
+            )
+            SELECT * FROM d WHERE change IS NOT NULL ORDER BY o_orderkey
         """,
         "event_streaks": """
             WITH r AS (

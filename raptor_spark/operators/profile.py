@@ -120,6 +120,73 @@ def funnel_stages(
     )
 
 
+def transition_counts(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """(from_state, to_state, n, p): first-order Markov transition table of
+    consecutive states within each key's ordered sequence — the behavioral
+    companion of funnel_stages (the funnel checks ONE prescribed path; the
+    transition matrix measures every observed one). ``p`` is the row-
+    normalized probability n / Σ n over from_state.
+
+    One window pass keyed by the entity (lead over the per-key ordering —
+    exactly one shuffle of (key, order, state) rows), one partial-aggregated
+    groupBy on the pair, and a broadcast-sized row-normalizer join (the
+    state alphabet is tiny by assumption; the per-key window never sees the
+    alphabet, so a hot state does not skew the shuffle). Order columns must
+    include a tiebreaker for deterministic sequences."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("from_state").agg(F.sum("n").alias("row_n"))
+    return pairs.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / F.col("row_n"), 6).alias("p"),
+    )
+
+
+def value_histogram(
+    df: DataFrame, value_col: str, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """(bin, lo_edge, hi_edge, n): fixed-range equi-width histogram of a
+    numeric column; values outside [lo, hi) clamp into the edge bins so the
+    bin count is exactly ``n_bins`` regardless of outliers (the profiling
+    sibling of psi_drift's decile grid, for a KNOWN range). Empty bins are
+    absent.
+
+    Bin assignment is a map-side floor expression feeding one partial-
+    aggregated groupBy — a histogram over 100 TB is one shuffle of at most
+    n_bins rows per task."""
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("lo_edge"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 6).alias("hi_edge"),
+            "n",
+        )
+    )
+
+
 def fk_orphans(
     pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
 ) -> DataFrame:

@@ -262,6 +262,52 @@ def rollup_time_hierarchy(
     return out.withColumn("avg_v", F.col("sum_v") / F.col("n"))
 
 
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """(keys..., change, old/new compare values): keyed snapshot diff
+    between two versions of a table — ``change`` ∈ {insert, delete,
+    update}; unchanged rows are dropped. The CDC primitive of incremental
+    materialization: its output is exactly what Catalog.merge consumes,
+    and it is the read-side inverse of the catalog's snapshot history (≙
+    diffing two lakeFS commits, object_store.py:208-269).
+
+    One full-outer equi-join on the key (co-partitioned shuffle both
+    sides, AQE-skew-splittable); presence is tracked by literal marker
+    columns (key columns coalesce across sides, so null-keyed inputs never
+    masquerade as inserts), and updates are detected with null-safe
+    equality over the compared columns only — the payloads never join, so
+    wide tables diff at key+compared-column width."""
+    om = old.select(
+        *[F.col(k) for k in keys],
+        F.lit(1).alias("__old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    nm = new.select(
+        *[F.col(k) for k in keys],
+        F.lit(1).alias("__new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = om.join(nm, keys, "full_outer")
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(F.col("__old").isNull(), F.lit("insert"))
+        .when(F.col("__new").isNull(), F.lit("delete"))
+        .when(differs, F.lit("update"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .drop("__old", "__new")
+    )
+
+
 def adaptive_threshold(
     df: DataFrame, col: str, quantile: float = 0.5, sigma_mult: float = 0.5
 ) -> float:

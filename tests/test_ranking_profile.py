@@ -156,3 +156,88 @@ def test_fk_orphans_counts_known_orphans(spark):
         ).collect()
     }
     assert out == {"full": (4, 1), "only-a": (4, 2)}
+
+
+def test_transition_counts_hand_sequence(spark):
+    """Two users with hand-written sequences: a->b->a->c and b->b. Pair
+    counts and row-normalized probabilities are exact."""
+    from raptor_spark.operators.profile import transition_counts
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1.0, 10, "a"), (1, 2.0, 11, "b"), (1, 3.0, 12, "a"),
+            (1, 4.0, 13, "c"), (2, 1.0, 20, "b"), (2, 2.0, 21, "b"),
+        ],
+        "u long, t double, eid long, s string",
+    )
+    got = {
+        (r.from_state, r.to_state): (r.n, r.p)
+        for r in transition_counts(ev, ["u"], ["t", "eid"], "s").collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 0.5),
+        ("a", "c"): (1, 0.5),
+        ("b", "a"): (1, 0.5),
+        ("b", "b"): (1, 0.5),
+    }
+
+
+def test_transition_counts_tiebreak_orders_equal_timestamps(spark):
+    """Equal timestamps fall back to the id tiebreak, so the sequence (and
+    its transitions) is deterministic."""
+    from raptor_spark.operators.profile import transition_counts
+
+    ev = spark.createDataFrame(
+        [(1, 1.0, 2, "x"), (1, 1.0, 1, "y")], "u long, t double, eid long, s string"
+    )
+    got = {
+        (r.from_state, r.to_state): r.n
+        for r in transition_counts(ev, ["u"], ["t", "eid"], "s").collect()
+    }
+    assert got == {("y", "x"): 1}
+
+
+def test_value_histogram_clamps_and_counts(spark):
+    from raptor_spark.operators.profile import value_histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.99,), (10.0,), (25.0,), (99.0,), (250.0,), (None,)],
+        "v double",
+    )
+    got = {
+        r.bin: (r.lo_edge, r.hi_edge, r.n)
+        for r in value_histogram(df, "v", 0.0, 100.0, 10).collect()
+    }
+    # -5 clamps into bin 0; 250 clamps into bin 9; 10.0 lands in bin 1
+    # (half-open bins); None is dropped
+    assert got == {
+        0: (0.0, 10.0, 3),
+        1: (10.0, 20.0, 1),
+        2: (20.0, 30.0, 1),
+        9: (90.0, 100.0, 2),
+    }
+
+
+def test_table_diff_classifies_all_three_changes(spark):
+    from raptor_spark.operators.relational import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    got = {r.k: r.change for r in table_diff(old, new, ["k"], ["s", "v"]).collect()}
+    # key 3 is identical (null-safe compare on the null v) -> absent
+    assert got == {1: "delete", 2: "update", 4: "insert"}
+
+
+def test_table_diff_carries_old_and_new_values(spark):
+    from raptor_spark.operators.relational import table_diff
+
+    old = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    new = spark.createDataFrame([(1, 11.0)], "k long, v double")
+    r = table_diff(old, new, ["k"], ["v"]).collect()[0]
+    assert (r.k, r.change, r.old_v, r.new_v) == (1, "update", 10.0, 11.0)
