@@ -1221,6 +1221,22 @@ def q_order_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def q_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA level (α = 0.3) of the time-ordered event values —
+    order-recursive smoothing via the collect-and-fold shape
+    (operators/relational.ewma_by_key); DuckDB's list_reduce replays the
+    identical left fold, so the comparison is bit-exact before rounding."""
+    from raptor_spark.operators.relational import ewma_by_key
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "t", F.col("ts").cast("timestamp").cast("double")
+    )
+    out = ewma_by_key(ev, ["user_id"], ["t", "event_id"], "value", alpha=0.3)
+    return out.select(
+        "user_id", "n", F.round("ewma", 6).alias("ewma")
+    ).orderBy("user_id")
+
+
 def q_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive same-event-type run per user (gaps-and-islands
     value runs; operators/relational.value_runs + latest_per_key argmax).
@@ -1882,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "value_histogram": q_value_histogram,
         "order_diff": q_order_diff,
+        "user_ewma": q_user_ewma,
         "event_streaks": q_event_streaks,
         "order_status_history": q_order_status_history,
         "event_type_pivot": q_event_type_pivot,
@@ -2941,6 +2958,18 @@ def oracle_sql() -> dict[str, str]:
               FROM o FULL OUTER JOIN n USING (o_orderkey)
             )
             SELECT * FROM d WHERE change IS NOT NULL ORDER BY o_orderkey
+        """,
+        "user_ewma": """
+            WITH g AS (
+              SELECT user_id, count(*) AS n,
+                     list(value ORDER BY epoch(ts), event_id) AS vals
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id, n,
+                   round(list_reduce(vals,
+                     (a, b) -> 0.3::DOUBLE * b
+                               + (1.0::DOUBLE - 0.3::DOUBLE) * a), 6) AS ewma
+            FROM g ORDER BY user_id
         """,
         "event_streaks": """
             WITH r AS (

@@ -262,6 +262,45 @@ def rollup_time_hierarchy(
     return out.withColumn("avg_v", F.col("sum_v") / F.col("n"))
 
 
+def ewma_by_key(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float,
+) -> DataFrame:
+    """(keys..., n, ewma): final exponentially-weighted moving average of
+    each key's time-ordered value sequence — s_i = α·x_i + (1−α)·s_{i-1}
+    with s_1 = x_1, the classic level estimate for per-entity drift
+    tracking. An EWMA is inherently order-recursive (no closed-form window
+    frame without overflow-prone power weights), so this uses the
+    collect-and-fold shape: one groupBy shuffle carrying (key, order,
+    value) rows, then a JVM-side higher-order fold over the sorted array —
+    no UDF, no second shuffle. Assumes per-key history fits one task (the
+    sessionize contract); the fold is a LEFT fold, the same association
+    DuckDB's list_reduce replays bit-for-bit.
+    """
+    seq = F.array_sort(
+        F.collect_list(
+            F.struct(
+                *[F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)],
+                F.col(value_col).alias("v"),
+            )
+        )
+    )
+    g = df.groupBy(*keys).agg(seq.alias("seq"), F.count("*").alias("n"))
+    g = g.select(
+        *keys, "n", F.transform("seq", lambda s: s["v"]).alias("vals")
+    )
+    rest = F.slice(F.col("vals"), F.lit(2), F.greatest(F.size("vals") - 1, F.lit(0)))
+    fold = F.aggregate(
+        rest,
+        F.element_at("vals", 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return g.select(*keys, "n", fold.alias("ewma"))
+
+
 def table_diff(
     old: DataFrame,
     new: DataFrame,

@@ -241,3 +241,25 @@ def test_table_diff_carries_old_and_new_values(spark):
     new = spark.createDataFrame([(1, 11.0)], "k long, v double")
     r = table_diff(old, new, ["k"], ["v"]).collect()[0]
     assert (r.k, r.change, r.old_v, r.new_v) == (1, "update", 10.0, 11.0)
+
+
+def test_ewma_by_key_matches_python_fold(spark):
+    from raptor_spark.operators.relational import ewma_by_key
+
+    rows = [
+        (1, 1.0, 10, 4.0), (1, 2.0, 11, 8.0), (1, 3.0, 12, 1.0),
+        (2, 1.0, 20, 5.0),                       # single event: ewma = x1
+        (3, 1.0, 31, 2.0), (3, 1.0, 30, 6.0),    # tied t -> id tiebreak
+    ]
+    df = spark.createDataFrame(rows, "u long, t double, eid long, v double")
+    got = {r.u: (r.n, r.ewma) for r in ewma_by_key(df, ["u"], ["t", "eid"], "v", 0.3).collect()}
+
+    def fold(vals, a=0.3):
+        acc = vals[0]
+        for x in vals[1:]:
+            acc = a * x + (1.0 - a) * acc
+        return acc
+
+    assert got[1] == (3, fold([4.0, 8.0, 1.0]))
+    assert got[2] == (1, 5.0)
+    assert got[3] == (2, fold([6.0, 2.0]))
