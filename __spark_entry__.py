@@ -1237,6 +1237,46 @@ def q_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outliers per event type (k = 3) — the resistant
+    twin of event_outliers' z-score filter
+    (operators/profile.mad_outliers; two broadcast percentile aggregates,
+    the event stream never shuffles)."""
+    from raptor_spark.operators.profile import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    out = mad_outliers(ev, ["event_type"], "value", k=3.0)
+    return out.select(
+        "event_id", "event_type",
+        F.round("value", 2).alias("value"),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        F.round("robust_z", 4).alias("robust_z"),
+    ).orderBy("event_id")
+
+
+def q_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue with lag growth rate — the
+    period-over-period comparison idiom (post-aggregation window over the
+    month-count-sized rollup; the global ordering only ever sees one row
+    per month, so the unpartitioned window is not a scale seam)."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("growth"),
+    ).orderBy("month")
+
+
 def q_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive same-event-type run per user (gaps-and-islands
     value runs; operators/relational.value_runs + latest_per_key argmax).
@@ -1899,6 +1939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "order_diff": q_order_diff,
         "user_ewma": q_user_ewma,
+        "robust_outliers": q_robust_outliers,
+        "revenue_growth": q_revenue_growth,
         "event_streaks": q_event_streaks,
         "order_status_history": q_order_status_history,
         "event_type_pivot": q_event_type_pivot,
@@ -2970,6 +3012,35 @@ def oracle_sql() -> dict[str, str]:
                      (a, b) -> 0.3::DOUBLE * b
                                + (1.0::DOUBLE - 0.3::DOUBLE) * a), 6) AS ewma
             FROM g ORDER BY user_id
+        """,
+        "robust_outliers": """
+            WITH med AS (
+              SELECT event_type, median(value) AS med
+              FROM events GROUP BY event_type
+            ), mad AS (
+              SELECT e.event_type, median(abs(e.value - med.med)) AS mad
+              FROM events e JOIN med USING (event_type) GROUP BY e.event_type
+            ), s AS (
+              SELECT e.event_id, e.event_type, e.value, med.med, mad.mad,
+                     (e.value - med.med) / mad.mad AS robust_z
+              FROM events e
+              JOIN med USING (event_type) JOIN mad ON e.event_type = mad.event_type
+            )
+            SELECT event_id, event_type, round(value, 2) AS value,
+                   round(med, 6) AS med, round(mad, 6) AS mad,
+                   round(robust_z, 4) AS robust_z
+            FROM s WHERE mad > 0 AND abs(robust_z) > 3.0 ORDER BY event_id
+        """,
+        "revenue_growth": """
+            WITH m AS (
+              SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                     round(sum(o_totalprice), 2) AS revenue
+              FROM orders GROUP BY 1
+            )
+            SELECT month, revenue,
+                   round((revenue - lag(revenue) OVER (ORDER BY month))
+                         / lag(revenue) OVER (ORDER BY month), 6) AS growth
+            FROM m ORDER BY month
         """,
         "event_streaks": """
             WITH r AS (

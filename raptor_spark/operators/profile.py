@@ -187,6 +187,36 @@ def value_histogram(
     )
 
 
+def mad_outliers(
+    df: DataFrame, keys: list[str], value_col: str, k: float = 3.0
+) -> DataFrame:
+    """Rows whose value sits more than ``k`` median-absolute-deviations
+    from their group median, with the robust score (x − med) / mad — the
+    resistant twin of the z-score filter (a contaminated group inflates its
+    own stddev and hides its outliers; the median/MAD pair doesn't move).
+    Groups whose MAD is zero flag nothing (every deviation is 'infinite';
+    degenerate constant-valued groups shouldn't explode the output).
+
+    Two exact-percentile aggregates (group-count-sized, broadcast back onto
+    the stream — the fact side never shuffles); swap percentile for
+    percentile_approx at the tier where exact group sort memory hurts."""
+    med = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    j = df.join(F.broadcast(med), keys)
+    mad = j.groupBy(*keys).agg(
+        F.expr(f"percentile(abs({value_col} - __med), 0.5)").alias("__mad")
+    )
+    scored = j.join(F.broadcast(mad), keys).withColumn(
+        "robust_z", (F.col(value_col) - F.col("__med")) / F.col("__mad")
+    )
+    return (
+        scored.filter((F.col("__mad") > 0) & (F.abs(F.col("robust_z")) > k))
+        .withColumnRenamed("__med", "med")
+        .withColumnRenamed("__mad", "mad")
+    )
+
+
 def fk_orphans(
     pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
 ) -> DataFrame:

@@ -263,3 +263,28 @@ def test_ewma_by_key_matches_python_fold(spark):
     assert got[1] == (3, fold([4.0, 8.0, 1.0]))
     assert got[2] == (1, 5.0)
     assert got[3] == (2, fold([6.0, 2.0]))
+
+
+def test_mad_outliers_resistant_to_contamination(spark):
+    """A group where one extreme point inflates the stddev enough to hide
+    itself from a 3-sigma z-filter is still flagged by median/MAD; a
+    constant-valued group (MAD = 0) flags nothing."""
+    from raptor_spark.operators.profile import mad_outliers
+
+    base = [(i, "g", 10.0 + (i % 3) * 0.5) for i in range(20)]
+    rows = base + [(99, "g", 1000.0)] + [(200 + i, "const", 5.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+
+    # z-score check: the spike IS within 3 sample stddevs (it dragged the
+    # stddev up itself) — the scenario the robust filter exists for
+    import statistics
+
+    vals = [r[2] for r in rows if r[1] == "g"]
+    mu, sd = statistics.mean(vals), statistics.stdev(vals)
+    assert abs(1000.0 - mu) / sd < 5  # spike dominates sd; classic masking
+
+    got = mad_outliers(df, ["event_type"], "value", k=3.0).collect()
+    assert {(r.event_id, r.event_type) for r in got} == {(99, "g")}
+    r = got[0]
+    assert r.med == 10.5 and r.mad == 0.5
+    assert r.robust_z == (1000.0 - 10.5) / 0.5
