@@ -250,3 +250,39 @@ def test_quality_gate_and_psi_plans(spark):
     p = plan_str(QUERIES["source_drift_psi"](spark, SF_DIR))
     assert "CartesianProduct" not in p, p[:800]
     assert "BatchEvalPython" not in p and "PythonUDF" not in p
+
+
+def test_session_additions_plans_stay_clean(spark):
+    """This session's additions, plan-pinned: everything stays JVM-side
+    (the EWMA fold is a higher-order function, never a Python UDF), no
+    cartesian/nested-loop joins anywhere, the transition row-normalizer
+    and the MAD stats tables are broadcast back onto the stream, the CDC
+    diff is a single full-outer equi-join (exchange budget 3: two sides +
+    output order), and the histogram is one aggregation (budget 2)."""
+    import re
+
+    for name in (
+        "event_transitions", "value_histogram", "order_diff", "user_ewma",
+        "robust_outliers", "revenue_growth",
+    ):
+        p = plan_str(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in p and "PythonUDF" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+    for name in ("event_transitions", "robust_outliers"):
+        p = plan_str(QUERIES[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in p, (name, p[:800])
+
+    p = plan_str(QUERIES["order_diff"](spark, SF_DIR))
+    assert "FullOuter" in p, p[:800]
+    n = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n <= 3, (n, p[:800])
+
+    p = plan_str(QUERIES["value_histogram"](spark, SF_DIR))
+    n = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n <= 2, (n, p[:800])
+
+    p = plan_str(QUERIES["user_ewma"](spark, SF_DIR))
+    n = len(re.findall(r"\(\d+\) Exchange", p))
+    assert n <= 2, (n, p[:800])
