@@ -153,3 +153,48 @@ def test_lm_perplexity_and_keep_best_partition_invariant(spark, docs):
     for results in (ppl, kept):
         assert results[0] == results[1] == results[2]
         assert results[0], "empty result — invariance is vacuous"
+
+
+def test_order_sensitive_session_ops_partition_invariant(spark):
+    """The order-RECURSIVE operators added this round (EWMA fold, Markov
+    transitions, label propagation, Bellman-Ford) must not leak physical
+    row order: every layout yields identical output because each op pins a
+    total order (sort keys with tiebreaks) or is pure aggregation."""
+    import random
+
+    from raptor_spark.operators.graph import label_propagation, sssp
+    from raptor_spark.operators.profile import transition_counts
+    from raptor_spark.operators.relational import ewma_by_key
+
+    rng = random.Random(3)
+    ev = spark.createDataFrame(
+        [
+            (i % 17, float(rng.randrange(100)), i, "s" + str(rng.randrange(4)),
+             rng.random())
+            for i in range(400)
+        ],
+        "u long, t double, eid long, s string, v double",
+    ).persist()
+    pairs = spark.createDataFrame(
+        [(rng.randrange(30), rng.randrange(30), rng.random()) for _ in range(60)],
+        "a long, b long, w double",
+    ).filter(F.col("a") != F.col("b")).persist()
+    src = spark.createDataFrame([(0,), (7,)], "id long")
+
+    for df, op, key in [
+        (ev, lambda d: ewma_by_key(d, ["u"], ["t", "eid"], "v", 0.3),
+         lambda r: (r.u, r.n, round(r.ewma, 12))),
+        (ev, lambda d: transition_counts(d, ["u"], ["t", "eid"], "s"),
+         lambda r: (r.from_state, r.to_state, r.n, round(r.p, 12))),
+        (pairs, lambda d: label_propagation(d, n_iter=4),
+         lambda r: (r.id, r.community)),
+        (pairs, lambda d: sssp(d, src, n_rounds=6),
+         lambda r: (r.id, round(r.dist, 12))),
+    ]:
+        outs = []
+        for layout in (df.coalesce(1), df.repartition(13)):
+            outs.append({key(r) for r in op(layout).collect()})
+        assert outs[0] == outs[1]
+        assert outs[0], "empty result — invariance is vacuous"
+    ev.unpersist()
+    pairs.unpersist()
