@@ -149,7 +149,12 @@ def bfs_levels(
     return visited
 
 
-def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    init_ranks: DataFrame | None = None,
+) -> DataFrame:
     """(id, rank): fixed-iteration PageRank over the SYMMETRIZED edge list —
     the hub-importance score of the canonicalized symbol graph. On a
     symmetric graph every vertex has out-degree ≥ 1, so there is no dangling
@@ -162,6 +167,14 @@ def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85) -> DataFr
     persisted, so every iteration reuses its layout instead of re-shuffling
     the (much larger) edge side; ranks are localCheckpointed per iteration
     to keep the plan flat at any K.
+
+    ``init_ranks`` (id, rank) warm-starts the iteration from a previous
+    run's output — the checkpoint-restart path for iterative graph jobs
+    (north_rule resumability, ≙ incremental_clusters for CC): after an
+    edge delta, resume from the stored ranks instead of uniform and
+    converge in a fraction of the rounds. Vertices absent from init_ranks
+    (new since the checkpoint) start at the uniform 1/n; stale vertices
+    (no longer in the graph) are dropped.
     """
     sym = symmetrize(edges)
     out_deg = sym.groupBy("src").agg(F.count("*").alias("odeg"))
@@ -172,6 +185,16 @@ def pagerank(edges: DataFrame, n_iter: int = 5, damping: float = 0.85) -> DataFr
         .distinct()
         .withColumn("rank", F.lit(1.0 / n))
     )
+    if init_ranks is not None:
+        ranks = (
+            ranks.join(
+                init_ranks.select("id", F.col("rank").alias("__init")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("__init", "rank").alias("rank"))
+            .localCheckpoint()
+        )
     for _ in range(n_iter):
         contribs = links.join(ranks, links["src"] == ranks["id"]).select(
             F.col("dst").alias("id"), (F.col("rank") / F.col("odeg")).alias("c")

@@ -309,3 +309,29 @@ def test_sssp_parallel_edges_min_merged(spark):
     src = spark.createDataFrame([(0,)], "id long")
     got = {r.id: r.dist for r in sssp(e, src).collect()}
     assert got == {0: 0.0, 1: 2.0}
+
+
+def test_pagerank_warm_start_resumes_iteration(spark):
+    """Warm-starting from run A's output must equal running the combined
+    iteration count cold — the checkpoint-restart identity for iterative
+    graph jobs (same contract as incremental_clusters for CC)."""
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0), (3, 0), (2, 3)])
+    cold = {r.id: r.rank for r in pagerank(e, n_iter=6).collect()}
+    first = pagerank(e, n_iter=4)
+    resumed = {r.id: r.rank for r in pagerank(e, n_iter=2, init_ranks=first).collect()}
+    assert set(cold) == set(resumed)
+    for v in cold:
+        assert abs(cold[v] - resumed[v]) < 1e-12, v
+
+
+def test_pagerank_warm_start_handles_new_and_stale_vertices(spark):
+    """New vertices absent from the checkpoint start uniform; vertices that
+    left the graph are dropped from the output."""
+    old = _edges(spark, [(0, 1), (1, 2), (2, 0)])
+    prev = pagerank(old, n_iter=3)
+    new = _edges(spark, [(0, 1), (1, 2), (2, 0), (1, 9)])  # 9 joins, none leave
+    got = {r.id: r.rank for r in pagerank(new, n_iter=2, init_ranks=prev).collect()}
+    assert set(got) == {0, 1, 2, 9}
+    shrunk = _edges(spark, [(0, 1)])  # 2 and 9 leave
+    got2 = {r.id for r in pagerank(shrunk, n_iter=1, init_ranks=prev).collect()}
+    assert got2 == {0, 1}
