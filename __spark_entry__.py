@@ -1277,6 +1277,32 @@ def q_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("month")
 
 
+def q_value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value against time-in-days
+    (operators/profile.grouped_trend — single-pass mergeable regression
+    moments; grouped_stats' corr says WHETHER values move with time, the
+    slope says how fast). Time is centered/scaled to days since 2020-01-01
+    so the regression moments stay small."""
+    from raptor_spark.operators.profile import grouped_trend
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "t_days",
+        (
+            F.col("ts").cast("timestamp").cast("double")
+            - F.to_timestamp(F.lit("2020-01-01")).cast("double")
+        )
+        / 86400.0,
+    )
+    out = grouped_trend(ev, ["event_type"], "t_days", "value")
+    return out.select(
+        "event_type",
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    ).orderBy("event_type")
+
+
 def q_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive same-event-type run per user (gaps-and-islands
     value runs; operators/relational.value_runs + latest_per_key argmax).
@@ -1941,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_ewma": q_user_ewma,
         "robust_outliers": q_robust_outliers,
         "revenue_growth": q_revenue_growth,
+        "value_trends": q_value_trends,
         "event_streaks": q_event_streaks,
         "order_status_history": q_order_status_history,
         "event_type_pivot": q_event_type_pivot,
@@ -3030,6 +3057,19 @@ def oracle_sql() -> dict[str, str]:
                    round(med, 6) AS med, round(mad, 6) AS mad,
                    round(robust_z, 4) AS robust_z
             FROM s WHERE mad > 0 AND abs(robust_z) > 3.0 ORDER BY event_id
+        """,
+        "value_trends": """
+            WITH t AS (
+              SELECT event_type, value,
+                     (epoch(ts) - epoch(TIMESTAMP '2020-01-01')) / 86400.0
+                       AS t_days
+              FROM events
+            )
+            SELECT event_type, count(*) AS n,
+                   round(regr_slope(value, t_days), 6) AS slope,
+                   round(regr_intercept(value, t_days), 4) AS intercept,
+                   round(regr_r2(value, t_days), 6) AS r2
+            FROM t GROUP BY event_type ORDER BY event_type
         """,
         "revenue_growth": """
             WITH m AS (

@@ -187,6 +187,25 @@ def value_histogram(
     )
 
 
+def grouped_trend(
+    df: DataFrame, keys: list[str], t_col: str, value_col: str
+) -> DataFrame:
+    """(keys..., n, slope, intercept, r2): per-group ordinary-least-squares
+    trend of value against time — the drift DIRECTION estimate on top of
+    grouped_numeric_stats' dispersion (corr says whether values move with
+    time; the slope says how fast, in value units per time unit).
+
+    One partial-aggregated groupBy using the built-in regression aggregates
+    (regr_slope/regr_intercept/regr_r2 are single-pass moment sums —
+    mergeable partials, so the shuffle carries one row per group)."""
+    return df.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.regr_slope(F.col(value_col), F.col(t_col)).alias("slope"),
+        F.regr_intercept(F.col(value_col), F.col(t_col)).alias("intercept"),
+        F.regr_r2(F.col(value_col), F.col(t_col)).alias("r2"),
+    )
+
+
 def mad_outliers(
     df: DataFrame, keys: list[str], value_col: str, k: float = 3.0
 ) -> DataFrame:

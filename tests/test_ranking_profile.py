@@ -288,3 +288,24 @@ def test_mad_outliers_resistant_to_contamination(spark):
     r = got[0]
     assert r.med == 10.5 and r.mad == 0.5
     assert r.robust_z == (1000.0 - 10.5) / 0.5
+
+
+def test_grouped_trend_matches_numpy_ols(spark):
+    from raptor_spark.operators.profile import grouped_trend
+
+    rows = [("a", float(t), 2.0 * t + 1.0 + ((-1) ** t) * 0.5) for t in range(10)]
+    rows += [("b", float(t), 7.0) for t in range(5)]  # flat: slope 0, r2 nan/0
+    df = spark.createDataFrame(rows, "g string, t double, v double")
+    got = {r.g: r for r in grouped_trend(df, ["g"], "t", "v").collect()}
+
+    import numpy as np
+
+    t = np.array([r[1] for r in rows if r[0] == "a"])
+    v = np.array([r[2] for r in rows if r[0] == "a"])
+    slope, intercept = np.polyfit(t, v, 1)
+    ss_res = float(np.sum((v - (slope * t + intercept)) ** 2))
+    ss_tot = float(np.sum((v - v.mean()) ** 2))
+    assert abs(got["a"].slope - slope) < 1e-9
+    assert abs(got["a"].intercept - intercept) < 1e-9
+    assert abs(got["a"].r2 - (1.0 - ss_res / ss_tot)) < 1e-9
+    assert got["b"].slope == 0.0
