@@ -1303,6 +1303,38 @@ def q_value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_type_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test between event type and
+    hour-of-day (operators/profile.chi2_independence — drift/association
+    audit; the input crosses the shuffle once, as pair counts)."""
+    from raptor_spark.operators.profile import chi2_independence
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hour")
+    )
+    out = chi2_independence(ev, "event_type", "hour")
+    return out.select(
+        F.round("chi2", 4).alias("chi2"),
+        F.col("dof").cast("long").alias("dof"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def q_user_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average event value
+    (operators/profile.twap_by_key — duration-to-next weighting over the
+    (ts, event_id)-ordered series; single-sample users absent)."""
+    from raptor_spark.operators.profile import twap_by_key
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "t", F.col("ts").cast("timestamp").cast("double")
+    )
+    out = twap_by_key(ev, ["user_id"], ["t", "event_id"], "t", "value")
+    return out.select(
+        "user_id", "n_intervals", F.round("twap", 6).alias("twap")
+    ).orderBy("user_id")
+
+
 def q_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive same-event-type run per user (gaps-and-islands
     value runs; operators/relational.value_runs + latest_per_key argmax).
@@ -1968,6 +2000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers": q_robust_outliers,
         "revenue_growth": q_revenue_growth,
         "value_trends": q_value_trends,
+        "type_hour_chi2": q_type_hour_chi2,
+        "user_twap": q_user_twap,
         "event_streaks": q_event_streaks,
         "order_status_history": q_order_status_history,
         "event_type_pivot": q_event_type_pivot,
@@ -3070,6 +3104,38 @@ def oracle_sql() -> dict[str, str]:
                    round(regr_intercept(value, t_days), 4) AS intercept,
                    round(regr_r2(value, t_days), 6) AS r2
             FROM t GROUP BY event_type ORDER BY event_type
+        """,
+        "type_hour_chi2": """
+            WITH pairs AS (
+              SELECT event_type AS a, extract(hour FROM ts) AS b,
+                     count(*) AS o
+              FROM events GROUP BY 1, 2
+            ), ra AS (SELECT a, sum(o) AS row_n FROM pairs GROUP BY a),
+            cb AS (SELECT b, sum(o) AS col_n FROM pairs GROUP BY b),
+            tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM pairs),
+            s AS (
+              SELECT o, row_n * col_n * 1.0 / n AS e
+              FROM pairs JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+            )
+            SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
+                   CAST(((SELECT count(DISTINCT a) FROM pairs) - 1)
+                        * ((SELECT count(DISTINCT b) FROM pairs) - 1)
+                        AS BIGINT) AS dof,
+                   (SELECT n FROM tot) AS n
+            FROM s
+        """,
+        "user_twap": """
+            WITH s AS (
+              SELECT user_id, epoch(ts) AS t, value,
+                     lead(epoch(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch(ts), event_id
+                     ) AS nt
+              FROM events
+            )
+            SELECT user_id, count(*) AS n_intervals,
+                   round(sum(value * (nt - t)) / sum(nt - t), 6) AS twap
+            FROM s WHERE nt IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
         """,
         "revenue_growth": """
             WITH m AS (

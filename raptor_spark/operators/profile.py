@@ -236,6 +236,78 @@ def mad_outliers(
     )
 
 
+def chi2_independence(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """One row (chi2, dof, n): Pearson chi-square statistic for
+    independence of two categorical columns — the distribution-shift test
+    between a slice key and any second factor (psi_drift scores ONE
+    numeric column against a reference slice; this asks whether two
+    factors are associated at all).
+
+    One groupBy over the pair (alphabet-sized result), margins re-derived
+    from the pair counts (never a second pass over the input), expected
+    counts via two broadcast joins of alphabet-sized tables, one final
+    single-row aggregate. The input crosses the shuffle once, as counts."""
+    pairs = (
+        df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("o"))
+        .persist()
+    )
+    ra = pairs.groupBy("a").agg(F.sum("o").alias("row_n"))
+    cb = pairs.groupBy("b").agg(F.sum("o").alias("col_n"))
+    tot = pairs.select(F.sum("o").alias("n"))
+    scored = (
+        pairs.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "e", F.col("row_n") * F.col("col_n") / F.col("n")
+        )
+        .withColumn("contrib", (F.col("o") - F.col("e")) ** 2 / F.col("e"))
+    )
+    out = scored.agg(
+        F.sum("contrib").alias("chi2"),
+        (
+            (F.count_distinct("a") - 1) * (F.count_distinct("b") - 1)
+        ).alias("dof"),
+        F.first("n").alias("n"),
+    ).localCheckpoint()
+    pairs.unpersist()
+    return out
+
+
+def twap_by_key(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """(keys..., n_intervals, twap): TIME-weighted average of each key's
+    value series — each observation weighted by how long it was current
+    (duration to the next sample), the correct mean for irregularly
+    sampled series where the plain average over-weights bursts. The final
+    observation has no duration and drops out; keys with a single sample
+    are absent. ``order_cols`` must pin a total order (tiebreak beyond the
+    timestamp) or tied samples would pair nondeterministically.
+
+    One lead-window pass over the per-key ordering (one shuffle of (key,
+    t, value) rows), then a partial-aggregated weighted mean per key."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    dt = F.lead(t_col).over(w) - F.col(t_col)
+    seg = df.select(*keys, F.col(value_col).alias("v"), dt.alias("dt")).filter(
+        F.col("dt").isNotNull()
+    )
+    return seg.groupBy(*keys).agg(
+        F.count("*").alias("n_intervals"),
+        (F.sum(F.col("v") * F.col("dt")) / F.sum("dt")).alias("twap"),
+    )
+
+
 def fk_orphans(
     pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
 ) -> DataFrame:

@@ -309,3 +309,39 @@ def test_grouped_trend_matches_numpy_ols(spark):
     assert abs(got["a"].intercept - intercept) < 1e-9
     assert abs(got["a"].r2 - (1.0 - ss_res / ss_tot)) < 1e-9
     assert got["b"].slope == 0.0
+
+
+def test_chi2_independence_matches_scipy_formula(spark):
+    """Hand contingency table: chi2/dof equal the direct formula (and a
+    perfectly independent table scores ~0)."""
+    from raptor_spark.operators.profile import chi2_independence
+
+    rows = [("x", 0)] * 30 + [("x", 1)] * 10 + [("y", 0)] * 10 + [("y", 1)] * 30
+    df = spark.createDataFrame(rows, "a string, b int")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    # margins: x=40, y=40, b0=40, b1=40, n=80 -> every e=20; each cell
+    # deviates by 10 -> chi2 = 4 * 100/20 = 20, dof = 1
+    assert (round(r.chi2, 9), r.dof, r.n) == (20.0, 1, 80)
+
+    indep = [("x", 0)] * 20 + [("x", 1)] * 20 + [("y", 0)] * 10 + [("y", 1)] * 10
+    r2 = chi2_independence(
+        spark.createDataFrame(indep, "a string, b int"), "a", "b"
+    ).collect()[0]
+    assert abs(r2.chi2) < 1e-12
+
+
+def test_twap_weights_by_duration(spark):
+    """Value 10 held for 9s then value 100 for 1s -> twap 19; the final
+    sample has no duration and drops; single-sample keys are absent."""
+    from raptor_spark.operators.profile import twap_by_key
+
+    rows = [
+        (1, 0.0, 10, 10.0), (1, 9.0, 11, 100.0), (1, 10.0, 12, 0.0),
+        (2, 5.0, 20, 42.0),  # single sample -> absent
+    ]
+    df = spark.createDataFrame(rows, "u long, t double, eid long, v double")
+    got = {
+        r.u: (r.n_intervals, r.twap)
+        for r in twap_by_key(df, ["u"], ["t", "eid"], "t", "v").collect()
+    }
+    assert got == {1: (2, (10.0 * 9 + 100.0 * 1) / 10)}
