@@ -1335,6 +1335,24 @@ def q_user_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals
+    (operators/profile.benford_audit — arithmetic digit extraction with
+    mantissa re-normalization so libm/JVM log10 ulp differences can't
+    flip a digit; one 9-row aggregation)."""
+    from raptor_spark.operators.profile import benford_audit
+
+    orders = _t(spark, sf_dir, "orders")
+    out = benford_audit(orders, "o_totalprice")
+    return out.select(
+        "digit",
+        "n",
+        F.round("observed_p", 6).alias("observed_p"),
+        F.round("expected_p", 6).alias("expected_p"),
+        F.round("deviation", 6).alias("deviation"),
+    ).orderBy("digit")
+
+
 def q_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive same-event-type run per user (gaps-and-islands
     value runs; operators/relational.value_runs + latest_per_key argmax).
@@ -2002,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_trends": q_value_trends,
         "type_hour_chi2": q_type_hour_chi2,
         "user_twap": q_user_twap,
+        "benford_prices": q_benford_prices,
         "event_streaks": q_event_streaks,
         "order_status_history": q_order_status_history,
         "event_type_pivot": q_event_type_pivot,
@@ -3123,6 +3142,26 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS dof,
                    (SELECT n FROM tot) AS n
             FROM s
+        """,
+        "benford_prices": """
+            WITH m AS (
+              SELECT CASE WHEN m0 < 1 THEN m0 * 10
+                          WHEN m0 >= 10 THEN m0 / 10
+                          ELSE m0 END AS mm
+              FROM (
+                SELECT o_totalprice
+                         / pow(10.0, floor(log10(o_totalprice))) AS m0
+                FROM orders WHERE o_totalprice > 0
+              )
+            ), c AS (
+              SELECT CAST(floor(mm) AS INTEGER) AS digit, count(*) AS n
+              FROM m GROUP BY 1
+            ), tot AS (SELECT sum(n) AS total FROM c)
+            SELECT digit, n,
+                   round(n / total, 6) AS observed_p,
+                   round(log10(1.0 + 1.0 / digit), 6) AS expected_p,
+                   round(n / total - log10(1.0 + 1.0 / digit), 6) AS deviation
+            FROM c CROSS JOIN tot ORDER BY digit
         """,
         "user_twap": """
             WITH s AS (

@@ -308,6 +308,45 @@ def twap_by_key(
     )
 
 
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """(digit, n, observed_p, expected_p, deviation): first-significant-
+    digit distribution of a positive numeric column against Benford's law
+    (expected_p = log10(1 + 1/d)) — the classic fabricated-data /
+    unit-mixing audit for financial-style columns. Rows with value ≤ 0 are
+    excluded (Benford applies to positive magnitudes).
+
+    The first digit is extracted arithmetically (value / 10^floor(log10 v)
+    — no string round-trip), feeding one 9-row groupBy; totals join back
+    as a 1-row broadcast. The mantissa is re-normalized into [1, 10)
+    before the floor: libm and java.lang.Math may disagree by 1 ulp on
+    log10 AT power-of-ten inputs (floor k = j vs j−1), and the correction
+    maps both branches to the same digit."""
+    v = F.col(value_col)
+    m0 = v / F.pow(F.lit(10.0), F.floor(F.log10(v)))
+    m = (
+        F.when(m0 < 1.0, m0 * 10.0)
+        .when(m0 >= 10.0, m0 / 10.0)
+        .otherwise(m0)
+    )
+    counts = (
+        df.filter(v > 0)
+        .groupBy(F.floor(m).cast("int").alias("digit"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = counts.select(F.sum("n").alias("total"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            (F.col("n") / F.col("total")).alias("observed_p"),
+            expected.alias("expected_p"),
+            (F.col("n") / F.col("total") - expected).alias("deviation"),
+        )
+    )
+
+
 def fk_orphans(
     pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
 ) -> DataFrame:

@@ -345,3 +345,23 @@ def test_twap_weights_by_duration(spark):
         for r in twap_by_key(df, ["u"], ["t", "eid"], "t", "v").collect()
     }
     assert got == {1: (2, (10.0 * 9 + 100.0 * 1) / 10)}
+
+
+def test_benford_audit_digit_extraction_and_expected(spark):
+    """Digits extracted across magnitudes (0.02 -> 2, 999.0 -> 9, exact
+    powers of ten -> 1), zero/negative rows excluded, expected_p follows
+    log10(1 + 1/d)."""
+    import math
+
+    from raptor_spark.operators.profile import benford_audit
+
+    df = spark.createDataFrame(
+        [(0.02,), (2.5,), (30.0,), (999.0,), (1.0,), (10.0,), (100.0,),
+         (0.001,), (-5.0,), (0.0,)],
+        "v double",
+    )
+    got = {r.digit: r for r in benford_audit(df, "v").collect()}
+    assert {d: r.n for d, r in got.items()} == {1: 4, 2: 2, 3: 1, 9: 1}
+    for d, r in got.items():
+        assert abs(r.expected_p - math.log10(1 + 1 / d)) < 1e-12
+        assert abs(r.observed_p - r.n / 8) < 1e-12
