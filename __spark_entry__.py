@@ -46,26 +46,13 @@ from raptor_spark.sources import load_table
 
 SEG_LEN = 600.0  # seconds: event → interval [ts, ts+10min]
 
-# DuckDB CTE prefix shared by the graph-analytics oracles: the exact 1-gram
+# DuckDB CTE prefix shared by ALL graph-analytics oracles: the exact 1-gram
 # Jaccard >= 0.8 near-dup pairs on doc_id < 150 (same edge definition as
-# _jaccard_edge_set), symmetrized into e(s, d).
-GRAPH_EDGE_CTE = r"""w AS (
-              SELECT doc_id,
-                     list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
-              FROM documents WHERE doc_id < 150
-            ), p AS (
-              SELECT a.doc_id AS a, b.doc_id AS b
-              FROM w a JOIN w b ON a.doc_id < b.doc_id
-              WHERE len(list_filter(a.ws, x -> list_contains(b.ws, x))) * 1.0 /
-                    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
-            ), e AS (
-              SELECT a AS s, b AS d FROM p UNION SELECT b AS s, a AS d FROM p
-            )"""
-
-# Weighted variant for the SSSP oracle: edge weight = 1 - jaccard (the
-# dissimilarity distance), same pair set as GRAPH_EDGE_CTE. The jaccard is
-# an int/int double division on both engines, so 1.0 - j replays exactly.
-GRAPH_WEDGE_CTE = r"""w AS (
+# _jaccard_edge_set), with the jaccard value kept on the pair. One source
+# of truth — the unweighted and weighted edge CTEs below both derive from
+# it, so the edge definition cannot drift between the SSSP oracle and the
+# BFS/PageRank/LPA/k-core oracles.
+_GRAPH_PAIR_CTE = r"""w AS (
               SELECT doc_id,
                      list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
               FROM documents WHERE doc_id < 150
@@ -76,7 +63,16 @@ GRAPH_WEDGE_CTE = r"""w AS (
                        len(list_distinct(list_concat(a.ws, b.ws))) AS j
                 FROM w a JOIN w b ON a.doc_id < b.doc_id
               ) WHERE j >= 0.8
-            ), e AS (
+            )"""
+
+GRAPH_EDGE_CTE = _GRAPH_PAIR_CTE + r""", e AS (
+              SELECT a AS s, b AS d FROM p UNION SELECT b AS s, a AS d FROM p
+            )"""
+
+# Weighted variant for the SSSP oracle: edge weight = 1 - jaccard (the
+# dissimilarity distance). The jaccard is an int/int double division on
+# both engines, so 1.0 - j replays exactly.
+GRAPH_WEDGE_CTE = _GRAPH_PAIR_CTE + r""", e AS (
               SELECT a AS s, b AS d, 1.0 - j AS w FROM p
               UNION ALL SELECT b AS s, a AS d, 1.0 - j AS w FROM p
             )"""
@@ -1153,9 +1149,12 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raptor_spark.operators.graph import sssp, symmetrize
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    # localCheckpoint: pairs feeds two lineages (sssp's edge build AND the
+    # source-vertex derivation) — without it the prefix-filtered Jaccard
+    # join executes twice (the persist-before-reuse pitfall)
     pairs = _njp(docs, "doc_id", "text", n=1, threshold=0.8).select(
         "a", "b", (F.lit(1.0) - F.col("jaccard")).alias("w")
-    )
+    ).localCheckpoint()
     sources = (
         symmetrize(pairs.select("a", "b"))
         .select(F.col("src").alias("id"))
@@ -1178,7 +1177,9 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     out = transition_counts(ev, ["user_id"], ["ts", "event_id"], "event_type")
-    return out.orderBy("from_state", "to_state")
+    return out.select(
+        "from_state", "to_state", "n", F.round("p", 6).alias("p")
+    ).orderBy("from_state", "to_state")
 
 
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1270,10 +1271,14 @@ def q_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     w = Window.orderBy("month")
     prev = F.lag("revenue").over(w)
+    # + 0.0: growth is sign-crossing — a tiny negative rounds to -0.0 and
+    # the driver renders "-0" (the bigram_pmi signed-zero guard)
     return monthly.select(
         "month",
         "revenue",
-        F.round((F.col("revenue") - prev) / prev, 6).alias("growth"),
+        (F.round((F.col("revenue") - prev) / prev, 6) + F.lit(0.0)).alias(
+            "growth"
+        ),
     ).orderBy("month")
 
 
@@ -1294,10 +1299,13 @@ def q_value_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 86400.0,
     )
     out = grouped_trend(ev, ["event_type"], "t_days", "value")
+    # + 0.0: slope crosses zero; a (-5e-7, 0) slope rounds to -0.0 which
+    # the driver normalizer renders "-0" ≠ Spark/DuckDB disagreeing on the
+    # sign of the rounded zero (same guard as bigram_pmi)
     return out.select(
         "event_type",
         "n",
-        F.round("slope", 6).alias("slope"),
+        (F.round("slope", 6) + F.lit(0.0)).alias("slope"),
         F.round("intercept", 4).alias("intercept"),
         F.round("r2", 6).alias("r2"),
     ).orderBy("event_type")
@@ -1344,12 +1352,13 @@ def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     out = benford_audit(orders, "o_totalprice")
+    # + 0.0 on deviation: it crosses zero (the signed-zero render guard)
     return out.select(
         "digit",
         "n",
         F.round("observed_p", 6).alias("observed_p"),
         F.round("expected_p", 6).alias("expected_p"),
-        F.round("deviation", 6).alias("deviation"),
+        (F.round("deviation", 6) + F.lit(0.0)).alias("deviation"),
     ).orderBy("digit")
 
 
@@ -3119,7 +3128,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT event_type, count(*) AS n,
-                   round(regr_slope(value, t_days), 6) AS slope,
+                   round(regr_slope(value, t_days), 6) + 0.0 AS slope,
                    round(regr_intercept(value, t_days), 4) AS intercept,
                    round(regr_r2(value, t_days), 6) AS r2
             FROM t GROUP BY event_type ORDER BY event_type
@@ -3160,7 +3169,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT digit, n,
                    round(n / total, 6) AS observed_p,
                    round(log10(1.0 + 1.0 / digit), 6) AS expected_p,
-                   round(n / total - log10(1.0 + 1.0 / digit), 6) AS deviation
+                   round(n / total - log10(1.0 + 1.0 / digit), 6) + 0.0
+                     AS deviation
             FROM c CROSS JOIN tot ORDER BY digit
         """,
         "user_twap": """
@@ -3184,7 +3194,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT month, revenue,
                    round((revenue - lag(revenue) OVER (ORDER BY month))
-                         / lag(revenue) OVER (ORDER BY month), 6) AS growth
+                         / lag(revenue) OVER (ORDER BY month), 6) + 0.0
+                     AS growth
             FROM m ORDER BY month
         """,
         "event_streaks": """

@@ -155,7 +155,7 @@ def transition_counts(
         "from_state",
         "to_state",
         "n",
-        F.round(F.col("n") / F.col("row_n"), 6).alias("p"),
+        (F.col("n") / F.col("row_n")).alias("p"),
     )
 
 
@@ -265,7 +265,13 @@ def chi2_independence(
         .withColumn(
             "e", F.col("row_n") * F.col("col_n") / F.col("n")
         )
-        .withColumn("contrib", (F.col("o") - F.col("e")) ** 2 / F.col("e"))
+        # (o-e)*(o-e), not **2: Column.__pow__ compiles to Math.pow (1-ulp
+        # tolerance) while the oracle multiplies — keep both engines on the
+        # exact same multiply
+        .withColumn(
+            "contrib",
+            (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"),
+        )
     )
     out = scored.agg(
         F.sum("contrib").alias("chi2"),

@@ -331,10 +331,11 @@ def table_diff(
         *[F.col(c).alias(f"new_{c}") for c in compare_cols],
     )
     j = om.join(nm, keys, "full_outer")
-    differs = None
+    # empty compare_cols = presence-only diff (insert/delete, never update)
+    differs = F.lit(False)
     for c in compare_cols:
         d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
-        differs = d if differs is None else (differs | d)
+        differs = differs | d
     change = (
         F.when(F.col("__old").isNull(), F.lit("insert"))
         .when(F.col("__new").isNull(), F.lit("delete"))

@@ -365,3 +365,14 @@ def test_benford_audit_digit_extraction_and_expected(spark):
     for d, r in got.items():
         assert abs(r.expected_p - math.log10(1 + 1 / d)) < 1e-12
         assert abs(r.observed_p - r.n / 8) < 1e-12
+
+
+def test_table_diff_presence_only(spark):
+    """Empty compare_cols = presence-only diff: inserts/deletes classified,
+    never updates."""
+    from raptor_spark.operators.relational import table_diff
+
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {r.k: r.change for r in table_diff(old, new, ["k"], []).collect()}
+    assert got == {1: "delete", 3: "insert"}
