@@ -263,12 +263,18 @@ def test_session_additions_plans_stay_clean(spark):
 
     for name in (
         "event_transitions", "value_histogram", "order_diff", "user_ewma",
-        "robust_outliers", "revenue_growth",
+        "robust_outliers", "revenue_growth", "value_trends",
+        "type_hour_chi2", "user_twap", "benford_prices",
     ):
         p = plan_str(QUERIES[name](spark, SF_DIR))
         assert "BatchEvalPython" not in p and "PythonUDF" not in p, name
         assert "CartesianProduct" not in p, name
-        assert "BroadcastNestedLoopJoin" not in p, name
+        if name == "benford_prices":
+            # its only nested-loop is the 1-row broadcast totals cross
+            # join (the scalar-subquery pattern) — benign at any scale
+            assert p.count("BroadcastNestedLoopJoin") <= 1, name
+        else:
+            assert "BroadcastNestedLoopJoin" not in p, name
 
     for name in ("event_transitions", "robust_outliers"):
         p = plan_str(QUERIES[name](spark, SF_DIR))
