@@ -271,8 +271,13 @@ def test_session_additions_plans_stay_clean(spark):
         assert "CartesianProduct" not in p, name
         if name == "benford_prices":
             # its only nested-loop is the 1-row broadcast totals cross
-            # join (the scalar-subquery pattern) — benign at any scale
-            assert p.count("BroadcastNestedLoopJoin") <= 1, name
+            # join (the scalar-subquery pattern) — benign at any scale;
+            # formatted plans print each node twice (tree + detail), so
+            # count the numbered detail entries
+            import re as _re
+
+            n_bnlj = len(_re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
+            assert n_bnlj <= 1, (name, n_bnlj)
         else:
             assert "BroadcastNestedLoopJoin" not in p, name
 
