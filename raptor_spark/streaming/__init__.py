@@ -221,6 +221,73 @@ def sessionize_stream(
     )
 
 
+TRANSITION_OUTPUT_SCHEMA = (
+    "user_id LONG, from_state STRING, to_state STRING, t DOUBLE"
+)
+_TRANSITION_STATE_SCHEMA = "last_t DOUBLE, last_eid LONG, last_state STRING"
+
+
+def transition_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    state_col: str = "event_type",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming first-order transition emitter — the real-time face of
+    operators/profile.transition_counts (aggregate the emitted pairs to
+    get the live Markov matrix). Per-key state is the last observed
+    (t, id, state) frontier — ONE row per key, so state is key-cardinality
+    bounded and never grows with throughput. Each batch's events are
+    processed in (t, id) order; an event older than the stored frontier is
+    dropped (the late-data guard that keeps at-least-once replay from
+    double-counting), so with in-order per-key arrival the emitted pair
+    multiset equals the batch lead() pairs exactly (parity gate in
+    test_streaming)."""
+    import pandas as pd
+
+    ev = (
+        events.withColumn("_ts", F.col(ts_col).cast("timestamp"))
+        .withWatermark("_ts", watermark)
+        .withColumn("_sec", F.col("_ts").cast("double"))
+        .select(key_col, "_sec", id_col, state_col)
+    )
+
+    def fn(key, pdfs, state):
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (float(t), int(eid), str(st))
+                for t, eid, st in zip(pdf["_sec"], pdf[id_col], pdf[state_col])
+            )
+        rows.sort()
+        if state.exists:
+            lt, leid, ls = state.get
+        else:
+            lt, leid, ls = None, None, None
+        out = []
+        for t, eid, st in rows:
+            if lt is not None:
+                if (t, eid) < (lt, leid):
+                    continue
+                out.append((key[0], ls, st, t))
+            lt, leid, ls = t, eid, st
+        if lt is not None:
+            state.update((lt, leid, ls))
+        yield pd.DataFrame(
+            out, columns=["user_id", "from_state", "to_state", "t"]
+        )
+
+    return ev.groupBy(key_col).applyInPandasWithState(
+        fn,
+        TRANSITION_OUTPUT_SCHEMA,
+        _TRANSITION_STATE_SCHEMA,
+        "append",
+        "NoTimeout",
+    )
+
+
 def streaming_exact_dedup(
     df: DataFrame,
     text_col: str = "content",

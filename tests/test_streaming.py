@@ -374,3 +374,62 @@ def test_stream_merge_to_catalog_idempotent(spark, tmp_path_factory):
     final = cat.read("ev")
     assert final.count() == events.count()
     assert final.filter(F.col("value") > 1000.0).count() >= 40
+
+
+def test_transition_stream_matches_batch_lead_pairs(spark, tmp_path_factory):
+    """The streaming transition emitter over two time-ordered microbatches
+    equals the batch lead() pair set exactly, and a checkpoint restart
+    emits nothing new (the cross-batch frontier lives in state)."""
+    from raptor_spark.streaming import transition_stream
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts_sec", F.col("ts").cast("timestamp").cast("double")
+    )
+    cut = events.approxQuantile("ts_sec", [0.5], 0.01)[0]
+    in_dir = str(tmp_path_factory.mktemp("trans") / "in")
+    events.filter(F.col("ts_sec") <= cut).coalesce(1).write.parquet(f"{in_dir}/p=1")
+    events.filter(F.col("ts_sec") > cut).coalesce(1).write.parquet(f"{in_dir}/p=2")
+
+    out = str(tmp_path_factory.mktemp("trans") / "out")
+    ckpt = str(tmp_path_factory.mktemp("trans") / "ckpt")
+
+    def _run():
+        q = (
+            transition_stream(
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true")
+                .parquet(in_dir)
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _run()
+    got = spark.read.parquet(out)
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    golden = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("from_state"),
+            F.lead("event_type").over(w).alias("to_state"),
+            F.lead("ts_sec").over(w).alias("t"),
+        )
+        .filter(F.col("to_state").isNotNull())
+    )
+    gset = {(r.user_id, r.from_state, r.to_state, r.t) for r in golden.collect()}
+    eset = {(r.user_id, r.from_state, r.to_state, r.t) for r in got.collect()}
+    assert got.count() == len(eset)  # no duplicate emissions
+    assert eset == gset
+
+    # restart on the same checkpoint: no new input -> no new pairs
+    _run()
+    assert spark.read.parquet(out).count() == len(gset)
