@@ -14,7 +14,10 @@ compute once). Spark-side equivalent:
 * a hit reads the materialized parquet (write-then-commit manifest, same
   discipline as the Catalog); a miss computes, materializes, commits;
 * TTL: entries older than ``ttl_s`` recompute (the reference's Redis
-  EXPIRE);
+  EXPIRE), scaled by per-entry popularity when ``hit_ttl_mult`` > 0:
+  effective TTL = ``ttl_s · (entry_hits · hit_ttl_mult + 1)`` — the
+  reference's hit-count-scaled expiry (cache_manager.py:204-234), so hot
+  queries stay cached longer and cold ones age out on the base TTL;
 * in-flight dedup: a per-key ``threading.Lock`` so concurrent identical
   queries on one driver compute once (the asyncio-lock analog; across
   drivers the write-then-commit rename keeps racers consistent — last
@@ -50,10 +53,17 @@ def plan_key(df: DataFrame) -> str:
 
 
 class QueryCache:
-    def __init__(self, spark: SparkSession, root: str, ttl_s: float | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        ttl_s: float | None = None,
+        hit_ttl_mult: float = 0.0,
+    ):
         self.spark = spark
         self.root = root
         self.ttl_s = ttl_s
+        self.hit_ttl_mult = hit_ttl_mult
         self.hits = 0
         self.misses = 0
         self._locks: dict[str, threading.Lock] = {}
@@ -70,15 +80,28 @@ class QueryCache:
     def _data(self, key: str) -> str:
         return os.path.join(self.root, key)
 
-    def _fresh(self, key: str) -> bool:
+    def _meta(self, key: str) -> dict | None:
         try:
             with open(self._marker(key)) as f:
-                meta = json.load(f)
+                return json.load(f)
         except FileNotFoundError:
+            return None
+
+    def _write_meta(self, key: str, meta: dict) -> None:
+        tmp = self._marker(key) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._marker(key))
+
+    def _fresh(self, meta: dict | None) -> bool:
+        if meta is None:
             return False
         if self.ttl_s is None:
             return True
-        return (time.time() - meta["committed_at"]) <= self.ttl_s
+        effective = self.ttl_s * (
+            meta.get("hits", 0) * self.hit_ttl_mult + 1.0
+        )
+        return (time.time() - meta["committed_at"]) <= effective
 
     def get_or_compute(self, df: DataFrame) -> DataFrame:
         """Return a DataFrame equivalent to ``df``, reading the materialized
@@ -86,15 +109,17 @@ class QueryCache:
         otherwise. Concurrent identical calls compute once."""
         key = plan_key(df)
         with self._lock_for(key):
-            if self._fresh(key):
+            meta = self._meta(key)
+            if self._fresh(meta):
                 self.hits += 1
+                meta["hits"] = meta.get("hits", 0) + 1
+                self._write_meta(key, meta)
                 return self.spark.read.parquet(self._data(key))
             self.misses += 1
             df.write.mode("overwrite").parquet(self._data(key))
-            tmp = self._marker(key) + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"key": key, "committed_at": time.time()}, f)
-            os.replace(tmp, self._marker(key))
+            self._write_meta(
+                key, {"key": key, "committed_at": time.time(), "hits": 0}
+            )
             return self.spark.read.parquet(self._data(key))
 
     def invalidate(self, df: DataFrame | None = None) -> None:

@@ -79,3 +79,37 @@ def test_invalidate(spark, tmp_path):
     cache.invalidate(_q(spark))
     cache.get_or_compute(_q(spark))
     assert cache.misses == 2
+
+
+def test_hit_scaled_ttl_keeps_hot_entries(spark, tmp_path):
+    """Effective TTL = ttl * (hits*mult + 1) (the reference's popularity-
+    scaled expiry): with recorded hits an aged entry stays fresh; past the
+    scaled horizon (or with mult = 0) it recomputes. Ages are injected into
+    the marker so the test is immune to wall-clock noise."""
+    import json
+    import time
+
+    from raptor_spark.cache import QueryCache, plan_key
+
+    df = spark.range(5).selectExpr("id", "id * 3 AS v")
+    key = plan_key(df)
+
+    def _age(cache, seconds, hits):
+        meta = {"key": key, "committed_at": time.time() - seconds, "hits": hits}
+        with open(cache._marker(key), "w") as f:
+            json.dump(meta, f)
+
+    hot = QueryCache(spark, str(tmp_path / "hot"), ttl_s=3.0, hit_ttl_mult=4.0)
+    hot.get_or_compute(df).count()            # miss, commit
+    _age(hot, 5.0, hits=1)                    # older than base 3, < 3*(1*4+1)=15
+    hot.get_or_compute(df).count()
+    assert (hot.misses, hot.hits) == (1, 1)
+    _age(hot, 20.0, hits=1)                   # beyond the scaled horizon
+    hot.get_or_compute(df).count()
+    assert hot.misses == 2
+
+    cold = QueryCache(spark, str(tmp_path / "cold"), ttl_s=3.0, hit_ttl_mult=0.0)
+    cold.get_or_compute(df).count()
+    _age(cold, 5.0, hits=1)                   # mult=0: hits don't extend
+    cold.get_or_compute(df).count()
+    assert (cold.misses, cold.hits) == (2, 0)
