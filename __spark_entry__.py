@@ -1362,6 +1362,70 @@ def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("digit")
 
 
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 most common 3-step event paths (second-order sequence mining
+    on top of event_transitions' first-order matrix): two lead() offsets
+    over the per-user (ts, event_id) ordering, one pair groupBy, a
+    deterministic tiebroken top-k."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select(
+            F.col("event_type").alias("s1"),
+            F.lead("event_type", 1).over(w).alias("s2"),
+            F.lead("event_type", 2).over(w).alias("s3"),
+        )
+        .filter(F.col("s2").isNotNull() & F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count("*").alias("n"))
+    )
+    return paths.orderBy(F.desc("n"), "s1", "s2", "s3").limit(25)
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-quality audit of the embedding corpus (norm / mean /
+    min / max per vector — the pre-indexing sanity pass): the float array
+    is cast to double ONCE, then folded with explicit left-fold HOFs so
+    DuckDB's list_reduce replays the identical association."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    g = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vd"),
+    )
+    sumsq = F.aggregate("vd", F.lit(0.0), lambda a, x: a + x * x)
+    ssum = F.aggregate("vd", F.lit(0.0), lambda a, x: a + x)
+    # + 0.0 on mean: components are signed, the mean crosses zero
+    return g.select(
+        "vec_id",
+        F.round(F.sqrt(sumsq), 6).alias("norm"),
+        (F.round(ssum / F.size("vd"), 6) + F.lit(0.0)).alias("mean"),
+        F.round(F.array_min("vd"), 6).alias("vmin"),
+        F.round(F.array_max("vd"), 6).alias("vmax"),
+    ).orderBy("vec_id")
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k = 5) over the quasi-identifier tuple
+    (lang, source, length-bucket): equivalence-class census, classes below
+    k, and rows at re-identification risk — the privacy acceptance gate a
+    training-data release runs next to PII redaction. One class-sized
+    groupBy then a single-row aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    classes = docs.groupBy(
+        "lang", "source", F.floor(F.col("n_chars") / 100).alias("len_bucket")
+    ).agg(F.count("*").alias("cnt"))
+    return classes.agg(
+        F.count("*").alias("n_classes"),
+        F.sum((F.col("cnt") < 5).cast("long")).alias("n_small_classes"),
+        F.sum(F.when(F.col("cnt") < 5, F.col("cnt")).otherwise(0)).alias(
+            "rows_at_risk"
+        ),
+        F.min("cnt").alias("min_class_size"),
+    )
+
+
 def q_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive same-event-type run per user (gaps-and-islands
     value runs; operators/relational.value_runs + latest_per_key argmax).
@@ -2030,6 +2094,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_hour_chi2": q_type_hour_chi2,
         "user_twap": q_user_twap,
         "benford_prices": q_benford_prices,
+        "top_paths": q_top_paths,
+        "embedding_norms": q_embedding_norms,
+        "k_anonymity": q_k_anonymity,
         "event_streaks": q_event_streaks,
         "order_status_history": q_order_status_history,
         "event_type_pivot": q_event_type_pivot,
@@ -3172,6 +3239,50 @@ def oracle_sql() -> dict[str, str]:
                    round(n / total - log10(1.0 + 1.0 / digit), 6) + 0.0
                      AS deviation
             FROM c CROSS JOIN tot ORDER BY digit
+        """,
+        "top_paths": """
+            WITH s AS (
+              SELECT event_type AS s1,
+                     lead(event_type, 1) OVER w AS s2,
+                     lead(event_type, 2) OVER w AS s3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT s1, s2, s3, count(*) AS n
+            FROM s WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+            GROUP BY s1, s2, s3
+            ORDER BY n DESC, s1, s2, s3 LIMIT 25
+        """,
+        "embedding_norms": """
+            WITH g AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+              FROM embeddings WHERE vec_id < 200
+            )
+            SELECT vec_id,
+                   round(sqrt(list_reduce(
+                     list_transform(vd, x -> x * x), (a, b) -> a + b)), 6)
+                     AS norm,
+                   round(list_reduce(vd, (a, b) -> a + b) / len(vd), 6) + 0.0
+                     AS mean,
+                   round(list_min(vd), 6) AS vmin,
+                   round(list_max(vd), 6) AS vmax
+            FROM g ORDER BY vec_id
+        """,
+        "k_anonymity": """
+            WITH c AS (
+              SELECT lang, source, CAST(floor(n_chars / 100.0) AS BIGINT)
+                       AS len_bucket,
+                     count(*) AS cnt
+              FROM documents GROUP BY 1, 2, 3
+            )
+            SELECT count(*) AS n_classes,
+                   CAST(sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_small_classes,
+                   CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
+                     AS rows_at_risk,
+                   min(cnt) AS min_class_size
+            FROM c
         """,
         "user_twap": """
             WITH s AS (

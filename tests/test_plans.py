@@ -264,7 +264,8 @@ def test_session_additions_plans_stay_clean(spark):
     for name in (
         "event_transitions", "value_histogram", "order_diff", "user_ewma",
         "robust_outliers", "revenue_growth", "value_trends",
-        "type_hour_chi2", "user_twap", "benford_prices",
+        "type_hour_chi2", "user_twap", "benford_prices", "top_paths",
+        "embedding_norms", "k_anonymity",
     ):
         p = plan_str(QUERIES[name](spark, SF_DIR))
         assert "BatchEvalPython" not in p and "PythonUDF" not in p, name
