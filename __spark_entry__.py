@@ -1426,6 +1426,39 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Efraimidis–Spirakis weighted sample (k = 3 per source,
+    weighted by length) — the balanced per-group quota form of
+    weighted_sample (operators/curation.weighted_sample_per_group): one
+    window rank per group, no global sort, bit-reproducible keys."""
+    from raptor_spark.operators.curation import weighted_sample_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample_per_group(
+        docs, "doc_id", "text", ["source"],
+        F.col("n_chars").cast("double"), k=3,
+    )
+    return out.select(
+        "source",
+        F.col("id").alias("doc_id"),
+        F.col("w").cast("long").alias("w"),
+        F.round("es_key", 6).alias("es_key"),
+        F.col("rk").cast("long").alias("rk"),
+    ).orderBy("source", "rk")
+
+
+def q_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality audit of orders ⋈ lineitem on the order key
+    (operators/profile.join_fanout_audit): key counts, max duplication per
+    side, and the exact inner-join output size — computed from two
+    key-column aggregations, never by running the join."""
+    from raptor_spark.operators.profile import join_fanout_audit
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return join_fanout_audit(orders, lineitem, "o_orderkey", "l_orderkey")
+
+
 def q_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive same-event-type run per user (gaps-and-islands
     value runs; operators/relational.value_runs + latest_per_key argmax).
@@ -2097,6 +2130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_paths": q_top_paths,
         "embedding_norms": q_embedding_norms,
         "k_anonymity": q_k_anonymity,
+        "source_sample": q_source_sample,
+        "join_fanout": q_join_fanout,
         "event_streaks": q_event_streaks,
         "order_status_history": q_order_status_history,
         "event_type_pivot": q_event_type_pivot,
@@ -3784,6 +3819,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(w AS BIGINT) AS w,
                    round(es_key, 6) AS es_key
             FROM k ORDER BY es_key DESC, doc_id ASC LIMIT 20
+        """,
+        "source_sample": f"""
+            WITH b AS (
+              SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS w,
+                     md5(text) AS h
+              FROM documents
+            ), k AS (
+              SELECT source, doc_id, w,
+                     pow(((({hb('h', 1)}) * 256 + ({hb('h', 2)})) % 65536 + 1.0)
+                           / 65536.0,
+                         1.0 / w) AS es_key
+              FROM b
+            ), r AS (
+              SELECT source, doc_id, w, es_key,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY es_key DESC, doc_id ASC
+                     ) AS rk
+              FROM k
+            )
+            SELECT source, doc_id, CAST(w AS BIGINT) AS w,
+                   round(es_key, 6) AS es_key, CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 3 ORDER BY source, rk
+        """,
+        "join_fanout": """
+            WITH lc AS (
+              SELECT o_orderkey AS k, count(*) AS ln FROM orders GROUP BY 1
+            ), rc AS (
+              SELECT l_orderkey AS k, count(*) AS rn FROM lineitem GROUP BY 1
+            )
+            SELECT CAST((SELECT sum(ln) FROM lc) AS BIGINT) AS n_left,
+                   CAST((SELECT sum(rn) FROM rc) AS BIGINT) AS n_right,
+                   (SELECT count(*) FROM lc) AS n_left_keys,
+                   (SELECT count(*) FROM rc) AS n_right_keys,
+                   (SELECT max(ln) FROM lc) AS max_left_dup,
+                   (SELECT max(rn) FROM rc) AS max_right_dup,
+                   CAST(coalesce((SELECT sum(ln * rn)
+                                  FROM lc JOIN rc USING (k)), 0) AS BIGINT)
+                     AS est_join_rows
         """,
         "bloom_decontaminate": rf"""
             WITH t AS (

@@ -279,6 +279,43 @@ def weighted_sample_topk(
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_cols: list[str],
+    weight: Column,
+    k: int,
+) -> DataFrame:
+    """Per-group Efraimidis–Spirakis weighted sampling without replacement:
+    the top-k by u^(1/w) WITHIN each group — the balanced-selection form of
+    weighted_sample_topk (a global top-k lets one over-weighted source
+    swamp the sample; this caps every group at k, the per-source quota of
+    a curriculum mix). Same content-hash u, so it is bit-reproducible
+    across engines, runs, and partitionings.
+
+    Scale shape: one window rank per group key (a single shuffle on the
+    group columns); no global sort. Returns (group..., id, w, es_key,
+    rk ≤ k)."""
+    from pyspark.sql.window import Window
+
+    u = (md5_bucket_col(F.col(text_col)) + 1.0) / 65536.0
+    key = F.pow(u, 1.0 / weight)
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("es_key"), F.asc("id")
+    )
+    return (
+        df.select(
+            *group_cols,
+            F.col(id_col).alias("id"),
+            weight.alias("w"),
+            key.alias("es_key"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
 # -- Bloom-filter membership (the sketch scale path of decontamination) ----
 #
 # ngram_contamination joins the training corpus against the eval set's

@@ -353,6 +353,45 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
     )
 
 
+def join_fanout_audit(
+    left: DataFrame, right: DataFrame, left_key: str, right_key: str
+) -> DataFrame:
+    """One row (n_left, n_right, n_left_keys, n_right_keys, max_left_dup,
+    max_right_dup, est_join_rows): pre-join cardinality audit — the check
+    that catches a fan-out explosion or a hot key BEFORE the join runs
+    (est_join_rows = Σ over matched keys of left_dup·right_dup, the exact
+    inner-join output size). At 100 TB this costs two key-column
+    aggregations instead of an OOM'd shuffle.
+
+    Both sides aggregate to key-cardinality tables (the payloads never
+    move); the estimate is one equi-join of those two count tables."""
+    lc = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count("*").alias("ln")
+    )
+    rc = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count("*").alias("rn")
+    )
+    est = lc.join(rc, "k").select(
+        F.sum(F.col("ln") * F.col("rn")).alias("est_join_rows")
+    )
+    summary = lc.agg(
+        F.sum("ln").alias("n_left"),
+        F.count("*").alias("n_left_keys"),
+        F.max("ln").alias("max_left_dup"),
+    ).crossJoin(
+        rc.agg(
+            F.sum("rn").alias("n_right"),
+            F.count("*").alias("n_right_keys"),
+            F.max("rn").alias("max_right_dup"),
+        )
+    )
+    return summary.crossJoin(F.broadcast(est)).select(
+        "n_left", "n_right", "n_left_keys", "n_right_keys",
+        "max_left_dup", "max_right_dup",
+        F.coalesce("est_join_rows", F.lit(0)).alias("est_join_rows"),
+    )
+
+
 def fk_orphans(
     pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
 ) -> DataFrame:

@@ -470,3 +470,59 @@ def test_sliding_chunks_randomized_parity(spark, seed, size, stride):
             cw = ws[c * stride : c * stride + size]
             want.append((i, c, len(cw), " ".join(cw)))
     assert got == sorted(want)
+
+
+def test_weighted_sample_per_group_caps_and_matches_global_on_one_group(spark):
+    """Each group yields at most k rows; on a single-group input the
+    selection equals the global sampler's top-k (same keys)."""
+    from raptor_spark.operators.curation import (
+        weighted_sample_per_group,
+        weighted_sample_topk,
+    )
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(i, "g" + str(i % 4), f"text body {i} " * (i + 1)) for i in range(40)],
+        "doc_id long, grp string, text string",
+    ).withColumn("w", (F.length("text")).cast("double"))
+
+    per = weighted_sample_per_group(docs, "doc_id", "text", ["grp"], F.col("w"), k=3)
+    rows = per.collect()
+    from collections import Counter
+
+    by_grp = Counter(r.grp for r in rows)
+    assert set(by_grp.values()) == {3}
+    assert all(1 <= r.rk <= 3 for r in rows)
+
+    one = docs.filter(F.col("grp") == "g0")
+    got_per = {
+        r.id for r in weighted_sample_per_group(
+            one, "doc_id", "text", ["grp"], F.col("w"), k=3
+        ).collect()
+    }
+    got_glob = {
+        r.id for r in weighted_sample_topk(one, "doc_id", "text", F.col("w"), k=3).collect()
+    }
+    assert got_per == got_glob
+
+
+def test_join_fanout_audit_estimate_is_exact(spark):
+    from raptor_spark.operators.profile import join_fanout_audit
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k long, x string"
+    )
+    right = spark.createDataFrame(
+        [(1, "p"), (2, "q"), (2, "r"), (2, "s"), (9, "t")], "k long, y string"
+    )
+    r = join_fanout_audit(left, right, "k", "k").collect()[0]
+    assert (r.n_left, r.n_right, r.n_left_keys, r.n_right_keys) == (4, 5, 3, 3)
+    assert (r.max_left_dup, r.max_right_dup) == (2, 3)
+    actual = left.join(right, "k").count()
+    assert r.est_join_rows == actual == 5  # key1: 2*1, key2: 1*3
+
+    # disjoint keys -> zero estimate, not null
+    r2 = join_fanout_audit(
+        left, spark.createDataFrame([(7, "z")], "k long, y string"), "k", "k"
+    ).collect()[0]
+    assert r2.est_join_rows == 0

@@ -265,20 +265,20 @@ def test_session_additions_plans_stay_clean(spark):
         "event_transitions", "value_histogram", "order_diff", "user_ewma",
         "robust_outliers", "revenue_growth", "value_trends",
         "type_hour_chi2", "user_twap", "benford_prices", "top_paths",
-        "embedding_norms", "k_anonymity",
+        "embedding_norms", "k_anonymity", "source_sample", "join_fanout",
     ):
         p = plan_str(QUERIES[name](spark, SF_DIR))
         assert "BatchEvalPython" not in p and "PythonUDF" not in p, name
         assert "CartesianProduct" not in p, name
-        if name == "benford_prices":
-            # its only nested-loop is the 1-row broadcast totals cross
-            # join (the scalar-subquery pattern) — benign at any scale;
+        if name in ("benford_prices", "join_fanout"):
+            # their only nested-loops are 1-row aggregate cross joins
+            # (the scalar-subquery pattern) — benign at any scale;
             # formatted plans print each node twice (tree + detail), so
             # count the numbered detail entries
             import re as _re
 
             n_bnlj = len(_re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p))
-            assert n_bnlj <= 1, (name, n_bnlj)
+            assert n_bnlj <= 2, (name, n_bnlj)
         else:
             assert "BroadcastNestedLoopJoin" not in p, name
 
