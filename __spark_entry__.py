@@ -1459,6 +1459,46 @@ def q_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_fanout_audit(orders, lineitem, "o_orderkey", "l_orderkey")
 
 
+def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized posting lists for the 10 highest-df terms over the
+    doc_id < 100 slice — the inverted-index build that term_stats only
+    summarizes. Postings are the doc ids in ascending order, projected to
+    a comma-joined string (the driver comparator cannot hash raw arrays —
+    the media_features lesson)."""
+    from raptor_spark.operators.ranking import doc_terms
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    terms = doc_terms(docs, "doc_id", "text")
+    postings = terms.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("id")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings"),
+    )
+    return postings.orderBy(F.desc("df"), "term").limit(10)
+
+
+def q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality filter over the documents table
+    (operators/text.compression_quality — the repo's one deliberate
+    Python-path curation operator; Arrow mapInPandas, only (id, text)
+    crosses into Python). Rows-only at the driver: DuckDB has no zlib;
+    the pytest gate recomputes the ratios in-process and compares
+    exactly."""
+    from raptor_spark.operators.text import compression_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    out = compression_quality(docs, "doc_id", "text")
+    return out.select(
+        "id", "n_bytes", "n_compressed",
+        F.round("ratio", 6).alias("ratio"), "keep",
+    ).orderBy("id")
+
+
 def q_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive same-event-type run per user (gaps-and-islands
     value runs; operators/relational.value_runs + latest_per_key argmax).
@@ -2132,6 +2172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "source_sample": q_source_sample,
         "join_fanout": q_join_fanout,
+        "term_postings": q_term_postings,
+        "compression_quality": q_compression_quality,
         "event_streaks": q_event_streaks,
         "order_status_history": q_order_status_history,
         "event_type_pivot": q_event_type_pivot,
@@ -3841,6 +3883,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id, CAST(w AS BIGINT) AS w,
                    round(es_key, 6) AS es_key, CAST(rk AS BIGINT) AS rk
             FROM r WHERE rk <= 3 ORDER BY source, rk
+        """,
+        "term_postings": r"""
+            WITH t AS (
+              SELECT DISTINCT doc_id,
+                     unnest(string_split_regex(lower(trim(text)), '\s+'))
+                       AS term
+              FROM documents WHERE doc_id < 100
+            )
+            SELECT term, count(*) AS df,
+                   array_to_string(list(doc_id ORDER BY doc_id), ',')
+                     AS postings
+            FROM t GROUP BY term ORDER BY df DESC, term LIMIT 10
         """,
         "join_fanout": """
             WITH lc AS (

@@ -286,3 +286,55 @@ def repetition_stats(
     return out.withColumn("dup_frac", dup).withColumn(
         "keep", (F.col("dup_frac") <= max_dup_frac).cast("int")
     )
+
+
+def compression_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lo: float = 0.30,
+    hi: float = 0.95,
+    level: int = 6,
+) -> DataFrame:
+    """(id, n_bytes, n_compressed, ratio, keep): zlib compression ratio as
+    a text-quality signal (the CCNet/Gopher-family filter the pure column
+    expressions can't express): boilerplate/template spam compresses far
+    below ``lo``, garbled or binary-ish text barely compresses (above
+    ``hi``), and natural prose sits between. keep = lo ≤ ratio ≤ hi;
+    empty/null text gets ratio 1.0 (kept only if hi ≥ 1).
+
+    This is the repo's one deliberate Python-path curation operator —
+    zlib has no SQL equivalent — so it follows the extraction discipline:
+    Arrow-batched ``mapInPandas`` (never row-at-a-time), executor-local
+    import, only (id, text) crosses into Python, and the output is
+    column-pruned to the five scalars. Deterministic for a fixed zlib
+    level, so the pytest gate recomputes it in-process and compares
+    exactly (rows-only at the driver: DuckDB has no zlib)."""
+    import pandas as pd
+
+    out_schema = (
+        "id long, n_bytes long, n_compressed long, ratio double, keep boolean"
+    )
+
+    def fn(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = [
+                t.encode("utf-8") if isinstance(t, str) else b""
+                for t in pdf[text_col]
+            ]
+            nb = [len(x) for x in raw]
+            nc = [len(zlib.compress(x, level)) for x in raw]
+            ratio = [c / n if n else 1.0 for c, n in zip(nc, nb)]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "ratio": ratio,
+                    "keep": [lo <= r <= hi for r in ratio],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(fn, out_schema)

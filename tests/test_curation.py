@@ -526,3 +526,43 @@ def test_join_fanout_audit_estimate_is_exact(spark):
         left, spark.createDataFrame([(7, "z")], "k long, y string"), "k", "k"
     ).collect()[0]
     assert r2.est_join_rows == 0
+
+
+def test_compression_quality_matches_python_zlib(spark):
+    """The Spark ratios equal in-process zlib exactly (same level), the
+    repetitive/garbled/empty classes land on the right side of keep, and
+    the plan is Arrow-vectorized (MapInPandas, no row-at-a-time Python)."""
+    import zlib
+
+    from raptor_spark.operators.text import compression_quality
+
+    rows = [
+        (1, "aa " * 3000),                                   # template spam
+        (2, "The quick brown fox runs. Nearby, a dog naps; "
+            "rivers bend east toward old stone bridges today." * 1),
+        (3, None),                                           # null text
+        (4, "x"),                                            # 1 byte
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in compression_quality(df, "doc_id", "text").collect()}
+
+    for i, t in rows:
+        b = t.encode() if t else b""
+        nb, nc = len(b), len(zlib.compress(b, 6))
+        assert got[i].n_bytes == nb
+        assert got[i].n_compressed == nc
+        assert got[i].ratio == (nc / nb if nb else 1.0)
+    assert not got[1].keep      # repetitive -> ratio below lo
+    assert got[2].keep
+    assert not got[3].keep      # empty -> ratio 1.0 > hi
+    assert not got[4].keep      # 1 byte inflates past hi
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        compression_quality(df, "doc_id", "text").explain()
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
