@@ -1499,6 +1499,55 @@ def q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 1-gram containment pairs (|Sa∩Sb|/|Sa| ≥ 0.9) on the
+    bounded doc_id < 150 range — the asymmetric quote/subsumption relation
+    symmetric Jaccard misses (operators/dedup.containment_pairs)."""
+    from raptor_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    out = containment_pairs(docs, "doc_id", "text", n=1, threshold=0.9)
+    return out.select(
+        "a", "b", F.round("containment", 4).alias("containment")
+    ).orderBy("a", "b")
+
+
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert summary for the view→click→purchase funnel (same
+    frontier chain and 1-day windows as event_funnel): count of converting
+    users plus mean / median / p90 latency from the first view to the
+    qualifying purchase."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").cast("timestamp").cast("double").alias("t"),
+        F.col("event_type").alias("et"),
+    )
+    f1 = ev.filter(F.col("et") == "view").groupBy("u").agg(
+        F.min("t").alias("ft1")
+    )
+    f2 = (
+        ev.filter(F.col("et") == "click")
+        .join(f1, "u")
+        .filter((F.col("t") >= F.col("ft1")) & (F.col("t") <= F.col("ft1") + 86400.0))
+        .groupBy("u")
+        .agg(F.min("t").alias("ft2"))
+    )
+    f3 = (
+        ev.filter(F.col("et") == "purchase")
+        .join(f2, "u")
+        .filter((F.col("t") >= F.col("ft2")) & (F.col("t") <= F.col("ft2") + 86400.0))
+        .groupBy("u")
+        .agg(F.min("t").alias("ft3"))
+    )
+    lat = f3.join(f1, "u").select((F.col("ft3") - F.col("ft1")).alias("lat"))
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.avg("lat"), 2).alias("mean_s"),
+        F.round(F.expr("percentile(lat, 0.5)"), 2).alias("p50_s"),
+        F.round(F.expr("percentile(lat, 0.9)"), 2).alias("p90_s"),
+    )
+
+
 def q_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive same-event-type run per user (gaps-and-islands
     value runs; operators/relational.value_runs + latest_per_key argmax).
@@ -2174,6 +2223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_fanout": q_join_fanout,
         "term_postings": q_term_postings,
         "compression_quality": q_compression_quality,
+        "containment_pairs": q_containment_pairs,
+        "conversion_latency": q_conversion_latency,
         "event_streaks": q_event_streaks,
         "order_status_history": q_order_status_history,
         "event_type_pivot": q_event_type_pivot,
@@ -3883,6 +3934,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id, CAST(w AS BIGINT) AS w,
                    round(es_key, 6) AS es_key, CAST(rk AS BIGINT) AS rk
             FROM r WHERE rk <= 3 ORDER BY source, rk
+        """,
+        "containment_pairs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
+              FROM documents WHERE doc_id < 150
+            ), p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b,
+                     len(list_filter(a.ws, x -> list_contains(b.ws, x)))
+                       * 1.0 / len(a.ws) AS containment
+              FROM w a JOIN w b ON a.doc_id <> b.doc_id
+            )
+            SELECT a, b, round(containment, 4) AS containment
+            FROM p WHERE containment >= 0.9 ORDER BY a, b
+        """,
+        "conversion_latency": """
+            WITH ev AS (
+              SELECT user_id AS u, epoch(ts) AS t, event_type AS et FROM events
+            ), f1 AS (
+              SELECT u, min(t) AS ft FROM ev WHERE et = 'view' GROUP BY u
+            ), f2 AS (
+              SELECT ev.u, min(ev.t) AS ft
+              FROM ev JOIN f1 ON ev.u = f1.u
+              WHERE ev.et = 'click' AND ev.t >= f1.ft
+                AND ev.t <= f1.ft + 86400.0 GROUP BY ev.u
+            ), f3 AS (
+              SELECT ev.u, min(ev.t) AS ft
+              FROM ev JOIN f2 ON ev.u = f2.u
+              WHERE ev.et = 'purchase' AND ev.t >= f2.ft
+                AND ev.t <= f2.ft + 86400.0 GROUP BY ev.u
+            ), lat AS (
+              SELECT f3.ft - f1.ft AS lat
+              FROM f3 JOIN f1 ON f3.u = f1.u
+            )
+            SELECT count(*) AS n_converted,
+                   round(avg(lat), 2) AS mean_s,
+                   round(quantile_cont(lat, 0.5), 2) AS p50_s,
+                   round(quantile_cont(lat, 0.9), 2) AS p90_s
+            FROM lat
         """,
         "term_postings": r"""
             WITH t AS (

@@ -322,6 +322,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    threshold: float = 0.9,
+    candidate_join: DataFrame | None = None,
+) -> DataFrame:
+    """Directed containment pairs (a, b, containment = |Sa∩Sb| / |Sa|
+    ≥ threshold): the ASYMMETRIC near-dup relation — a is (nearly) a
+    subset of b, the quote / excerpt / subsumption detector Jaccard
+    misses (a 50-word quote inside a 5000-word page has tiny Jaccard but
+    containment ≈ 1). Emits both directions when both hold.
+
+    Default candidates are the full shared-shingle equi-join — exact, but
+    quadratic in shingle document frequency, so it is the bounded-id /
+    verification path (Jaccard's prefix filter does NOT transfer: the
+    containing side b can bury the shared shingles arbitrarily deep, so
+    only the contained side could be prefix-pruned). At scale pass
+    ``candidate_join`` from MinHash-LSH (containment ≥ t implies
+    J ≥ t/(1/t·|Sb|/|Sa|) only with a size cap, so use asymmetric
+    band settings or a size-bucketed LSH) — verification stays exact."""
+    base = _ensure_parallel(df).select(
+        F.col(id_col).alias("id"), word_shingles_col(F.col(text_col), n).alias("sh")
+    )
+    if candidate_join is None:
+        ex = base.select("id", F.explode("sh").alias("s"))
+        candidate_join = (
+            ex.alias("a")
+            .join(ex.alias("b"), "s")
+            .filter(F.col("a.id") != F.col("b.id"))
+            .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+            .distinct()
+        )
+    fa = base.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
+    fb = base.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        candidate_join.join(fa, "a")
+        .join(fb, "b")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("sh_a", "sh_b")) / F.size("sh_a"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "containment")
+    )
+
+
 def near_dup_clusters(pairs: DataFrame) -> DataFrame:
     """(id, cluster) from near-dup pairs: connected components over the pair
     graph, cluster = min member id — turns pairwise dedup output into the

@@ -501,3 +501,25 @@ def test_semdedup_prune_planted(spark):
         assert out[2][0] > 0.999 and out[3][0] == 1.0
         assert out[0][0] == -1.0 and out[1][0] == -1.0
         assert 0.1 < out[4][0] < 0.3
+
+
+def test_containment_pairs_detects_subsumption_jaccard_misses(spark):
+    """A short quote inside a long document: containment(quote ⊆ doc) ≈ 1
+    while Jaccard is tiny — the asymmetric relation, emitted in exactly
+    one direction."""
+    from raptor_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"word{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, quote), (2, quote + " " + filler), (3, "unrelated text entirely")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.a, r.b): r.containment
+        for r in containment_pairs(df, "doc_id", "text", n=1, threshold=0.9).collect()
+    }
+    assert set(got) == {(1, 2)}          # quote ⊆ doc, never the reverse
+    assert got[(1, 2)] == 1.0
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", n=1, threshold=0.5).collect()
+    assert not jac                        # symmetric Jaccard misses it
