@@ -1548,6 +1548,34 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers
+    (operators/profile.gini_concentration — the corpus-skew inequality
+    audit; the rank window touches one row per customer, never the order
+    stream)."""
+    from raptor_spark.operators.profile import gini_concentration
+
+    orders = _t(spark, sf_dir, "orders")
+    out = gini_concentration(orders, ["o_custkey"], "o_totalprice")
+    return out.select(
+        "n",
+        F.round("total", 2).alias("total"),
+        F.round("gini", 6).alias("gini"),
+    )
+
+
+def q_source_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder apportionment of a 1000-document sampling budget
+    across sources (operators/profile.allocate_budget): quotas sum EXACTLY
+    to the budget — the integer-exact form of temperature/proportional
+    mixing."""
+    from raptor_spark.operators.profile import allocate_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    out = allocate_budget(docs, ["source"], budget=1000)
+    return out.select("source", "n_rows", "quota").orderBy("source")
+
+
 def q_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive same-event-type run per user (gaps-and-islands
     value runs; operators/relational.value_runs + latest_per_key argmax).
@@ -2225,6 +2253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_quality": q_compression_quality,
         "containment_pairs": q_containment_pairs,
         "conversion_latency": q_conversion_latency,
+        "revenue_gini": q_revenue_gini,
+        "source_budget": q_source_budget,
         "event_streaks": q_event_streaks,
         "order_status_history": q_order_status_history,
         "event_type_pivot": q_event_type_pivot,
@@ -3934,6 +3964,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id, CAST(w AS BIGINT) AS w,
                    round(es_key, 6) AS es_key, CAST(rk AS BIGINT) AS rk
             FROM r WHERE rk <= 3 ORDER BY source, rk
+        """,
+        "revenue_gini": """
+            WITH t AS (
+              SELECT o_custkey, sum(o_totalprice) AS x
+              FROM orders GROUP BY o_custkey
+            ), r AS (
+              SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey)
+                             AS DOUBLE) AS i
+              FROM t
+            )
+            SELECT count(*) AS n, round(sum(x), 2) AS total,
+                   round(2.0 * sum(i * x) / (count(*) * sum(x))
+                         - (count(*) + 1.0) / count(*), 6) AS gini
+            FROM r
+        """,
+        "source_budget": """
+            WITH c AS (
+              SELECT source, count(*) AS n_rows FROM documents GROUP BY source
+            ), s AS (
+              SELECT source, n_rows,
+                     n_rows * 1000.0 / (SELECT sum(n_rows) FROM c) AS share
+              FROM c
+            ), b AS (
+              SELECT source, n_rows, share,
+                     CAST(floor(share) AS BIGINT) AS floor_q
+              FROM s
+            ), r AS (
+              SELECT source, n_rows, floor_q,
+                     row_number() OVER (
+                       ORDER BY share - floor_q DESC, source
+                     ) AS rk,
+                     1000 - (SELECT sum(floor_q) FROM b) AS rem
+              FROM b
+            )
+            SELECT source, n_rows,
+                   CAST(floor_q + (CASE WHEN rk <= rem THEN 1 ELSE 0 END)
+                        AS BIGINT) AS quota
+            FROM r ORDER BY source
         """,
         "containment_pairs": r"""
             WITH w AS (

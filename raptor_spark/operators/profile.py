@@ -392,6 +392,79 @@ def join_fanout_audit(
     )
 
 
+def gini_concentration(
+    df: DataFrame, key_cols: list[str], value_col: str
+) -> DataFrame:
+    """One row (n, total, gini): Gini coefficient of ``value_col`` summed
+    per key — the concentration audit (how unequal is revenue across
+    customers / bytes across sources; a corpus where one source owns half
+    the tokens has a mixing problem before any quality filter runs).
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over the ascending-sorted per-key
+    totals, the exact discrete formula.
+
+    One groupBy to key-cardinality totals, then a rank window over that
+    (key-count-sized, NOT corpus-sized — the global sort touches one row
+    per key), then a single-row aggregate."""
+    from pyspark.sql.window import Window
+
+    totals = df.groupBy(*key_cols).agg(F.sum(value_col).alias("x"))
+    w = Window.orderBy("x", *key_cols)
+    ranked = totals.select(
+        "x", F.row_number().over(w).cast("double").alias("i")
+    )
+    return ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("total"),
+        (
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.count("*") * F.sum("x"))
+            - (F.count("*") + 1.0) / F.count("*")
+        ).alias("gini"),
+    )
+
+
+def allocate_budget(
+    df: DataFrame, key_cols: list[str], budget: int
+) -> DataFrame:
+    """(keys..., n_rows, quota): apportion an integer ``budget`` across
+    groups proportionally to their row counts with the largest-remainder
+    (Hamilton) method — quotas sum EXACTLY to the budget, unlike naive
+    rounding (the off-by-a-few that breaks 'sample exactly N documents
+    across sources'). Deterministic: remainder ties break by key order.
+
+    One groupBy to group-cardinality counts, one rank window over the
+    fractional remainders (group-count-sized), no second pass over the
+    input."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n_rows"))
+    tot = counts.select(F.sum("n_rows").alias("total"))
+    shared = counts.crossJoin(F.broadcast(tot)).select(
+        *key_cols,
+        "n_rows",
+        (F.col("n_rows") * F.lit(float(budget)) / F.col("total")).alias("share"),
+    )
+    base = shared.withColumn("floor_q", F.floor("share").cast("long"))
+    w = Window.orderBy(
+        F.desc(F.col("share") - F.col("floor_q")), *key_cols
+    )
+    leftover = base.select(F.sum("floor_q").alias("assigned"))
+    ranked = base.crossJoin(F.broadcast(leftover)).select(
+        *key_cols,
+        "n_rows",
+        "floor_q",
+        F.row_number().over(w).alias("rk"),
+        (F.lit(budget) - F.col("assigned")).alias("rem"),
+    )
+    return ranked.select(
+        *key_cols,
+        "n_rows",
+        (
+            F.col("floor_q")
+            + F.when(F.col("rk") <= F.col("rem"), 1).otherwise(0)
+        ).alias("quota"),
+    )
+
+
 def fk_orphans(
     pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
 ) -> DataFrame:

@@ -376,3 +376,42 @@ def test_table_diff_presence_only(spark):
     new = spark.createDataFrame([(2,), (3,)], "k long")
     got = {r.k: r.change for r in table_diff(old, new, ["k"], []).collect()}
     assert got == {1: "delete", 3: "insert"}
+
+
+def test_gini_known_distributions(spark):
+    """Equal values -> 0; total concentration in one key -> (n-1)/n; a
+    hand case matches the direct python formula."""
+    from raptor_spark.operators.profile import gini_concentration
+
+    eq = spark.createDataFrame([(i, 10.0) for i in range(5)], "k long, v double")
+    assert abs(gini_concentration(eq, ["k"], "v").collect()[0].gini) < 1e-12
+
+    conc = spark.createDataFrame(
+        [(0, 100.0)] + [(i, 0.0) for i in range(1, 5)], "k long, v double"
+    )
+    g = gini_concentration(conc, ["k"], "v").collect()[0].gini
+    assert abs(g - 4 / 5) < 1e-12
+
+    vals = [3.0, 7.0, 1.0, 9.0]
+    df = spark.createDataFrame(list(enumerate(vals)), "k long, v double")
+    xs = sorted(vals)
+    n = len(xs)
+    want = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * sum(xs)) - (n + 1) / n
+    got = gini_concentration(df, ["k"], "v").collect()[0].gini
+    assert abs(got - want) < 1e-12
+
+
+def test_allocate_budget_sums_exactly_and_is_proportional(spark):
+    from raptor_spark.operators.profile import allocate_budget
+
+    rows = [("a",)] * 7 + [("b",)] * 7 + [("c",)] * 6
+    df = spark.createDataFrame(rows, "g string")
+    got = {r.g: r.quota for r in allocate_budget(df, ["g"], budget=10).collect()}
+    # shares: a=3.5, b=3.5, c=3.0 -> floors 3/3/3, remainder 1 goes to the
+    # largest fractional part with key tiebreak -> a
+    assert got == {"a": 4, "b": 3, "c": 3}
+    assert sum(got.values()) == 10
+
+    # naive rounding would give 4+4+3 = 11; apportionment never drifts
+    got2 = {r.g: r.quota for r in allocate_budget(df, ["g"], budget=97).collect()}
+    assert sum(got2.values()) == 97
