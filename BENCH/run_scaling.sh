@@ -86,5 +86,9 @@ print(json.dumps({
     "wall_sec_n": r1["wall_sec"], "wall_sec_4n": r2["wall_sec"],
     "scaling_efficiency": round(eff, 3),
     "pass": eff >= 0.8,
+    # external load poisons the comparison asymmetrically (the N4 run
+    # competes for cores the N run never needed) — record it so a failing
+    # number on a busy box is interpretable
+    "loadavg_1m": round(os.getloadavg()[0], 2),
 }))
 EOF
