@@ -266,11 +266,12 @@ def test_session_additions_plans_stay_clean(spark):
         "robust_outliers", "revenue_growth", "value_trends",
         "type_hour_chi2", "user_twap", "benford_prices", "top_paths",
         "embedding_norms", "k_anonymity", "source_sample", "join_fanout",
+        "conversion_latency", "revenue_gini", "source_budget",
     ):
         p = plan_str(QUERIES[name](spark, SF_DIR))
         assert "BatchEvalPython" not in p and "PythonUDF" not in p, name
         assert "CartesianProduct" not in p, name
-        if name in ("benford_prices", "join_fanout"):
+        if name in ("benford_prices", "join_fanout", "source_budget"):
             # their only nested-loops are 1-row aggregate cross joins
             # (the scalar-subquery pattern) — benign at any scale;
             # formatted plans print each node twice (tree + detail), so
