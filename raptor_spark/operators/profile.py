@@ -447,13 +447,16 @@ def allocate_budget(
     w = Window.orderBy(
         F.desc(F.col("share") - F.col("floor_q")), *key_cols
     )
-    leftover = base.select(F.sum("floor_q").alias("assigned"))
-    ranked = base.crossJoin(F.broadcast(leftover)).select(
+    # the leftover rides an UNPARTITIONED window sum — fine here because
+    # the frame is the group-count-sized table, never the input (and it
+    # avoids a second pass over base's lineage for a separate aggregate)
+    w_all = Window.partitionBy(F.lit(1))
+    ranked = base.select(
         *key_cols,
         "n_rows",
         "floor_q",
         F.row_number().over(w).alias("rk"),
-        (F.lit(budget) - F.col("assigned")).alias("rem"),
+        (F.lit(budget) - F.sum("floor_q").over(w_all)).alias("rem"),
     )
     return ranked.select(
         *key_cols,
