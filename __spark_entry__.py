@@ -127,7 +127,6 @@ def q_interval_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "start", "end",
         F.col("value").alias("prob"), F.col("event_id").cast("string").alias("label"),
     ).withColumn("label", F.concat(F.lit("e"), F.col("label")))
-    right = right.withColumn("label", F.col("label"))
     # label = event bucket: use value-band labels for a small label alphabet
     right = right.withColumn(
         "label",
@@ -315,6 +314,22 @@ def q_jaccard_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = q_ngram_jaccard_pairs(spark, sf_dir)
     return near_dup_clusters(pairs).orderBy("id")
+
+
+def q_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size quality audit over the deterministic jaccard clusters
+    (dedup.component_census — SURVEY.md §7.4 "cap component size with a
+    quality check", the CC twin of join_fanout): one row per distinct
+    component size with count, example component, and the example's first
+    member ids — an over-merged linking run surfaces as an outlier size row.
+    Oracle: DuckDB recursive-CTE transitive closure + the same census."""
+    from raptor_spark.operators.dedup import component_census, near_dup_clusters
+
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir)
+    clusters = near_dup_clusters(pairs)
+    return component_census(clusters, sample_k=3).orderBy(
+        F.desc("size"), "example_component"
+    )
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2168,6 +2183,45 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- read-path result cache (opt-in) ---------------------------------------
+# With RAPTOR_QUERY_CACHE_DIR set, the expensive JVM-only queries listed in
+# CACHED_QUERIES serve repeat invocations from the materialized result cache
+# (raptor_spark.cache.QueryCache — the reference's sha256-keyed read cache,
+# cache_manager.py:204-297). Unset (the default, and what the driver runs),
+# the wrapper is a pass-through, so correctness surfaces are untouched. The
+# cache key is the canonicalized logical plan, which embeds the input
+# parquet paths — a new Catalog snapshot is a new path, so a re-committed
+# input invalidates by construction (gated in test_cache.py). Cached queries
+# are chosen JVM-only: a pandas-UDF plan serializes the Python function into
+# the plan string, which is not canonicalization-stable across processes.
+_QUERY_CACHE = None
+CACHED_QUERIES = ("minhash_near_dups", "simhash_near_dups", "lm_perplexity")
+
+
+def _maybe_cached(fn: Callable[[SparkSession, str], DataFrame]):
+    import functools
+    import os
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = fn(spark, sf_dir)
+        root = os.environ.get("RAPTOR_QUERY_CACHE_DIR")
+        if not root:
+            return df
+        global _QUERY_CACHE
+        from raptor_spark.cache import QueryCache
+
+        if (
+            _QUERY_CACHE is None
+            or _QUERY_CACHE.root != root
+            or _QUERY_CACHE.spark is not spark
+        ):
+            _QUERY_CACHE = QueryCache(spark, root)
+        return _QUERY_CACHE.get_or_compute(df)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -2182,10 +2236,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": q_exact_dedup_docs,
         "unique_content_per_lang": q_unique_content_per_lang,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "minhash_near_dups": q_minhash_near_dups,
+        "minhash_near_dups": _maybe_cached(q_minhash_near_dups),
         "near_dup_clusters": q_near_dup_clusters,
         "jaccard_clusters": q_jaccard_clusters,
-        "simhash_near_dups": q_simhash_near_dups,
+        "component_census": q_component_census,
+        "simhash_near_dups": _maybe_cached(q_simhash_near_dups),
         "embedding_topk": q_embedding_topk,
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "embedding_ann_topk": q_embedding_ann_topk,
@@ -2281,7 +2336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_novelty": q_shingle_novelty,
         "quality_gate": q_quality_gate,
         "source_drift_psi": q_source_drift_psi,
-        "lm_perplexity": q_lm_perplexity,
+        "lm_perplexity": _maybe_cached(q_lm_perplexity),
         "dedup_keep_best": q_dedup_keep_best,
         "hard_negatives": q_hard_negatives,
         "sliding_chunks": q_sliding_chunks,
@@ -2801,6 +2856,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s AS id, least(s, min(d)) AS cluster
             FROM r GROUP BY s ORDER BY id
+        """,
+        "component_census": r"""
+            WITH RECURSIVE w AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
+              FROM documents WHERE doc_id < 150
+            ), p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM w a JOIN w b ON a.doc_id < b.doc_id
+              WHERE len(list_filter(a.ws, x -> list_contains(b.ws, x))) * 1.0 /
+                    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+            ), e AS (
+              SELECT a AS s, b AS d FROM p UNION SELECT b AS s, a AS d FROM p
+            ), r AS (
+              SELECT s, d FROM e
+              UNION
+              SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
+            ), c AS (
+              SELECT s AS id, least(s, min(d)) AS cluster
+              FROM r GROUP BY s
+            ), comp AS (
+              SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size,
+                     array_to_string(
+                       list_transform(list_sort(list(id))[1:3],
+                                      x -> CAST(x AS VARCHAR)), ',') AS sample_members
+              FROM c GROUP BY cluster
+            ), census AS (
+              SELECT size, CAST(COUNT(*) AS BIGINT) AS n_components,
+                     MIN(cluster) AS example_component
+              FROM comp GROUP BY size
+            )
+            SELECT census.size, census.n_components, census.example_component,
+                   comp.sample_members
+            FROM census JOIN comp ON comp.cluster = census.example_component
+            ORDER BY census.size DESC, census.example_component
         """,
         "media_features": f"""
             WITH m AS (

@@ -43,9 +43,59 @@ from pyspark.sql import functions as F
 
 MAX_ITERATIONS = 25
 JUMP_AFTER = 4  # plain min-propagation rounds before pointer jumping kicks in
+DRIVER_CC_MAX_EDGES = 200_000  # ≤ this many distinct directed edges → driver
+# union-find instead of the distributed loop. The alias graph's name
+# dimension is orders of magnitude smaller than the corpus, so small-to-mid
+# corpora produce edge sets where every distributed round (2 jobs each,
+# ~8-14 rounds) is pure fixed overhead — the same size-gated reasoning as
+# broadcast-join selection, using the sizing count the loop already pays
+# for. 200k rows of name strings collect in ~2 s / tens of MB; above the
+# gate the loop's per-round cost is amortized by real shuffle work. Parity
+# between the two paths is pinned in tests/test_graph_ops.py.
 
 
-def connected_components(edges: DataFrame, max_iterations: int = MAX_ITERATIONS) -> DataFrame:
+def _driver_union_find(sym: DataFrame) -> DataFrame:
+    """Union-find over a collected symmetric edge set; labels = min member
+    (union-by-min keeps every root the minimum of its set, so root == the
+    distributed loop's min-label fixpoint). Same output schema and values
+    as the loop."""
+    from pyspark.sql.types import StructField, StructType
+
+    rows = sym.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r.src, r.dst
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    dt = sym.schema["src"].dataType
+    schema = StructType(
+        [StructField("name", dt, False), StructField("component", dt, False)]
+    )
+    data = [(v, find(v)) for v in sorted(parent)]
+    return sym.sparkSession.createDataFrame(data, schema)
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = MAX_ITERATIONS,
+    driver_cc_max_edges: int = DRIVER_CC_MAX_EDGES,
+) -> DataFrame:
     """edges(a, b) undirected → (name, component) where component is the min
     member name of the component. Vertices = all endpoint names."""
     # both directions in ONE pass over edges: a union of two selects scans
@@ -68,7 +118,11 @@ def connected_components(edges: DataFrame, max_iterations: int = MAX_ITERATIONS)
     # cache afterwards computes it a second time — measured 2× the whole
     # linking stage at 100k files
     sym = sym.persist()
-    sym.count()  # materialize before the loop references it every round
+    n_sym = sym.count()  # materialize before the loop references it every round
+    if n_sym <= driver_cc_max_edges:
+        out = _driver_union_find(sym)
+        sym.unpersist()
+        return out
 
     labels = (
         sym.select(F.col("src").alias("name"))

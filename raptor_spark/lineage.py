@@ -52,6 +52,19 @@ def input_rollup(files: DataFrame) -> DataFrame:
     )
 
 
+def triple_rollup(triples: DataFrame) -> DataFrame:
+    """(partition_id, triple_count) per repo bucket — the output-side half of
+    a stage's lineage row. Several stages of one run share identical counts
+    (linked carries exactly the extracted rows plus canonical columns; nodes/
+    edges lineage records the linked input), so compute this once, persist
+    it, and pass it to ``stage_lineage(triple_counts=...)``."""
+    return (
+        triples.select(repo_bucket_col("repo").alias("partition_id"))
+        .groupBy("partition_id")
+        .agg(F.count("*").alias("triple_count"))
+    )
+
+
 def stage_lineage(
     run_id: str,
     stage: str,
@@ -59,18 +72,17 @@ def stage_lineage(
     triples: DataFrame | None,
     wall_ms: int,
     rollup: DataFrame | None = None,
+    triple_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Build the lineage rows for one completed stage. Pass a precomputed
     (persisted) ``input_rollup`` when appending lineage for several stages of
     one run — the roll-up re-hashes every input row, and recomputing it per
-    stage is a full content pass each time."""
+    stage is a full content pass each time. ``triple_counts`` (a persisted
+    ``triple_rollup``) likewise skips re-aggregating the triple table per
+    stage."""
     base = rollup if rollup is not None else input_rollup(files)
-    if triples is not None:
-        tc = (
-            triples.select(repo_bucket_col("repo").alias("partition_id"))
-            .groupBy("partition_id")
-            .agg(F.count("*").alias("triple_count"))
-        )
+    if triples is not None or triple_counts is not None:
+        tc = triple_counts if triple_counts is not None else triple_rollup(triples)
         base = base.join(tc, on="partition_id", how="left").withColumn(
             "triple_count", F.coalesce(F.col("triple_count"), F.lit(0))
         )

@@ -66,6 +66,40 @@ def lsh_bucket_col(vec: Column, n_planes: int = 8, dim: int = 64, family: int = 
     return F.concat(*bits)
 
 
+def _partition_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Map-side partial top-k: keep the best k rows per qid WITHIN each input
+    partition (Arrow-batched, narrow — no shuffle), so the global top-k
+    window downstream shuffles ≤ k·|queries|·P rows instead of the full
+    |corpus|·|queries| scored set. Exact: a row outside its partition's
+    per-qid top-k cannot be in the global top-k (same (cosine desc, id asc)
+    order on both sides; the cosine values themselves were computed JVM-side
+    and cross Arrow as unchanged float64). Rows whose cosine is null/NaN
+    (degenerate zero-norm vectors) are never pruned — Spark orders NaN
+    greatest but NULL last under desc, and pandas cannot tell them apart, so
+    keeping all of them is the only order-preserving choice; they are
+    assumed rare."""
+    import pandas as pd
+
+    schema = scored.schema
+
+    def gen(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pdf if carry is None else pd.concat([carry, pdf], ignore_index=True)
+            bad = cur["cosine"].isna()
+            top = (
+                cur[~bad]
+                .sort_values(["qid", "cosine", "id"], ascending=[True, False, True])
+                .groupby("qid", sort=False)
+                .head(k)
+            )
+            carry = pd.concat([cur[bad], top], ignore_index=True)
+        if carry is not None:
+            yield carry
+
+    return scored.mapInPandas(gen, schema=schema)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -73,16 +107,24 @@ def brute_force_topk(
     corpus_id: str = "id",
     query_id: str = "qid",
     vec: str = "vec",
+    local_prune: bool = True,
 ) -> DataFrame:
     """(qid, id, cosine, rank) exact top-k per query. The query side is
-    broadcast — the corpus is scanned once, no shuffle of the corpus beyond
-    the final per-query top-k window (tiny: k·|queries| rows after scoring).
-    """
+    broadcast and the corpus is scanned once; scoring is map-side JVM
+    (zip_with/aggregate). The global top-k window would otherwise shuffle
+    every scored row — |corpus|·|queries| narrow rows — so by default a
+    per-partition partial top-k (``_partition_topk``, Arrow-batched, no
+    shuffle) first cuts the window's input to ≤ k·|queries| rows per
+    partition; the window then only ranks ≤ k·|queries|·P survivors.
+    ``local_prune=False`` keeps the single-window plan (parity-gated in
+    tests/test_dedup_similarity.py)."""
     q = F.broadcast(queries.select(F.col(query_id).alias("qid"), F.col(vec).alias("qvec")))
     scored = corpus.select(F.col(corpus_id).alias("id"), F.col(vec).alias("cvec")).join(q)
     scored = scored.select(
         "qid", "id", cosine_col(F.col("cvec"), F.col("qvec")).alias("cosine")
     )
+    if local_prune:
+        scored = _partition_topk(scored, k)
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -32,7 +32,13 @@ from pyspark.sql import functions as F
 from raptor_spark.catalog import Catalog
 from raptor_spark.cc import connected_components
 from raptor_spark.extract import extract_triples
-from raptor_spark.lineage import StageTimer, input_rollup, new_run_id, stage_lineage
+from raptor_spark.lineage import (
+    StageTimer,
+    input_rollup,
+    new_run_id,
+    stage_lineage,
+    triple_rollup,
+)
 from raptor_spark.link import apply_linking, canonical_mapping, link_edges
 from raptor_spark.materialize import build_edges, build_nodes
 from raptor_spark.schemas import FILES_SCHEMA
@@ -62,6 +68,17 @@ class Pipeline:
         # Spark append jobs on the same path clash on the shared _temporary
         # staging dir, so lineage appends are serialized
         self._lineage_lock = threading.Lock()
+        # one per-bucket triple-count rollup shared by every stage whose
+        # lineage records the triple table (linked/nodes/edges carry the
+        # same per-bucket counts) — computed lazily once, under the lock
+        # because the nodes/edges commits run from two driver threads
+        self._tc: DataFrame | None = None
+
+    def _triple_counts(self, triples: DataFrame) -> DataFrame:
+        with self._lineage_lock:
+            if self._tc is None:
+                self._tc = triple_rollup(triples).persist()
+            return self._tc
 
     def _stage_valid(self, stage: str, fingerprint: str, resume: bool) -> bool:
         if not resume or not self.catalog.exists(stage):
@@ -97,12 +114,17 @@ class Pipeline:
             stage, df, partition_by=partition_by, meta={"input_fingerprint": fingerprint}
         )
         out = self.catalog.read(stage)
+        tc = (
+            self._triple_counts(lineage_triples)
+            if lineage_triples is not None
+            else None
+        )
         with self._lineage_lock:
             self.catalog.append(
                 "lineage",
                 stage_lineage(
-                    self.run_id, stage, files, lineage_triples, timer.ms(),
-                    rollup=self._rollup,
+                    self.run_id, stage, files, None, timer.ms(),
+                    rollup=self._rollup, triple_counts=tc,
                 ),
             )
         return out
@@ -271,6 +293,9 @@ class Pipeline:
         nodes, edges = results["nodes"], results["edges"]
         files.unpersist()
         self._rollup.unpersist()
+        if self._tc is not None:
+            self._tc.unpersist()
+            self._tc = None
         return {
             "extracted": triples,
             "components": comps,

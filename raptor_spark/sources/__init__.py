@@ -40,6 +40,63 @@ def read_csv_validated(spark: SparkSession, path: str, schema=None) -> DataFrame
     return r.csv(path)
 
 
+# Decode ladder order matters: gbk/big5 are tried before cp1252 because
+# cp1252 decodes almost any byte string (only 5 undefined bytes) and would
+# otherwise mis-claim CJK text; cp1252 is the terminal catch-all for western
+# bytes. A UTF-8 BOM is dispatched explicitly (utf-8-sig also decodes
+# BOM-less utf-8, so putting it in the ladder would mislabel plain utf-8).
+DECODE_ENCODINGS = ("utf-8", "gbk", "big5", "cp1252")
+_UTF8_BOM = b"\xef\xbb\xbf"
+
+
+def decode_bytes_col(col):
+    """struct<text, encoding> from a binary column via a strict decode
+    ladder (``DECODE_ENCODINGS``) — the reference's multi-encoding read
+    fallback (svc/document_analysis_service/processors/txt_processor.py:
+    138-151: try utf-8 → gbk → big5 → cp1252, first strict success wins),
+    as one Arrow-batched pandas UDF. Bytes no ladder entry decodes fall
+    back to utf-8 with replacement characters, tagged ``utf-8?replace`` so
+    downstream quality filters can drop them. NULL bytes → NULL struct
+    fields."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints on purpose: `from __future__ import annotations` turns
+    # them into strings pyspark's hint resolver rejects for the
+    # Series→DataFrame (struct-returning) scalar form; hint-less defaults
+    # to SCALAR, which is exactly that form
+    @pandas_udf("struct<text: string, encoding: string>")
+    def _decode(s):
+        texts: list[str | None] = []
+        encs: list[str | None] = []
+        for raw in s:
+            if raw is None:
+                texts.append(None)
+                encs.append(None)
+                continue
+            b = bytes(raw)
+            if b.startswith(_UTF8_BOM):
+                try:
+                    texts.append(b.decode("utf-8-sig"))
+                    encs.append("utf-8-sig")
+                    continue
+                except UnicodeDecodeError:
+                    pass
+            for enc in DECODE_ENCODINGS:
+                try:
+                    texts.append(b.decode(enc))
+                    encs.append(enc)
+                    break
+                except (UnicodeDecodeError, ValueError):
+                    continue
+            else:
+                texts.append(b.decode("utf-8", errors="replace"))
+                encs.append("utf-8?replace")
+        return pd.DataFrame({"text": texts, "encoding": encs})
+
+    return _decode(col)
+
+
 def file_type_dispatch(
     df: DataFrame, path_col: str = "path", content_col: str | None = None
 ) -> DataFrame:

@@ -81,6 +81,63 @@ def test_invalidate(spark, tmp_path):
     assert cache.misses == 2
 
 
+def test_new_snapshot_invalidates_key(spark, tmp_path):
+    """Commit-aware invalidation: the plan key embeds the input parquet path,
+    and a Catalog commit writes a NEW data-<n> dir — so the same query over a
+    re-committed table keys (and computes) fresh, while the pre-commit entry
+    keeps serving time-travel reads of the old snapshot."""
+    from raptor_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cache = QueryCache(spark, str(tmp_path / "qc"))
+    cat.write("t", spark.range(10).selectExpr("id", "id * 2 AS v"))
+
+    def q():
+        return cat.read("t").groupBy((F.col("id") % 2).alias("k")).agg(
+            F.sum("v").alias("s")
+        )
+
+    k1 = plan_key(q())
+    r1 = {tuple(r) for r in cache.get_or_compute(q()).collect()}
+    # new snapshot with different content → different key, fresh compute
+    cat.write("t", spark.range(10).selectExpr("id", "id * 3 AS v"))
+    k2 = plan_key(q())
+    assert k2 != k1
+    r2 = {tuple(r) for r in cache.get_or_compute(q()).collect()}
+    assert cache.misses == 2 and cache.hits == 0
+    assert r1 != r2
+    # same snapshot again → hit
+    cache.get_or_compute(q())
+    assert (cache.misses, cache.hits) == (2, 1)
+
+
+def test_cached_queries_flag_wires_end_to_end(spark, tmp_path, monkeypatch):
+    """__spark_entry__ read-path wiring: with RAPTOR_QUERY_CACHE_DIR set, a
+    repeat invocation of a CACHED_QUERIES entry is a cache hit with identical
+    rows; with it unset (the driver's configuration) the wrapper is a
+    pass-through and no cache dir is ever touched."""
+    import os
+
+    import __spark_entry__ as entry_mod
+
+    qfns = entry_mod.queries()
+    name = entry_mod.CACHED_QUERIES[0]
+    root = str(tmp_path / "qc")
+
+    monkeypatch.delenv("RAPTOR_QUERY_CACHE_DIR", raising=False)
+    entry_mod._QUERY_CACHE = None
+    base = {tuple(r) for r in qfns[name](spark, SF_DIR).collect()}
+    assert not os.path.exists(root)
+
+    monkeypatch.setenv("RAPTOR_QUERY_CACHE_DIR", root)
+    first = {tuple(r) for r in qfns[name](spark, SF_DIR).collect()}
+    again = {tuple(r) for r in qfns[name](spark, SF_DIR).collect()}
+    cache = entry_mod._QUERY_CACHE
+    assert cache is not None and (cache.misses, cache.hits) == (1, 1)
+    assert base == first == again
+    entry_mod._QUERY_CACHE = None
+
+
 def test_hit_scaled_ttl_keeps_hot_entries(spark, tmp_path):
     """Effective TTL = ttl * (hits*mult + 1) (the reference's popularity-
     scaled expiry): with recorded hits an aged entry stays fresh; past the
@@ -113,3 +170,92 @@ def test_hit_scaled_ttl_keeps_hot_entries(spark, tmp_path):
     _age(cold, 5.0, hits=1)                   # mult=0: hits don't extend
     cold.get_or_compute(df).count()
     assert (cold.misses, cold.hits) == (2, 0)
+
+
+def test_semantic_cache_serves_near_identical_queries(spark, tmp_path):
+    """The reference's semantic cache contract (semantic_redis_cache.py:
+    122-154): a query whose vector is ≥ threshold-similar to a cached
+    entry's is served THAT entry's materialized result without recompute;
+    a dissimilar query computes its own. Exact repeats stay exact hits and
+    never pay the vector scan's approximation."""
+    from raptor_spark.cache import QueryCache, SemanticQueryCache
+    from raptor_spark.operators.similarity import brute_force_topk
+
+    corpus = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+
+    def search(qvec):
+        queries = spark.createDataFrame([(0, qvec)], ["qid", "vec"])
+        return brute_force_topk(corpus, queries, k=3)
+
+    base_vec = [1.0, 0.5] + [0.0] * 62
+    near_vec = [1.0, 0.52] + [0.0] * 62          # cosine ≈ 0.9998
+    far_vec = [0.0] * 62 + [1.0, 0.0]            # cosine 0
+
+    cache = SemanticQueryCache(
+        QueryCache(spark, str(tmp_path / "sqc")), similarity_threshold=0.85
+    )
+    first = {tuple(r) for r in cache.get_or_compute(search(base_vec), base_vec).collect()}
+    assert (cache.misses, cache.hits, cache.semantic_hits) == (1, 0, 0)
+
+    # exact repeat → exact hit, no semantic involvement
+    again = {tuple(r) for r in cache.get_or_compute(search(base_vec), base_vec).collect()}
+    assert (cache.misses, cache.hits, cache.semantic_hits) == (1, 1, 0)
+    assert again == first
+
+    # near-identical query → SEMANTIC hit serving the base entry's rows
+    near = {tuple(r) for r in cache.get_or_compute(search(near_vec), near_vec).collect()}
+    assert (cache.misses, cache.hits, cache.semantic_hits) == (1, 1, 1)
+    assert near == first
+
+    # dissimilar query → its own compute, different result
+    far = {tuple(r) for r in cache.get_or_compute(search(far_vec), far_vec).collect()}
+    assert (cache.misses, cache.hits, cache.semantic_hits) == (2, 1, 1)
+    assert far != first
+
+
+def test_plan_key_refuses_unsalted_local_data(spark, tmp_path):
+    """Two createDataFrame frames with DIFFERENT rows canonicalize to the
+    same ``LogicalRDD`` string with no input files — an unsalted key would
+    collide them and the cache would serve one query's rows for the other.
+    ``plan_key`` must refuse rather than risk that; with ``extra`` the keys
+    must differ."""
+    import pytest
+
+    from raptor_spark.cache import plan_key
+
+    a = spark.createDataFrame([(1, 2.0)], ["k", "v"])
+    b = spark.createDataFrame([(1, 9.0)], ["k", "v"])
+    with pytest.raises(ValueError, match="driver-local data"):
+        plan_key(a)
+    assert plan_key(a, extra="[1, 2.0]") != plan_key(b, extra="[1, 9.0]")
+    # same salt, same plan shape → same key (the salt IS the data identity)
+    assert plan_key(a, extra="x") == plan_key(b, extra="x")
+
+
+def test_semantic_cache_expired_entry_not_served(spark, tmp_path):
+    """An aged-out entry must not be served semantically — the freshness
+    rule is the wrapped exact cache's (TTL + hit extension), applied to the
+    matched entry before its parquet is read."""
+    import json
+    import time
+
+    from raptor_spark.cache import QueryCache, SemanticQueryCache, plan_key
+
+    df1 = spark.range(10).selectExpr("id", "id * 2 AS v")
+    df2 = spark.range(10).selectExpr("id", "id * 5 AS v")
+    vec = [1.0, 0.0, 0.0]
+    cache = SemanticQueryCache(
+        QueryCache(spark, str(tmp_path / "sqc"), ttl_s=60.0),
+        similarity_threshold=0.85,
+    )
+    cache.get_or_compute(df1, vec).count()
+    key = plan_key(df1, extra=json.dumps(vec))
+    meta = {"key": key, "committed_at": time.time() - 3600.0, "hits": 0}
+    with open(cache.base._marker(key), "w") as f:
+        json.dump(meta, f)
+    # same vector, different plan: entry exists but is stale → recompute
+    out = {tuple(r) for r in cache.get_or_compute(df2, vec).collect()}
+    assert cache.semantic_hits == 0 and cache.misses == 2
+    assert out == {tuple(r) for r in df2.collect()}

@@ -371,6 +371,50 @@ def test_ann_topk_finds_planted_neighbors(spark, emb):
     assert bad == 0
 
 
+def test_component_census_surfaces_over_merge(spark):
+    """A crafted over-merged component (one cluster swallowing 30 ids) must
+    show up as its own census row with inspectable sample members, next to
+    the healthy pair clusters and singletons."""
+    from raptor_spark.operators.dedup import component_census
+
+    rows = (
+        [(i, 100) for i in range(100, 130)]          # the over-merge: size 30
+        + [(1, 1), (2, 1), (10, 10), (11, 10), (20, 20), (21, 20)]  # 3 pairs
+        + [(50, 50), (61, 61)]                       # 2 singletons
+    )
+    clusters = spark.createDataFrame(rows, ["id", "cluster"]).repartition(5)
+    out = {r.size: r for r in component_census(clusters, sample_k=3).collect()}
+    assert out[30].n_components == 1
+    assert out[30].example_component == 100
+    assert out[30].sample_members == "100,101,102"
+    assert out[2].n_components == 3 and out[2].example_component == 1
+    assert out[1].n_components == 2 and out[1].sample_members == "50"
+
+
+def test_brute_force_topk_local_prune_parity_and_plan(spark, emb):
+    """Two-phase local→global top-k (the default) must return EXACTLY the
+    single-window plan's rows — same ids, same cosines, same ranks — across
+    a many-partition corpus (so per-partition pruning actually fires), and
+    its physical plan must show the narrow MapInPandas prune feeding the
+    window instead of the full scored set."""
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    corpus = corpus.repartition(13)  # force >k rows per qid per partition
+    queries = emb.filter(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    k = 5
+    pruned = brute_force_topk(corpus, queries, k=k, local_prune=True)
+    plain = brute_force_topk(corpus, queries, k=k, local_prune=False)
+    rows_p = {(r.qid, r.id, round(r.cosine, 12), r.rank) for r in pruned.collect()}
+    rows_w = {(r.qid, r.id, round(r.cosine, 12), r.rank) for r in plain.collect()}
+    assert rows_p == rows_w and len(rows_p) == 7 * k
+
+    from tests.test_plans import plan_str
+
+    assert "MapInPandas" in plan_str(pruned)
+    assert "MapInPandas" not in plan_str(plain)
+
+
 def test_edit_distance_pairs_matches_python_dp(spark):
     import itertools
 

@@ -138,6 +138,42 @@ def test_pagerank_sums_to_one(spark):
     assert abs(total - 1.0) < 1e-9
 
 
+def test_driver_union_find_matches_distributed_loop(spark):
+    """The size-gated driver fast path (cc.DRIVER_CC_MAX_EDGES) must be
+    row-for-row identical to the distributed label-propagation loop —
+    including a long chain (pointer-jumping territory), a clique, bridges,
+    and string labels — so the gate is a pure plan choice, never a
+    semantics choice."""
+    import random
+
+    rng = random.Random(21)
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    pairs += [(i, i + 1) for i in range(100, 140)]          # 41-node chain
+    pairs += [(a, b) for a in range(200, 205) for b in range(a + 1, 205)]
+    e = _edges(spark, [(a, b) for a, b in pairs if a != b])
+    fast = {
+        (r.name, r.component)
+        for r in connected_components(e, driver_cc_max_edges=10**6).collect()
+    }
+    loop = {
+        (r.name, r.component)
+        for r in connected_components(e, driver_cc_max_edges=0).collect()
+    }
+    assert fast == loop and len(fast) > 0
+
+    # string labels (the near_dup_clusters / link_edges domain)
+    se = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y")], ["a", "b"]
+    )
+    fast_s = {
+        (r.name, r.component)
+        for r in connected_components(se, driver_cc_max_edges=10**6).collect()
+    }
+    assert fast_s == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")
+    }
+
+
 def test_merge_components_equals_full_recompute(spark):
     import random
 

@@ -68,6 +68,39 @@ def test_file_type_dispatch_content_sniff(spark):
     }
 
 
+def test_decode_bytes_ladder(spark):
+    """Multi-encoding decode fallback (txt_processor.py:138-151 analog): each
+    fixture byte string routes to the FIRST ladder encoding that decodes it
+    strictly; undecodable bytes fall back to replacement, never an error."""
+    from raptor_spark.sources import decode_bytes_col
+
+    fixtures = [
+        ("bom", "héllo".encode("utf-8-sig"), "utf-8-sig", "héllo"),
+        ("plain", "héllo".encode("utf-8"), "utf-8", "héllo"),
+        ("gbk", "中文内容".encode("gbk"), "gbk", "中文内容"),
+        # any valid big5 byte pair is byte-wise plausible gbk too (lead
+        # 0xA1-0xF9 ⊂ 0x81-0xFE, trail ranges overlap), so the ladder may
+        # claim either — asserted separately below, success is the invariant
+        ("big5", "一".encode("big5"), None, None),
+        ("cp1252", b"caf\xe9 \x97 ok", "cp1252", "café — ok"),
+        ("binary", b"\x81", "utf-8?replace", "�"),
+        ("none", None, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(n, b) for n, b, _, _ in fixtures], ["name", "data"]
+    ).withColumn("dec", decode_bytes_col(F.col("data")))
+    got = {r.name: (r.dec.text if r.dec else None, r.dec.encoding if r.dec else None)
+           for r in df.collect()}
+    for name, _b, want_enc, want_text in fixtures:
+        text, enc = got[name]
+        if name == "big5":
+            assert text is not None and enc in ("gbk", "big5"), (text, enc)
+            continue
+        assert text == want_text, (name, text)
+        if want_enc is not None:
+            assert enc == want_enc, (name, enc)
+
+
 def test_catalog_manifest_roundtrip(spark, tmp_path):
     cat = Catalog(spark, str(tmp_path))
     df = spark.range(10).withColumn("k", F.col("id") % 2)
