@@ -95,22 +95,32 @@ def minhash_lsh_pairs(
     n_bands band hashes → self-equi-join per band → exact Jaccard verify on
     the shingle arrays (array_intersect/array_union, JVM-side).
 
-    Scale discipline (each step A/B-measured at sf0.1 — dense near-dup
-    corpora blow up naive plans ~50×):
+    Scale discipline (each step A/B-measured at sf0.1 and at the 40k-file
+    scaling corpus — dense near-dup corpora blow up naive plans ~50×):
     * shingles are hashed to longs ONCE; signatures and the exact-Jaccard
       verify both run on array<long> (same set semantics modulo 64-bit hash
       collisions, far cheaper to shuffle and intersect than strings);
-    * candidates are expanded AND verified INLINE inside each band bucket
-      (collect_list + pair expression): a band self-join shuffled three
-      times with hot buckets pinned to single tasks, and a candidate
-      distinct + shingle join-back shuffled every candidate pair (233k at
-      sf0.1) with wide payloads — the inline form shuffles each row's
-      shingle set once per band and only VERIFIED pairs ever become rows
-      (12.4 s → 3.4 s cold);
+    * the band shuffle ships IDS ONLY: each doc's band rows are (id,
+      band_id, band_hash) longs, never the shingle array — an earlier form
+      carried the full array<long> through all n_bands band rows into the
+      collect_list buckets and verified pairs inline per band, which (a)
+      multiplied the shuffle payload by n_bands × |sh| (~70× more bytes at
+      16 bands on ~140-shingle docs: the job went memory-bandwidth-bound
+      and its N→4N scaling efficiency stuck at ~0.6), and (b) re-ran the
+      exact-Jaccard verify in EVERY band a dense cluster collided in
+      (~n_bands× redundant intersect/union work);
+    * candidate (a, b) id-pairs are expanded per bucket (collect_list +
+      pair expression — a band self-join shuffled three times with hot
+      buckets pinned to single tasks), ``distinct``-ed FIRST (16-byte
+      rows), and only then joined back to the persisted (id, shingles)
+      table for ONE exact-Jaccard verify per unique pair — the verify-after-
+      distinct order is output-identical to verify-per-band + distinct
+      (jaccard is a pure function of the pair) but does 1/n_bands of the
+      array work and shuffles narrow rows everywhere;
     * band buckets larger than ``max_bucket`` are dropped (an LSH bucket
       that big means the band hash is uninformative for that cluster — its
       members are still covered by their other n_bands-1 bands), which also
-      caps the per-bucket inline work at C(max_bucket, 2) jaccards. Pass
+      caps the per-bucket expansion at C(max_bucket, 2) id-pairs. Pass
       ``max_bucket=None`` for exhaustive behavior.
     """
     rows_per_band = n_hashes // n_bands
@@ -123,9 +133,11 @@ def minhash_lsh_pairs(
             )
         ).alias("sh"),
     ).filter(F.size("sh") > 0)
+    # the shingle table feeds the signature path AND both verify join-backs;
+    # unpersisted, each consumer would recompute the full shingling lineage
+    base = base.persist()
     sig = base.select(
         "id",
-        "sh",
         *[
             F.array_min(
                 F.transform(F.col("sh"), lambda s: F.xxhash64(s, F.lit(i)))
@@ -135,7 +147,6 @@ def minhash_lsh_pairs(
     )
     bands = sig.select(
         "id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -149,36 +160,43 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("id", "sh", "band.band_id", "band.band_hash")
+    ).select("id", "band.band_id", "band.band_hash")
     buckets = bands.groupBy("band_id", "band_hash").agg(
-        F.array_sort(F.collect_list(F.struct(F.col("id"), F.col("sh")))).alias("ms")
-    ).filter(F.size("ms") >= 2)
+        F.array_sort(F.collect_list(F.col("id"))).alias("ids")
+    ).filter(F.size("ids") >= 2)
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("ms") <= max_bucket)
-    ms = F.col("ms")
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    ids = F.col("ids")
     pair_structs = F.flatten(
         F.transform(
-            ms,
-            lambda x, i: F.filter(
-                F.transform(
-                    F.slice(ms, i + F.lit(2), F.size(ms)),
-                    lambda y: F.struct(
-                        x["id"].alias("a"),
-                        y["id"].alias("b"),
-                        (
-                            F.size(F.array_intersect(x["sh"], y["sh"]))
-                            / F.size(F.array_union(x["sh"], y["sh"]))
-                        ).alias("jaccard"),
-                    ),
-                ),
-                lambda p: p["jaccard"] >= F.lit(jaccard_threshold),
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
             ),
         )
     )
-    return (
+    cands = (
         buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.a", "p.b", "p.jaccard")
+        .select("p.a", "p.b")
         .distinct()
+    )
+    return (
+        cands.join(
+            base.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a"
+        )
+        .join(
+            base.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b"
+        )
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(jaccard_threshold))
     )
 
 
@@ -403,6 +421,58 @@ def near_dup_clusters(pairs: DataFrame) -> DataFrame:
         dec(F.col("name")).alias("id"),
         dec(F.col("component")).alias("cluster"),
     )
+
+
+def component_census(
+    clusters: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+    sample_k: int = 3,
+) -> DataFrame:
+    """Post-hoc component-size quality audit (SURVEY.md §7.4 "cap component
+    size with a quality check", the CC twin of join_fanout): from an
+    (id, cluster) assignment, one row per distinct component SIZE with
+    (size, n_components, example_component = min cluster id of that size,
+    sample_members = first ``sample_k`` member ids of that example). An
+    over-merged linking run — one giant transitive cluster swallowing
+    unrelated docs — surfaces immediately as an outlier size row with
+    inspectable members (gated on a crafted over-merge fixture in
+    tests/test_dedup_similarity.py).
+
+    Scale shape: the member sample comes from a per-cluster row_number
+    window with collect_list over ONLY the rn ≤ k rows (collect_list skips
+    the nulls of the when), so no buffer ever holds a giant component's full
+    member list — the thing this audit exists to catch. The groupBy after
+    the window reuses the window's hash partitioning (no second exchange);
+    the census and example join are component-count-sized, tiny by then."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(cluster_col).orderBy(id_col)
+    ranked = clusters.withColumn("rn", F.row_number().over(w))
+    per = ranked.groupBy(cluster_col).agg(
+        F.count("*").alias("size"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rn") <= sample_k, F.col(id_col))
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("sample_members"),
+    )
+    census = per.groupBy("size").agg(
+        F.count("*").alias("n_components"),
+        F.min(cluster_col).alias("example_component"),
+    )
+    return census.join(
+        per.select(
+            F.col(cluster_col).alias("example_component"), "sample_members"
+        ),
+        on="example_component",
+    ).select("size", "n_components", "example_component", "sample_members")
 
 
 def cluster_representatives(
