@@ -590,8 +590,10 @@ def q_kg_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary columns → mapInPandas feature extraction
-    (decode stubbed; schema/batching/error-column real). The 8-dim feature
+    """Multimodal plumbing: binary columns → mapInPandas feature extraction.
+    Pixel/sample decode is REAL for PNG/BMP/GIF/WAV (test_multimodal_decode);
+    these synthesized text payloads take the deterministic hash fallback,
+    which is what the DuckDB oracle replays. The 8-dim feature
     array is projected to scalar columns f0..f7 for the driver contract —
     the comparator canonicalizes rows with pandas and cannot sort raw
     array columns."""
