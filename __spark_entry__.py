@@ -124,9 +124,8 @@ def q_interval_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     left = _event_segments(ev, "error")
     right = _event_segments(ev, "click").select(
-        "user_id", "start", "end",
-        F.col("value").alias("prob"), F.col("event_id").cast("string").alias("label"),
-    ).withColumn("label", F.concat(F.lit("e"), F.col("label")))
+        "user_id", "start", "end", F.col("value").alias("prob"),
+    )
     # label = event bucket: use value-band labels for a small label alphabet
     right = right.withColumn(
         "label",
