@@ -35,7 +35,13 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from raptor_spark.functions import norm_identifier_col
 from raptor_spark.oracle import HEAD_SYMBOL_MAX_DF, JACCARD_THRESHOLD
@@ -57,6 +63,7 @@ MAX_BAND_BUCKET = 64  # skew guard: an LSH bucket bigger than this means the
 _NAME_FEATURES_SCHEMA = StructType(
     [
         StructField("name", StringType(), False),
+        StructField("is_head", BooleanType(), False),
         StructField("norm", StringType(), False),
         StructField("nospace", StringType(), False),
         StructField("first_token", StringType(), False),
@@ -72,12 +79,43 @@ def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(
             {
                 "name": pdf["name"],
+                "is_head": pdf["is_head"],
                 "norm": norms,
                 "nospace": norms.str.replace(" ", "", regex=False),
                 "first_token": norms.str.split(" ").str[0],
                 "shingles": norms.map(lambda s: sorted(char_shingles(s))),
             }
         )
+
+
+def name_features(triples: DataFrame) -> DataFrame:
+    """Distinct defined names, featurized, with the head-symbol flag — the
+    shared name-dimension table for ``link_edges`` AND ``canonical_mapping``.
+
+    One groupBy shuffle on the name dimension replaces the old
+    distinct → groupBy → distinct chain (three shuffles), and the
+    head-threshold denominator (count of distinct repos with ≥1 defined
+    name) is a one-row aggregate broadcast back in — lazy, instead of the
+    eager driver ``count()`` the old ``head_names`` paid before any linking
+    work could start. The pipeline computes this once, persists it, and
+    threads it through both consumers; previously each recomputed the name
+    distinct and the featurize pass from the triple table.
+    """
+    names_repo = triples.filter(F.col("pred") == PRED_DEFINES).select(
+        F.split(F.col("obj"), "@").getItem(0).alias("name"),
+        F.col("repo"),
+    )
+    per_name = names_repo.groupBy("name").agg(
+        F.countDistinct("repo").alias("df_repos")
+    )
+    total = names_repo.agg(F.countDistinct("repo").alias("total_repos"))
+    flagged = per_name.join(F.broadcast(total), how="cross").select(
+        "name",
+        (
+            F.col("df_repos") > F.lit(HEAD_SYMBOL_MAX_DF) * F.col("total_repos")
+        ).alias("is_head"),
+    )
+    return flagged.mapInPandas(_featurize, schema=_NAME_FEATURES_SCHEMA)
 
 
 def defined_names(triples: DataFrame) -> DataFrame:
@@ -104,13 +142,15 @@ def head_names(names_with_repo: DataFrame) -> DataFrame:
     )
 
 
-def link_edges(triples: DataFrame) -> DataFrame:
-    """(a, b) undirected link edges between defined names, a < b."""
-    names_repo = defined_names(triples).persist()  # read twice: heads + names
-    heads = head_names(names_repo)
-    names = names_repo.select("name").distinct()
-    feats = names.mapInPandas(_featurize, schema=_NAME_FEATURES_SCHEMA)
-    feats = feats.persist()
+def link_edges(triples: DataFrame, feats: DataFrame | None = None) -> DataFrame:
+    """(a, b) undirected link edges between defined names, a < b.
+
+    ``feats`` — a precomputed (ideally persisted) ``name_features`` table;
+    pass it when another consumer (``canonical_mapping``) shares the same
+    name dimension so the distinct+featurize pass runs once per pipeline.
+    """
+    if feats is None:
+        feats = name_features(triples).persist()
 
     # -- 1. exact block: same space-stripped normalized identifier ----------
     exact = (
@@ -127,7 +167,7 @@ def link_edges(triples: DataFrame) -> DataFrame:
     # hashed shingle sets (array<long>): Jaccard over 64-bit shingle hashes
     # equals Jaccard over the strings up to ~2^-64 collisions, and longs
     # shuffle + intersect several times cheaper than strings
-    fuzzy_feats = feats.join(heads, on="name", how="left_anti").withColumn(
+    fuzzy_feats = feats.filter(~F.col("is_head")).withColumn(
         "hsh", F.transform("shingles", lambda s: F.xxhash64(s))
     )
 
@@ -225,14 +265,16 @@ def link_edges(triples: DataFrame) -> DataFrame:
     return exact.unionByName(verified).distinct()
 
 
-def canonical_mapping(triples: DataFrame, components: DataFrame) -> DataFrame:
+def canonical_mapping(
+    triples: DataFrame, components: DataFrame, feats: DataFrame | None = None
+) -> DataFrame:
     """name → canonical, where canonical = min normalized name within the
     component (matches the oracle). ``components`` is (name, component) from
-    raptor_spark.cc; names not in any component map to their own norm."""
-    names = defined_names(triples).select("name").distinct()
-    feats = names.mapInPandas(_featurize, schema=_NAME_FEATURES_SCHEMA).select(
-        "name", "norm"
-    )
+    raptor_spark.cc; names not in any component map to their own norm.
+    ``feats`` — optional shared ``name_features`` table (see link_edges)."""
+    if feats is None:
+        feats = name_features(triples)
+    feats = feats.select("name", "norm")
     with_comp = feats.join(components, on="name", how="left").withColumn(
         "component", F.coalesce(F.col("component"), F.col("name"))
     )

@@ -39,7 +39,12 @@ from raptor_spark.lineage import (
     stage_lineage,
     triple_rollup,
 )
-from raptor_spark.link import apply_linking, canonical_mapping, link_edges
+from raptor_spark.link import (
+    apply_linking,
+    canonical_mapping,
+    link_edges,
+    name_features,
+)
 from raptor_spark.materialize import build_edges, build_nodes
 from raptor_spark.schemas import FILES_SCHEMA
 
@@ -68,6 +73,7 @@ class Pipeline:
         # Spark append jobs on the same path clash on the shared _temporary
         # staging dir, so lineage appends are serialized
         self._lineage_lock = threading.Lock()
+        self._lineage_parts: list[DataFrame] = []
         # one per-bucket triple-count rollup shared by every stage whose
         # lineage records the triple table (linked/nodes/edges carry the
         # same per-bucket counts) — computed lazily once, under the lock
@@ -119,15 +125,30 @@ class Pipeline:
             if lineage_triples is not None
             else None
         )
+        # lineage rows are STASHED here and flushed in ONE append at the end
+        # of run(): five per-stage appends were five tiny write jobs + five
+        # parquet commits on the same table (serialized under the lock),
+        # ~2.4 s of pure fixed overhead at bench size. The batched flush
+        # writes the identical rows (per-stage wall_ms captured now, in the
+        # struct) in a single job.
         with self._lineage_lock:
-            self.catalog.append(
-                "lineage",
+            self._lineage_parts.append(
                 stage_lineage(
                     self.run_id, stage, files, None, timer.ms(),
                     rollup=self._rollup, triple_counts=tc,
-                ),
+                )
             )
         return out
+
+    def _flush_lineage(self) -> None:
+        with self._lineage_lock:
+            parts, self._lineage_parts = self._lineage_parts, []
+        if not parts:
+            return
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        self.catalog.append("lineage", out)
 
     def incremental_triples(self, files: DataFrame, prev_output: str) -> DataFrame:
         """Stage-1 input for an incremental run: reuse the previous run's
@@ -202,6 +223,11 @@ class Pipeline:
             # lineage wants triple counts: re-append with counts now available
         triples = triples.persist()
 
+        # one featurized name-dimension table shared by linking (stage 2a)
+        # and canonical mapping (stage 2b) — lazy, so resume-skipped stages
+        # never compute it
+        feats = name_features(triples).persist()
+
         # -- stage 2a: components ---------------------------------------------
         if self._stage_valid("components", fingerprint, resume):
             comps = self.catalog.read("components")
@@ -209,7 +235,7 @@ class Pipeline:
             t = StageTimer()
             comps = self._commit(
                 "components",
-                connected_components(link_edges(triples)),
+                connected_components(link_edges(triples, feats=feats)),
                 files,
                 fingerprint,
                 t,
@@ -220,7 +246,7 @@ class Pipeline:
             linked = self.catalog.read("linked")
         else:
             t = StageTimer()
-            mapping = canonical_mapping(triples, comps)
+            mapping = canonical_mapping(triples, comps, feats=feats)
             linked = self._commit(
                 "linked",
                 apply_linking(triples, mapping),
@@ -291,6 +317,7 @@ class Pipeline:
         if errors:
             raise errors[0]
         nodes, edges = results["nodes"], results["edges"]
+        self._flush_lineage()  # before the rollup unpersist: lineage reads it
         files.unpersist()
         self._rollup.unpersist()
         if self._tc is not None:
