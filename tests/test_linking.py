@@ -66,3 +66,19 @@ def test_head_detection(triples_df):
     heads = {r.name for r in head_names(defined_names(triples_df)).collect()}
     assert set(HEAD_SYMBOLS) <= heads
     assert "fetchData" not in heads
+
+
+def test_name_features_matches_legacy_path(triples_df):
+    # the fused one-shuffle name_features must flag exactly the names the
+    # legacy defined_names -> head_names chain flags, over exactly the same
+    # distinct-name universe
+    from raptor_spark.link import name_features
+
+    feats = name_features(triples_df).select("name", "is_head").collect()
+    got_names = {r.name for r in feats}
+    got_heads = {r.name for r in feats if r.is_head}
+    names_repo = defined_names(triples_df)
+    want_names = {r.name for r in names_repo.select("name").distinct().collect()}
+    want_heads = {r.name for r in head_names(names_repo).collect()}
+    assert got_names == want_names
+    assert got_heads == want_heads
