@@ -196,6 +196,20 @@ class Pipeline:
         resume: bool = False,
         incremental_from: str | None = None,
     ) -> dict[str, DataFrame]:
+        try:
+            return self._run(files, resume, incremental_from)
+        except BaseException:
+            # a failed stage must not lose the COMPLETED stages' audit rows —
+            # they're stashed for the end-of-run batched flush (see _commit)
+            self._flush_lineage()
+            raise
+
+    def _run(
+        self,
+        files: DataFrame,
+        resume: bool,
+        incremental_from: str | None,
+    ) -> dict[str, DataFrame]:
         files = files.persist()
         # one content pass feeds the fingerprint AND every stage's lineage
         self._rollup = input_rollup(files).persist()
@@ -220,7 +234,6 @@ class Pipeline:
                 partition_by=["pred"],
                 lineage_triples=None,
             )
-            # lineage wants triple counts: re-append with counts now available
         triples = triples.persist()
 
         # one featurized name-dimension table shared by linking (stage 2a)

@@ -135,3 +135,24 @@ def test_nodes_edges_shapes(spark, run_dir, first_run):
     assert dangling.count() == 0
     # partition columns present for pruning
     assert {"lang", "repo_bucket"} <= set(nodes.columns)
+
+
+def test_failed_stage_preserves_completed_lineage(
+    spark, files_df, tmp_path_factory, monkeypatch
+):
+    """A stage failure must still flush the COMPLETED stages' stashed
+    lineage rows (the batched flush's crash-path contract)."""
+    import raptor_spark.pipeline as pl
+
+    out_dir = str(tmp_path_factory.mktemp("kg_fail"))
+
+    def boom(triples, **kwargs):
+        raise RuntimeError("injected link failure")
+
+    monkeypatch.setattr(pl, "link_edges", boom)
+    p = Pipeline(spark, out_dir)
+    with pytest.raises(RuntimeError, match="injected link failure"):
+        p.run(files_df)
+    lineage = p.catalog.read("lineage")
+    stages = {r.stage for r in lineage.select("stage").distinct().collect()}
+    assert stages == {"extracted"}
