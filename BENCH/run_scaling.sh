@@ -64,10 +64,15 @@ spark-submit --master "local[$N4]" "${SUBMIT_CONF[@]}" \
 
 run_one() {
   local cores="$1"
+  local extra=()
+  if [ "$MODE" = "pipeline" ]; then
+    # pipeline mode commits stage tables — give each leg its own dir
+    extra=(--output "$WORK/pipe_out_$cores")
+  fi
   spark-submit --master "local[$cores]" "${SUBMIT_CONF[@]}" \
     --conf "spark.sql.shuffle.partitions=$((2 * cores))" \
     --py-files "$ZIP" BENCH/scaling_job.py --input "$CORPUS" --mode "$MODE" \
-    2>"$WORK/stderr_$cores.log" | tail -1
+    "${extra[@]}" 2>"$WORK/stderr_$cores.log" | tail -1
 }
 
 SUMMARIES="$WORK/summaries.jsonl"

@@ -19,6 +19,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import tempfile
 import time
 
 from pyspark.sql import SparkSession
@@ -110,7 +111,8 @@ def main() -> None:
             return lm_perplexity(docs, "doc_id", "text").count()
         from raptor_spark.pipeline import Pipeline
 
-        out = Pipeline(spark, args.output).run(files)
+        out_dir = args.output or tempfile.mkdtemp(prefix="kg_scaling_pipe_")
+        out = Pipeline(spark, out_dir).run(files)
         return out["edges"].count()
 
     walls = []
