@@ -1184,6 +1184,106 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-4-iteration HITS hubs/authorities on the DIRECTED (a → b)
+    near-dup edge set (operators/graph.hits — directed-importance twin of
+    graph_pagerank: originals that point at many later duplicates are
+    hubs, documents many originals point at are authorities). The oracle
+    unrolls the same four L1-normalized half-steps, so the comparison is
+    exact replay; both coalesce missing scores to 0."""
+    from raptor_spark.operators.graph import hits
+
+    out = hits(_jaccard_edge_set(spark, sf_dir), n_iter=4)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        (F.round("hub", 6) + F.lit(0.0)).alias("hub"),
+        (F.round("auth", 6) + F.lit(0.0)).alias("auth"),
+    ).orderBy("id")
+
+
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 adjacent-character-pair frequencies weighted by word
+    frequency — the candidate table of the first BPE merge step (tokenizer
+    vocabulary induction; operators/text.char_pair_counts: corpus collapses
+    to its word-frequency table before the pair expansion). Integer counts,
+    ties broken by pair — the cutoff is deterministic on both engines."""
+    from raptor_spark.operators.text import char_pair_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    out = char_pair_counts(docs, "text")
+    return out.orderBy(F.desc("n_occ"), F.asc("pair")).limit(40)
+
+
+def q_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (operators/ranking.rrf_fuse,
+    k=60): the BM25 ranking for the fixed query bag ⊕ a document-quality
+    prior ranking, each cut to its top 100 by (rounded score desc, doc_id)
+    — the standard lexical⊕prior combiner of a two-channel search read
+    path. Both channel ranks are assigned on ROUNDED scores so the rank
+    permutation (and therefore the fused score) replays exactly in SQL."""
+    from pyspark.sql.window import Window
+
+    from raptor_spark.operators.ranking import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    # k=None: rank the FULL matched set (the rounded-rank cutoff below owns
+    # the top-100 discipline); a huge finite k would preallocate the
+    # TakeOrdered priority queue at that capacity and OOM
+    bm = bm25_topk(docs, "doc_id", "text", ["join", "vector", "stream", "window"], k=None)
+    bm_ranked = (
+        bm.select("id", F.round("score", 4).alias("s"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("s"), F.asc("id"))
+            ),
+        )
+        .filter(F.col("rank") <= 100)
+        .select("id", "rank")
+    )
+    q_ranked = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            quality_score_col(F.col("text")).alias("q"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("q"), F.asc("id"))),
+        )
+        .filter(F.col("rank") <= 100)
+        .select("id", "rank")
+    )
+    out = rrf_fuse([bm_ranked, q_ranked], k=60)
+    return (
+        out.select(
+            F.col("id").alias("doc_id"),
+            F.round("rrf", 6).alias("rrf"),
+            "n_lists",
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def q_source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate-candidate report: top-5 3-gram shingles by
+    within-source document frequency with the containment ratio
+    (operators/curation.boilerplate_shingles — C4/RefinedWeb-style
+    repeated-content discovery; the review table a cleaning pass strips
+    from). Shingle definition shared with decontaminate_docs' oracle."""
+    from raptor_spark.operators.curation import boilerplate_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    out = boilerplate_shingles(docs, "doc_id", "text", "source", n=3, top=5)
+    return out.select(
+        F.col("group").alias("source"),
+        "shingle",
+        "df",
+        "n_docs",
+        "ratio",
+    ).orderBy("source", F.desc("df"), "shingle")
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of per-user event sequences
     (operators/profile.transition_counts — lead over (ts, event_id), one
@@ -2290,6 +2390,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": q_graph_communities,
         "graph_kcore": q_graph_kcore,
         "graph_sssp": q_graph_sssp,
+        "graph_hits": q_graph_hits,
+        "bpe_pair_stats": q_bpe_pair_stats,
+        "rrf_search": q_rrf_search,
+        "source_boilerplate": q_source_boilerplate,
         "event_transitions": q_event_transitions,
         "value_histogram": q_value_histogram,
         "order_diff": q_order_diff,
@@ -3355,6 +3459,136 @@ def oracle_sql() -> dict[str, str]:
                 )''' for i in range(1, 11)
             )}
             SELECT id, round(dist, 6) AS dist FROM d10 ORDER BY id
+        """,
+        "graph_hits": f"""
+            WITH {_GRAPH_PAIR_CTE.replace("p AS (", "p AS MATERIALIZED (")},
+            n AS MATERIALIZED (SELECT a AS id FROM p UNION SELECT b FROM p),
+            h0 AS (SELECT id, 1.0::DOUBLE AS h FROM n),
+            {", ".join(
+                f'''a{i}r AS MATERIALIZED (
+                  SELECT p.b AS id, sum(h{i - 1}.h) AS s
+                  FROM p JOIN h{i - 1} ON p.a = h{i - 1}.id GROUP BY p.b
+                ), a{i} AS MATERIALIZED (
+                  SELECT id, s / (SELECT sum(s) FROM a{i}r) AS a FROM a{i}r
+                ), h{i}r AS MATERIALIZED (
+                  SELECT p.a AS id, sum(a{i}.a) AS s
+                  FROM p JOIN a{i} ON p.b = a{i}.id GROUP BY p.a
+                ), h{i} AS MATERIALIZED (
+                  SELECT id, s / (SELECT sum(s) FROM h{i}r) AS h FROM h{i}r
+                )''' for i in range(1, 5)
+            )}
+            SELECT n.id,
+                   round(coalesce(h4.h, 0.0::DOUBLE), 6) + 0.0 AS hub,
+                   round(coalesce(a4.a, 0.0::DOUBLE), 6) + 0.0 AS auth
+            FROM n LEFT JOIN h4 ON n.id = h4.id LEFT JOIN a4 ON n.id = a4.id
+            ORDER BY n.id
+        """,
+        "bpe_pair_stats": r"""
+            WITH w AS (
+              SELECT unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS w
+              FROM documents
+            ), wf AS (
+              SELECT w, count(*) AS c FROM w GROUP BY w
+            ), pr AS (
+              SELECT unnest([substr(w, i, 2)
+                             for i in generate_series(1, length(w) - 1)]) AS pair,
+                     c
+              FROM wf WHERE length(w) >= 2
+            )
+            SELECT pair, CAST(sum(c) AS BIGINT) AS n_occ
+            FROM pr GROUP BY pair
+            ORDER BY n_occ DESC, pair ASC
+            LIMIT 40
+        """,
+        "rrf_search": r"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x != '') AS ws
+              FROM documents
+            ), stats AS (
+              SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM w
+            ), t AS (
+              SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w
+            ), tfg AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM t WHERE term IN ('join', 'vector', 'stream', 'window')
+              GROUP BY doc_id, dl, term
+            ), dfreq AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM tfg GROUP BY term
+            ), scored AS (
+              SELECT tfg.doc_id,
+                     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS contrib
+              FROM tfg JOIN dfreq USING (term) CROSS JOIN stats
+            ), bm AS (
+              SELECT doc_id, round(sum(contrib), 4) AS s
+              FROM scored GROUP BY doc_id
+            ), bmr AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+              FROM bm
+            ), qm AS (
+              SELECT doc_id,
+                     round((
+                       (CASE WHEN length(text) BETWEEN 20 AND 100000
+                             THEN 1.0 ELSE 0.3 END) +
+                       (CASE WHEN length(text) * 1.0 / greatest(len(ws), 1)
+                                  BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.4 END) +
+                       (CASE WHEN length(regexp_replace(text, '[^\.,;:!?]', '', 'g'))
+                                  * 1.0 / greatest(length(text), 1) <= 0.2
+                             THEN 1.0 ELSE 0.5 END) +
+                       (CASE WHEN length(regexp_replace(text, '[\w\s]', '', 'g'))
+                                  * 1.0 / greatest(length(text), 1) <= 0.3
+                             THEN 1.0 ELSE 0.2 END)
+                     ) / 4.0, 6) AS q
+              FROM w
+            ), qr AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY q DESC, doc_id ASC) AS rank
+              FROM qm
+            ), u AS (
+              SELECT doc_id, 1.0::DOUBLE / (60 + rank) AS c
+              FROM bmr WHERE rank <= 100
+              UNION ALL
+              SELECT doc_id, 1.0::DOUBLE / (60 + rank) AS c
+              FROM qr WHERE rank <= 100
+            )
+            SELECT doc_id, round(sum(c), 6) AS rrf, count(*) AS n_lists
+            FROM u GROUP BY doc_id
+            ORDER BY rrf DESC, doc_id ASC
+            LIMIT 20
+        """,
+        "source_boilerplate": r"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, source,
+                     unnest(CASE WHEN len(ws) >= 3 THEN
+                       list_distinct([array_to_string(ws[i:i+2], ' ')
+                                      for i in generate_series(1, len(ws) - 2)])
+                     ELSE [array_to_string(ws, ' ')] END) AS shingle
+              FROM t
+            ), dfq AS (
+              SELECT source, shingle, count(*) AS df
+              FROM sh GROUP BY source, shingle
+            ), nd AS (
+              SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+            ), top AS (
+              SELECT source, shingle, df,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY df DESC, shingle ASC
+                     ) AS rn
+              FROM dfq
+            )
+            SELECT top.source, shingle, df, n_docs,
+                   round(df * 1.0 / n_docs, 6) AS ratio
+            FROM top JOIN nd USING (source) WHERE rn <= 5
+            ORDER BY top.source, df DESC, shingle
         """,
         "event_transitions": """
             WITH s AS (

@@ -253,6 +253,55 @@ def ngram_contamination(
     )
 
 
+def boilerplate_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n: int = 3,
+    top: int = 5,
+) -> DataFrame:
+    """(group, shingle, df, n_docs, ratio): per-source boilerplate-candidate
+    report — the top word n-gram shingles by document frequency WITHIN each
+    source, with the fraction of that source's documents containing them
+    (C4/RefinedWeb-style repeated-content discovery: headers, footers,
+    navigation chrome show up as shingles with ratio near 1 inside one
+    source; a cleaning pipeline reviews/strips them per source).
+
+    Scale shape: docs explode to DISTINCT shingles per doc (so count(*) IS
+    document frequency), one shuffle on (group, shingle); the per-source
+    doc counts are a group-cardinality broadcast; the top-k is a window
+    over the (group, shingle) aggregate — already tiny relative to the
+    corpus. Integer-count ordering with shingle tiebreak keeps the cutoff
+    deterministic across engines."""
+    from pyspark.sql.window import Window
+
+    from raptor_spark.operators.dedup import word_shingles_col
+
+    sh = df.select(
+        F.col(group_col).alias("group"),
+        F.explode(word_shingles_col(F.col(text_col), n)).alias("shingle"),
+    )
+    dfreq = sh.groupBy("group", "shingle").agg(F.count("*").alias("df"))
+    nd = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("group").orderBy(F.desc("df"), F.asc("shingle"))
+    return (
+        dfreq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top)
+        .drop("rn")
+        .join(F.broadcast(nd), "group")
+        .select(
+            "group",
+            "shingle",
+            "df",
+            "n_docs",
+            F.round(F.col("df") * 1.0 / F.col("n_docs"), 6).alias("ratio"),
+        )
+    )
+
+
 def weighted_sample_topk(
     df: DataFrame,
     id_col: str,

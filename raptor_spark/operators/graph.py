@@ -214,6 +214,78 @@ def pagerank(
     return ranks
 
 
+def hits(edges: DataFrame, n_iter: int = 4) -> DataFrame:
+    """(id, hub, auth): fixed-iteration HITS (Kleinberg) over the DIRECTED
+    edge list (a → b) — here the id-ordered near-dup orientation, so a hub
+    is an "original" pointing at many later duplicates and an authority is
+    a document many originals point at. Complements ``pagerank`` (which
+    runs on the symmetrized graph) with the directed-importance view the
+    reference's entity-ranking read path exposes.
+
+    Per iteration: auth = Σ hub over in-edges, L1-normalized; then
+    hub = Σ auth over out-edges, L1-normalized. Each half-step is one
+    hash join (edges re-keyed once, persisted) plus a vertex-cardinality
+    groupBy with map-side combine; the normalizing total is a 1-row
+    aggregate cross-joined back (broadcast — never a driver collect).
+    Scores are localCheckpointed per half-step so the plan stays flat at
+    any K, same discipline as ``pagerank``. Vertices with no in-edges
+    (resp. out-edges) have auth = 0 (resp. hub = 0) by coalesce at the
+    end — the fixed-K unrolled oracle replays the identical arithmetic.
+    """
+    e = (
+        edges.filter(F.col("a") != F.col("b"))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select("dst"))
+        .distinct()
+        .persist()
+    )
+
+    def _l1_normalize(scores: DataFrame, col: str) -> DataFrame:
+        tot = scores.agg(F.sum(col).alias("__tot"))
+        return (
+            scores.crossJoin(F.broadcast(tot))
+            .select("id", (F.col(col) / F.col("__tot")).alias(col))
+            .localCheckpoint()
+        )
+
+    hub = nodes.withColumn("hub", F.lit(1.0))
+    auth = None
+    for _ in range(n_iter):
+        auth = _l1_normalize(
+            e.join(hub, e["src"] == hub["id"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("auth"))
+            .select(F.col("dst").alias("id"), "auth"),
+            "auth",
+        )
+        hub = _l1_normalize(
+            e.join(auth, e["dst"] == auth["id"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hub"))
+            .select(F.col("src").alias("id"), "hub"),
+            "hub",
+        )
+    out = (
+        nodes.join(hub, "id", "left")
+        .join(auth, "id", "left")
+        .select(
+            "id",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+        )
+        .localCheckpoint()
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
 def two_hop_counts(edges: DataFrame) -> DataFrame:
     """(id, n_two_hop): distinct vertices exactly two hops away (reachable
     via a neighbor, not self, not already a direct neighbor)."""

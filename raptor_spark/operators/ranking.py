@@ -67,7 +67,7 @@ def bm25_topk(
     id_col: str,
     text_col: str,
     query_terms: list[str],
-    k: int = 10,
+    k: int | None = 10,
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
@@ -102,7 +102,37 @@ def bm25_topk(
     per_doc = scored.groupBy("id").agg(
         F.sum("contrib").alias("score"), F.count("*").alias("n_matched")
     )
+    if k is None:
+        # full scored set, no cutoff — callers that re-rank downstream
+        # (e.g. rrf_fuse). NOTE: never emulate this with a huge k — a
+        # TakeOrderedAndProject allocates its bounded priority queue at
+        # capacity k up front (measured: k=10^9 OOMs the executor heap).
+        return per_doc
     return per_doc.orderBy(F.desc("score"), F.asc("id")).limit(k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame], k: int = 60
+) -> DataFrame:
+    """(id, rrf, n_lists): reciprocal-rank fusion of N ranked lists —
+    the standard hybrid-retrieval combiner (lexical BM25 ⊕ dense/prior
+    rankings): rrf(d) = Σ_lists 1 / (k + rank_list(d)), documents absent
+    from a list contribute nothing for it.
+
+    Each input must be (id, rank) with rank already assigned 1..n by a
+    DETERMINISTIC order (rounded score desc, id asc — the caller owns the
+    tie discipline so the fusion replays across engines). The fusion
+    itself is one union + one groupBy on id: the lists are top-K cutoffs
+    (tiny vs the corpus), so this never touches corpus scale."""
+    scored = None
+    for r in rankings:
+        part = r.select(
+            "id", (F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias("c")
+        )
+        scored = part if scored is None else scored.unionByName(part)
+    return scored.groupBy("id").agg(
+        F.sum("c").alias("rrf"), F.count("*").alias("n_lists")
+    )
 
 
 def bigram_pmi(

@@ -44,6 +44,36 @@ def bpe_ish_token_count_col(text: Column) -> Column:
     return F.size(F.filter(F.split(F.lower(s), r"\s+"), lambda w: w != "")).cast("long")
 
 
+def char_pair_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(pair, n_occ): corpus-wide adjacent-character-pair frequencies
+    weighted by word frequency — the candidate table of the FIRST BPE merge
+    step (tokenizer vocabulary induction over a training corpus). Highest
+    n_occ = the pair a BPE trainer would merge first.
+
+    Scale shape: the corpus collapses to its word-frequency table first
+    (vocabulary-sized — orders of magnitude smaller than the token stream),
+    and the quadratic-ish pair expansion runs over that small table, not
+    the corpus: one corpus shuffle (word counts) + one vocabulary-sized
+    shuffle (pair counts). Pairs are substrings, built by a JVM-side
+    transform over start offsets — no UDF."""
+    wf = (
+        df.select(F.explode(words_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = wf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "c",
+    )
+    return pairs.groupBy("pair").agg(F.sum("c").alias("n_occ"))
+
+
 def stopword_ratio_col(text: Column, lang: str = "en") -> Column:
     stops = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
     # bind the split array once per row (HOF lambdas get no CSE)
