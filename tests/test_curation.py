@@ -566,3 +566,24 @@ def test_compression_quality_matches_python_zlib(spark):
     plan = buf.getvalue()
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_boilerplate_shingles_planted(spark):
+    """A 3-gram planted in every doc of one source tops that source's
+    report with ratio 1.0; a source with disjoint docs has no shingle with
+    df > 1."""
+    from raptor_spark.operators.curation import boilerplate_shingles
+
+    rows = [
+        (i, f"foo bar baz u{i} v{i}", "s1") for i in range(4)
+    ] + [
+        (10, "p q r s", "s2"),
+        (11, "t u v w", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = boilerplate_shingles(df, "doc_id", "text", "source", n=3, top=2)
+    got = {(r.group, r.shingle): (r.df, r.n_docs, r.ratio) for r in out.collect()}
+    assert got[("s1", "foo bar baz")] == (4, 4, 1.0)
+    # every other s1 shingle is per-doc unique → df 1
+    assert all(v[0] == 1 for k, v in got.items() if k != ("s1", "foo bar baz"))
+    assert all(v[1] == 2 for k, v in got.items() if k[0] == "s2")

@@ -371,3 +371,44 @@ def test_pagerank_warm_start_handles_new_and_stale_vertices(spark):
     shrunk = _edges(spark, [(0, 1)])  # 2 and 9 leave
     got2 = {r.id for r in pagerank(shrunk, n_iter=1, init_ranks=prev).collect()}
     assert got2 == {0, 1}
+
+
+def test_hits_two_hubs_one_authority(spark):
+    """(0→2),(1→2): 2 is the sole authority (auth 1.0), 0 and 1 split the
+    hub mass evenly; scores absent from a side coalesce to 0."""
+    from raptor_spark.operators.graph import hits
+
+    got = {r.id: (r.hub, r.auth) for r in hits(_edges(spark, [(0, 2), (1, 2)])).collect()}
+    assert got == {0: (0.5, 0.0), 1: (0.5, 0.0), 2: (0.0, 1.0)}
+
+
+def test_hits_matches_python_replay(spark):
+    """Random directed graph vs a pure-Python replay of the same fixed-K
+    L1-normalized half-steps (the arithmetic the unrolled oracle runs)."""
+    import random
+
+    from raptor_spark.operators.graph import hits
+
+    rng = random.Random(7)
+    pairs = sorted({(a, b) for a, b in (
+        (rng.randrange(20), rng.randrange(20)) for _ in range(50)
+    ) if a != b})
+    nodes = sorted({v for e in pairs for v in e})
+    hub = {v: 1.0 for v in nodes}
+    auth = {}
+    for _ in range(4):
+        auth = {v: 0.0 for v in nodes}
+        for a, b in pairs:
+            auth[b] += hub[a]
+        tot = sum(auth.values())
+        auth = {v: s / tot for v, s in auth.items() if s != 0.0}
+        hub = {v: 0.0 for v in nodes}
+        for a, b in pairs:
+            hub[a] += auth.get(b, 0.0)
+        tot = sum(hub.values())
+        hub = {v: s / tot for v, s in hub.items() if s != 0.0}
+    got = {r.id: (r.hub, r.auth) for r in hits(_edges(spark, pairs), n_iter=4).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v][0] - hub.get(v, 0.0)) < 1e-9, v
+        assert abs(got[v][1] - auth.get(v, 0.0)) < 1e-9, v

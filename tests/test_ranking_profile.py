@@ -415,3 +415,37 @@ def test_allocate_budget_sums_exactly_and_is_proportional(spark):
     # naive rounding would give 4+4+3 = 11; apportionment never drifts
     got2 = {r.g: r.quota for r in allocate_budget(df, ["g"], budget=97).collect()}
     assert sum(got2.values()) == 97
+
+
+def test_char_pair_counts_exact(spark):
+    """["ab ab cd", "abc"] → wf {ab:2, cd:1, abc:1}; pairs ab:2+1, bc:1,
+    cd:1 (the abc word contributes ab and bc once each at word-count 1)."""
+    from raptor_spark.operators.text import char_pair_counts
+
+    df = spark.createDataFrame(
+        [(0, "ab ab cd"), (1, "abc")], "doc_id long, text string"
+    )
+    got = {r.pair: r.n_occ for r in char_pair_counts(df, "text").collect()}
+    assert got == {"ab": 3, "bc": 1, "cd": 1}
+
+
+def test_char_pair_counts_repeated_pair_within_word(spark):
+    """'aaa' yields the 'aa' pair twice per occurrence of the word."""
+    from raptor_spark.operators.text import char_pair_counts
+
+    df = spark.createDataFrame([(0, "aaa aaa")], "doc_id long, text string")
+    got = {r.pair: r.n_occ for r in char_pair_counts(df, "text").collect()}
+    assert got == {"aa": 4}
+
+
+def test_rrf_fuse_exact_scores(spark):
+    """Two lists: doc 10 is rank 1 in both (1/61 + 1/61); doc 20 only in
+    list A at rank 2 (1/62); doc 30 only in list B at rank 2."""
+    from raptor_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2)], "id long, rank int")
+    b = spark.createDataFrame([(10, 1), (30, 2)], "id long, rank int")
+    got = {r.id: (r.rrf, r.n_lists) for r in rrf_fuse([a, b], k=60).collect()}
+    assert got[10] == (1.0 / 61 + 1.0 / 61, 2)
+    assert got[20] == (1.0 / 62, 1)
+    assert got[30] == (1.0 / 62, 1)
