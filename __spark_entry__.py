@@ -1230,28 +1230,27 @@ def q_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the top-100 discipline); a huge finite k would preallocate the
     # TakeOrdered priority queue at that capacity and OOM
     bm = bm25_topk(docs, "doc_id", "text", ["join", "vector", "stream", "window"], k=None)
-    bm_ranked = (
-        bm.select("id", F.round("score", 4).alias("s"))
-        .withColumn(
+
+    def _top100(scored: DataFrame, score: str) -> DataFrame:
+        # orderBy+limit compiles to TakeOrderedAndProject — a distributed
+        # per-partition partial top-k, NOT a single-task global window over
+        # the full scored set (which at corpus scale would sort billions of
+        # rows on one task); the 100 survivors then rank in one tiny task.
+        # The cutoff order (rounded score desc, id asc) is total, so the
+        # result is identical to the full-window form.
+        top = scored.orderBy(F.desc(score), F.asc("id")).limit(100)
+        return top.withColumn(
             "rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("s"), F.asc("id"))
-            ),
-        )
-        .filter(F.col("rank") <= 100)
-        .select("id", "rank")
-    )
-    q_ranked = (
+            F.row_number().over(Window.orderBy(F.desc(score), F.asc("id"))),
+        ).select("id", "rank")
+
+    bm_ranked = _top100(bm.select("id", F.round("score", 4).alias("s")), "s")
+    q_ranked = _top100(
         docs.select(
             F.col("doc_id").alias("id"),
             quality_score_col(F.col("text")).alias("q"),
-        )
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("q"), F.asc("id"))),
-        )
-        .filter(F.col("rank") <= 100)
-        .select("id", "rank")
+        ),
+        "q",
     )
     out = rrf_fuse([bm_ranked, q_ranked], k=60)
     return (

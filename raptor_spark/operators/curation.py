@@ -270,10 +270,15 @@ def boilerplate_shingles(
 
     Scale shape: docs explode to DISTINCT shingles per doc (so count(*) IS
     document frequency), one shuffle on (group, shingle); the per-source
-    doc counts are a group-cardinality broadcast; the top-k is a window
-    over the (group, shingle) aggregate — already tiny relative to the
-    corpus. Integer-count ordering with shingle tiebreak keeps the cutoff
-    deterministic across engines."""
+    doc counts are a group-cardinality broadcast. The top-k is TWO-PHASE:
+    a group-only window would put a source's ENTIRE shingle vocabulary
+    (billions of rows at corpus scale) on one task, so a partial top-k per
+    (group, salt=xxhash64(shingle)%64) prunes first — content-derived
+    salt, 64-way spread — and the final per-group window ranks ≤ 64·top
+    survivors. Output is identical to the single-window form (the order
+    (df desc, shingle asc) is total, so each salt cell's top-k is a
+    superset filter of the global top-k). Integer-count ordering with
+    shingle tiebreak keeps the cutoff deterministic across engines."""
     from pyspark.sql.window import Window
 
     from raptor_spark.operators.dedup import word_shingles_col
@@ -286,9 +291,17 @@ def boilerplate_shingles(
     nd = df.groupBy(F.col(group_col).alias("group")).agg(
         F.count("*").alias("n_docs")
     )
-    w = Window.partitionBy("group").orderBy(F.desc("df"), F.asc("shingle"))
+    order = (F.desc("df"), F.asc("shingle"))
+    pre = Window.partitionBy("group", "__salt").orderBy(*order)
+    pruned = (
+        dfreq.withColumn("__salt", F.pmod(F.xxhash64("shingle"), F.lit(64)))
+        .withColumn("__prn", F.row_number().over(pre))
+        .filter(F.col("__prn") <= top)
+        .drop("__salt", "__prn")
+    )
+    w = Window.partitionBy("group").orderBy(*order)
     return (
-        dfreq.withColumn("rn", F.row_number().over(w))
+        pruned.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= top)
         .drop("rn")
         .join(F.broadcast(nd), "group")

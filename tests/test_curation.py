@@ -587,3 +587,47 @@ def test_boilerplate_shingles_planted(spark):
     # every other s1 shingle is per-doc unique → df 1
     assert all(v[0] == 1 for k, v in got.items() if k != ("s1", "foo bar baz"))
     assert all(v[1] == 2 for k, v in got.items() if k[0] == "s2")
+
+
+def test_boilerplate_shingles_prune_parity(spark):
+    """The salted two-phase top-k must equal a naive single-window ranking
+    on a corpus wide enough that the salt cells actually split the work."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from raptor_spark.operators.curation import boilerplate_shingles
+    from raptor_spark.operators.dedup import word_shingles_col
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(12)), f"s{i % 3}")
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r.group, r.shingle): (r.df, r.n_docs, r.ratio)
+        for r in boilerplate_shingles(df, "doc_id", "text", "source", top=7).collect()
+    }
+    # naive reference: single window over the full per-source shingle table
+    sh = df.select(
+        F.col("source").alias("group"),
+        F.explode(word_shingles_col(F.col("text"), 3)).alias("shingle"),
+    )
+    dfreq = sh.groupBy("group", "shingle").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("group").orderBy(F.desc("df"), F.asc("shingle"))
+    nd = df.groupBy(F.col("source").alias("group")).agg(F.count("*").alias("n_docs"))
+    naive = {
+        (r.group, r.shingle): (r.df, r.n_docs, r.ratio)
+        for r in dfreq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 7)
+        .join(nd, "group")
+        .select(
+            "group", "shingle", "df", "n_docs",
+            F.round(F.col("df") * 1.0 / F.col("n_docs"), 6).alias("ratio"),
+        )
+        .collect()
+    }
+    assert got == naive

@@ -299,3 +299,17 @@ def test_session_additions_plans_stay_clean(spark):
     p = plan_str(QUERIES["user_ewma"](spark, SF_DIR))
     n = len(re.findall(r"\(\d+\) Exchange", p))
     assert n <= 2, (n, p[:800])
+
+
+def test_round3_addition_plans_stay_clean(spark):
+    """rrf_search's channel cutoffs must be TakeOrderedAndProject (a
+    distributed partial top-k), never a full-set single-partition window
+    sort; graph_hits/bpe_pair_stats/source_boilerplate stay JVM-side with
+    no cartesian."""
+    p = plan_str(QUERIES["rrf_search"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p, p[:800]
+    for name in ("rrf_search", "bpe_pair_stats", "source_boilerplate", "graph_hits"):
+        p = plan_str(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in p, name
+        assert "PythonUDF" not in p, name
+        assert "CartesianProduct" not in p, name
