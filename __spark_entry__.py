@@ -1283,6 +1283,21 @@ def q_source_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", F.desc("df"), "shingle")
 
 
+def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-7 training-order manifest over 8 content-stable
+    shards (operators/curation.epoch_order): per shard, the sha256 of the
+    full id sequence ordered by the epoch key md5(id || ':7') plus the
+    first three ids — the reproducible-shuffle contract a resumable
+    training job replays (shard membership fixed across epochs, visit
+    order reshuffled per epoch, no rand() anywhere)."""
+    from raptor_spark.operators.curation import epoch_order
+
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_order(docs, "doc_id", "text", epoch=7, n_shards=8).orderBy(
+        "shard"
+    )
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of per-user event sequences
     (operators/profile.transition_counts — lead over (ts, event_id), one
@@ -2393,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_stats": q_bpe_pair_stats,
         "rrf_search": q_rrf_search,
         "source_boilerplate": q_source_boilerplate,
+        "epoch_order": q_epoch_order,
         "event_transitions": q_event_transitions,
         "value_histogram": q_value_histogram,
         "order_diff": q_order_diff,
@@ -3559,6 +3575,24 @@ def oracle_sql() -> dict[str, str]:
             FROM u GROUP BY doc_id
             ORDER BY rrf DESC, doc_id ASC
             LIMIT 20
+        """,
+        "epoch_order": f"""
+            WITH b AS (
+              SELECT doc_id, md5(text) AS h,
+                     md5(CAST(doc_id AS VARCHAR) || ':7') AS k
+              FROM documents
+            ), s AS (
+              SELECT doc_id, k,
+                     (({hb('h', 1)}) * 256 + ({hb('h', 2)})) % 8 AS shard
+              FROM b
+            )
+            SELECT shard, count(*) AS n_docs,
+                   sha256(string_agg(CAST(doc_id AS VARCHAR), ','
+                                     ORDER BY k, doc_id)) AS order_sha256,
+                   array_to_string(
+                     (list(CAST(doc_id AS VARCHAR) ORDER BY k, doc_id))[1:3],
+                     ',') AS head_ids
+            FROM s GROUP BY shard ORDER BY shard
         """,
         "source_boilerplate": r"""
             WITH t AS (

@@ -168,6 +168,46 @@ def shard_corpus(
     )
 
 
+def epoch_order(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    epoch: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """(shard, n_docs, order_sha256, head_ids): deterministic per-EPOCH
+    training-order manifest — every epoch is a different, reproducible
+    pseudo-random permutation (key = md5(id || ':' || epoch)), while shard
+    assignment stays content-stable across epochs (a worker always owns the
+    same documents; only their visit order reshuffles). No ``rand()``: the
+    same (corpus, epoch) pair yields the same order on any engine, the
+    property a resumable training job needs to skip to mid-epoch.
+
+    Scale shape: ONE shuffle keyed by shard; at 100 TB the order is applied
+    as ``repartition(shard).sortWithinPartitions(key)`` on the write path —
+    the ordered digest here is the *verifiable contract* that writer must
+    reproduce (same argument as shard_corpus's payload sha256)."""
+    key = F.md5(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(epoch)))
+    )
+    rows = df.select(
+        (md5_bucket_col(F.col(text_col)) % n_shards).alias("shard"),
+        F.col(id_col).cast("long").alias("id"),
+        key.alias("k"),
+    )
+    packed = rows.groupBy("shard").agg(
+        F.array_sort(F.collect_list(F.struct("k", "id"))).alias("xs"),
+        F.count("*").alias("n_docs"),
+    )
+    ordered = F.transform("xs", lambda s: s["id"].cast("string"))
+    return packed.select(
+        "shard",
+        "n_docs",
+        F.sha2(F.array_join(ordered, ","), 256).alias("order_sha256"),
+        F.array_join(F.slice(ordered, 1, 3), ",").alias("head_ids"),
+    )
+
+
 def temperature_mix(
     df: DataFrame, key_col: str, alpha: float = 0.3, budget: int = 1000
 ) -> DataFrame:

@@ -631,3 +631,41 @@ def test_boilerplate_shingles_prune_parity(spark):
         .collect()
     }
     assert got == naive
+
+
+def test_epoch_order_python_replay_and_epoch_variation(spark):
+    """The manifest equals a pure-Python md5 replay; different epochs give
+    different within-shard orders while shard membership stays fixed."""
+    import hashlib
+
+    from raptor_spark.operators.curation import epoch_order
+
+    rows = [(i, f"doc {i} body text") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def py_manifest(epoch):
+        shards = {}
+        for i, text in rows:
+            shard = int(hashlib.md5(text.encode()).hexdigest()[:4], 16) % 4
+            key = hashlib.md5(f"{i}:{epoch}".encode()).hexdigest()
+            shards.setdefault(shard, []).append((key, i))
+        out = {}
+        for shard, xs in shards.items():
+            ids = [str(i) for _, i in sorted(xs)]
+            out[shard] = (
+                len(ids),
+                hashlib.sha256(",".join(ids).encode()).hexdigest(),
+                ",".join(ids[:3]),
+            )
+        return out
+
+    for epoch in (1, 2):
+        got = {
+            r.shard: (r.n_docs, r.order_sha256, r.head_ids)
+            for r in epoch_order(df, "doc_id", "text", epoch=epoch, n_shards=4).collect()
+        }
+        assert got == py_manifest(epoch), epoch
+    # the two epochs really are different permutations of the same shards
+    e1, e2 = py_manifest(1), py_manifest(2)
+    assert {s: v[0] for s, v in e1.items()} == {s: v[0] for s, v in e2.items()}
+    assert any(e1[s][1] != e2[s][1] for s in e1)
