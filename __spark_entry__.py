@@ -1298,6 +1298,27 @@ def q_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 heavy-hitter terms by count-min-sketch estimate (depth 4 ×
+    width 1024 xxhash64 sketch over the term stream; operators/sketch.
+    cms_build/cms_estimate). Rows-only at the driver (the sketch hashes
+    are engine-specific, like the HLL/KLL family); tests/test_sketch.py
+    bounds the estimates against exact counts (never-underestimate +
+    εN overestimate cap) and pins the top set against the exact top set."""
+    from raptor_spark.operators.sketch import cms_build, cms_estimate
+    from raptor_spark.operators.text import words_col
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(words_col(F.col("text"))).alias("term"))
+    sk = cms_build(terms, "term")
+    est = cms_estimate(sk, terms.distinct(), "term")
+    return (
+        est.select(F.col("key").alias("term"), "est")
+        .orderBy(F.desc("est"), F.asc("term"))
+        .limit(15)
+    )
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of per-user event sequences
     (operators/profile.transition_counts — lead over (ts, event_id), one
@@ -2409,6 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_search": q_rrf_search,
         "source_boilerplate": q_source_boilerplate,
         "epoch_order": q_epoch_order,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
         "event_transitions": q_event_transitions,
         "value_histogram": q_value_histogram,
         "order_diff": q_order_diff,

@@ -83,3 +83,60 @@ def approx_quantiles(
             for i, p in enumerate(probs)
         ],
     )
+
+
+def _cms_probe_col(key, depth: int, width: int):
+    """array<struct<row,bucket>>: the depth (row, bucket) coordinates of a
+    key — bucket_r = xxhash64(key, seed=r) % width, pure column exprs."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                F.pmod(F.xxhash64(key, F.lit(r)), F.lit(width)).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """(row, bucket, cnt): count-min sketch of a key stream — ``depth``
+    independent hash rows (xxhash64 seeded by row index) × ``width``
+    buckets. ONE scan + one map-side-combinable shuffle bounded by
+    depth×width rows, whatever the key cardinality — the heavy-hitter
+    summary a 10^12-row stream can afford where exact per-key counts
+    cannot. Partial sketches MERGE by bucket-wise addition (same property
+    the groupBy already exploits), so per-day sketches roll up to a month
+    without re-touching raw rows."""
+    return (
+        df.select(F.explode(_cms_probe_col(F.col(key_col), depth, width)).alias("p"))
+        .groupBy(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys_df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """(key, est): count-min point estimates for candidate keys — min over
+    the key's depth buckets; never underestimates, overestimates by at
+    most εN (ε ≈ e/width) with prob. 1−(1/2)^depth. The sketch is
+    depth×width rows (broadcast-sized at any corpus scale); probes join it
+    on (row, bucket) — the candidate set stays key-cardinality-sized and
+    the raw stream is never re-read."""
+    probes = keys_df.select(
+        F.col(key_col).alias("key"),
+        F.explode(_cms_probe_col(F.col(key_col), depth, width)).alias("p"),
+    ).select("key", F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy("key")
+        .agg(F.min("cnt").alias("est"))
+    )

@@ -78,3 +78,53 @@ def test_approx_quantiles_rank_error(spark):
             hi = sum(1 for x in xs if x <= q)
             # requested rank must fall within the value's rank span ±1%
             assert lo / n - 0.01 <= p <= hi / n + 0.01, (et, p, q, lo / n, hi / n)
+
+
+def test_cms_never_underestimates_and_bounds_overestimate(spark):
+    """Count-min guarantees: est ≥ exact for every key; overestimate ≤ εN
+    with ε = e/width (deterministic on fixed data — the fixture vocabulary
+    is far below the bucket count, so collisions are rare and bounded)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from raptor_spark.operators.sketch import cms_build, cms_estimate
+    from raptor_spark.operators.text import words_col
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    terms = docs.select(F.explode(words_col(F.col("text"))).alias("term"))
+    exact = {r.term: r.n for r in terms.groupBy("term").agg(F.count("*").alias("n")).collect()}
+    n_total = sum(exact.values())
+    sk = cms_build(terms, "term", depth=4, width=1024)
+    est = {
+        r.key: r.est
+        for r in cms_estimate(sk, terms.distinct(), "term", depth=4, width=1024).collect()
+    }
+    assert set(est) == set(exact)
+    eps_n = math.e / 1024 * n_total
+    for t, n in exact.items():
+        assert est[t] >= n, t
+        assert est[t] - n <= eps_n, (t, est[t], n)
+    # the estimated top-10 is the exact top-10 on this fixture
+    top_est = sorted(est, key=lambda t: (-est[t], t))[:10]
+    top_exact = sorted(exact, key=lambda t: (-exact[t], t))[:10]
+    assert top_est == top_exact
+
+
+def test_cms_partial_sketches_merge_by_addition(spark):
+    """sketch(A ∪ B) == bucket-wise sum of sketch(A) and sketch(B) — the
+    mergeability that lets per-day sketches roll up without raw rows."""
+    import pyspark.sql.functions as F
+
+    from raptor_spark.operators.sketch import cms_build
+
+    df = spark.createDataFrame(
+        [(i, f"k{i % 7}") for i in range(200)], "i long, key string"
+    )
+    a, b = df.filter(F.col("i") < 90), df.filter(F.col("i") >= 90)
+    whole = {(r.row, r.bucket): r.cnt for r in cms_build(df, "key").collect()}
+    pa = {(r.row, r.bucket): r.cnt for r in cms_build(a, "key").collect()}
+    pb = {(r.row, r.bucket): r.cnt for r in cms_build(b, "key").collect()}
+    merged = {k: pa.get(k, 0) + pb.get(k, 0) for k in set(pa) | set(pb)}
+    assert merged == whole
