@@ -102,6 +102,46 @@ def stream_merge_to_catalog(
     q.awaitTermination()
 
 
+def streaming_cms(
+    keys_stream: DataFrame,
+    key_col: str,
+    catalog,
+    table: str,
+    checkpoint: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> None:
+    """Count-min sketch maintained as a STREAMING aggregation — the sketch
+    IS the streaming state, bounded at depth×width rows by construction
+    whatever the stream's key cardinality (the rare unbounded-input
+    aggregation that needs no watermark to stay finite). Each micro-batch
+    touches only its buckets incrementally; foreachBatch commits the full
+    depth×width-row sketch as a new catalog snapshot (complete mode —
+    tiny by construction, and snapshots give the per-batch sketch history
+    a rollup consumer reads). Batch twin: operators/sketch.cms_build —
+    exact bucket parity gated in tests/test_streaming.py."""
+    from raptor_spark.operators.sketch import _cms_probe_col
+
+    probes = keys_stream.select(
+        F.explode(_cms_probe_col(F.col(key_col), depth, width)).alias("p")
+    )
+    agg = probes.groupBy(
+        F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        catalog.write(table, batch_df, meta={"batch_id": batch_id})
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def streaming_decontaminate(
     docs_stream: DataFrame,
     bloom: DataFrame,

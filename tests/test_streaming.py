@@ -433,3 +433,37 @@ def test_transition_stream_matches_batch_lead_pairs(spark, tmp_path_factory):
     # restart on the same checkpoint: no new input -> no new pairs
     _run()
     assert spark.read.parquet(out).count() == len(gset)
+
+
+def test_streaming_cms_matches_batch_sketch(spark, tmp_path_factory):
+    """The streaming count-min sketch (bounded-state streaming aggregation,
+    complete mode) must equal the batch cms_build bucket-for-bucket after
+    draining, and its state never exceeds depth×width rows."""
+    from raptor_spark.catalog import Catalog
+    from raptor_spark.operators.sketch import cms_build
+    from raptor_spark.operators.text import words_col
+    from raptor_spark.streaming import streaming_cms
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(300)
+    terms = docs.select(F.explode(words_col(F.col("text"))).alias("term"))
+    in_dir = str(tmp_path_factory.mktemp("cms_in") / "terms")
+    # several files → several micro-batch inputs under availableNow
+    terms.repartition(4).write.mode("overwrite").parquet(in_dir)
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("cms_cat")))
+
+    stream = (
+        spark.readStream.schema(terms.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in_dir)
+    )
+    streaming_cms(
+        stream, "term", cat, "sk",
+        str(tmp_path_factory.mktemp("cms_ck") / "a"), depth=4, width=256,
+    )
+    got = {(r.row, r.bucket): r.cnt for r in cat.read("sk").collect()}
+    want = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_build(terms, "term", depth=4, width=256).collect()
+    }
+    assert got == want
+    assert len(got) <= 4 * 256
