@@ -52,6 +52,34 @@ SEG_LEN = 600.0  # seconds: event → interval [ts, ts+10min]
 # of truth — the unweighted and weighted edge CTEs below both derive from
 # it, so the edge definition cannot drift between the SSSP oracle and the
 # BFS/PageRank/LPA/k-core oracles.
+# Shared BM25 scoring CTE chain (documents → per-doc per-term contribs for
+# the fixed query bag). One source of truth for the bm25_search AND
+# rrf_search oracles — same discipline as _GRAPH_PAIR_CTE below: the
+# formula/query-terms cannot drift between the ranked-search oracle and
+# the fusion oracle that re-ranks it.
+_BM25_SCORED_CTE = r"""w AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x != '') AS ws
+              FROM documents
+            ), stats AS (
+              SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM w
+            ), t AS (
+              SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w
+            ), tfg AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM t WHERE term IN ('join', 'vector', 'stream', 'window')
+              GROUP BY doc_id, dl, term
+            ), dfreq AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM tfg GROUP BY term
+            ), scored AS (
+              SELECT tfg.doc_id,
+                     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * (tf * 2.2)
+                       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS contrib
+              FROM tfg JOIN dfreq USING (term) CROSS JOIN stats
+            )"""
+
 _GRAPH_PAIR_CTE = r"""w AS (
               SELECT doc_id,
                      list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
@@ -3146,29 +3174,8 @@ def oracle_sql() -> dict[str, str]:
                    ) AS redacted_md5
             FROM p ORDER BY doc_id
         """,
-        "bm25_search": r"""
-            WITH w AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                                 x -> x != '') AS ws
-              FROM documents
-            ), stats AS (
-              SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM w
-            ), t AS (
-              SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w
-            ), tfg AS (
-              SELECT doc_id, dl, term, count(*) AS tf
-              FROM t WHERE term IN ('join', 'vector', 'stream', 'window')
-              GROUP BY doc_id, dl, term
-            ), dfreq AS (
-              SELECT term, count(DISTINCT doc_id) AS df FROM tfg GROUP BY term
-            ), scored AS (
-              SELECT tfg.doc_id,
-                     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                       * (tf * 2.2)
-                       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS contrib
-              FROM tfg JOIN dfreq USING (term) CROSS JOIN stats
-            )
+        "bm25_search": f"""
+            WITH {_BM25_SCORED_CTE}
             SELECT doc_id, round(sum(contrib), 4) AS score,
                    count(*) AS n_matched
             FROM scored GROUP BY doc_id
@@ -3538,29 +3545,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_occ DESC, pair ASC
             LIMIT 40
         """,
-        "rrf_search": r"""
-            WITH w AS (
-              SELECT doc_id, text,
-                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
-                                 x -> x != '') AS ws
-              FROM documents
-            ), stats AS (
-              SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM w
-            ), t AS (
-              SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM w
-            ), tfg AS (
-              SELECT doc_id, dl, term, count(*) AS tf
-              FROM t WHERE term IN ('join', 'vector', 'stream', 'window')
-              GROUP BY doc_id, dl, term
-            ), dfreq AS (
-              SELECT term, count(DISTINCT doc_id) AS df FROM tfg GROUP BY term
-            ), scored AS (
-              SELECT tfg.doc_id,
-                     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                       * (tf * 2.2)
-                       / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS contrib
-              FROM tfg JOIN dfreq USING (term) CROSS JOIN stats
-            ), bm AS (
+        "rrf_search": rf"""
+            WITH {_BM25_SCORED_CTE}, bm AS (
               SELECT doc_id, round(sum(contrib), 4) AS s
               FROM scored GROUP BY doc_id
             ), bmr AS (

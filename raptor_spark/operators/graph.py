@@ -232,6 +232,8 @@ def hits(edges: DataFrame, n_iter: int = 4) -> DataFrame:
     (resp. out-edges) have auth = 0 (resp. hub = 0) by coalesce at the
     end — the fixed-K unrolled oracle replays the identical arithmetic.
     """
+    if n_iter < 1:
+        raise ValueError("hits needs n_iter >= 1 (auth/hub undefined at 0)")
     e = (
         edges.filter(F.col("a") != F.col("b"))
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))

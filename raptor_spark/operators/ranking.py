@@ -124,6 +124,8 @@ def rrf_fuse(
     tie discipline so the fusion replays across engines). The fusion
     itself is one union + one groupBy on id: the lists are top-K cutoffs
     (tiny vs the corpus), so this never touches corpus scale."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranked list")
     scored = None
     for r in rankings:
         part = r.select(

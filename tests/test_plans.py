@@ -306,10 +306,10 @@ def test_round3_addition_plans_stay_clean(spark):
     distributed partial top-k), never a full-set single-partition window
     sort; graph_hits/bpe_pair_stats/source_boilerplate stay JVM-side with
     no cartesian."""
-    p = plan_str(QUERIES["rrf_search"](spark, SF_DIR))
-    assert "TakeOrderedAndProject" in p, p[:800]
     for name in ("rrf_search", "bpe_pair_stats", "source_boilerplate", "graph_hits"):
         p = plan_str(QUERIES[name](spark, SF_DIR))
+        if name == "rrf_search":
+            assert "TakeOrderedAndProject" in p, p[:800]
         assert "BatchEvalPython" not in p, name
         assert "PythonUDF" not in p, name
         assert "CartesianProduct" not in p, name
