@@ -128,3 +128,32 @@ def test_cms_partial_sketches_merge_by_addition(spark):
     pb = {(r.row, r.bucket): r.cnt for r in cms_build(b, "key").collect()}
     merged = {k: pa.get(k, 0) + pb.get(k, 0) for k in set(pa) | set(pb)}
     assert merged == whole
+
+
+def test_cms_bounds_under_forced_collisions(spark):
+    """width 64 ≪ key cardinality forces real collisions: the hard
+    never-underestimate guarantee must hold for EVERY key, and the εN
+    overestimate cap (ε = e/width) for the usual 1−(1/e)^depth fraction —
+    deterministic per seed since the hashes are content-derived."""
+    import math
+    import random
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+
+    from raptor_spark.operators.sketch import cms_build, cms_estimate
+
+    rng = random.Random(3)
+    keys = [f"k{min(int(rng.paretovariate(1.2)), 400)}" for _ in range(4000)]
+    exact = Counter(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    sk = cms_build(df, "key", depth=4, width=64)
+    est = {
+        r.key: r.est
+        for r in cms_estimate(sk, df.distinct(), "key", depth=4, width=64).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)  # hard guarantee, every key
+    eps_n = math.e / 64 * len(keys)
+    within = sum(1 for k in exact if est[k] - exact[k] <= eps_n)
+    assert within / len(exact) >= 0.95, within / len(exact)
