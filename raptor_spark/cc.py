@@ -43,18 +43,21 @@ from pyspark.sql import functions as F
 
 MAX_ITERATIONS = 25
 JUMP_AFTER = 4  # plain min-propagation rounds before pointer jumping kicks in
-DRIVER_CC_MAX_EDGES = 1_000_000  # ≤ this many distinct directed edges →
+DRIVER_CC_MAX_EDGES = 2_000_000  # ≤ this many distinct directed edges →
 # driver union-find instead of the distributed loop. The alias graph's name
 # dimension is orders of magnitude smaller than the corpus, so small-to-mid
 # corpora produce edge sets where every distributed round (2 jobs each,
 # ~8-14 rounds) is pure fixed overhead — the same size-gated reasoning as
 # broadcast-join selection, using the sizing count the loop already pays
-# for. Measured at the 1M-file corpus's 541k directed edges: driver path
-# 9.2 s vs distributed loop 35.4 s, identical output — the crossover
-# extrapolates to ~2M rows (driver time is linear in edges, the loop's
-# round overhead near-flat), so 1M is a conservative gate; 1M rows of
-# name-pair strings collect in ~60 MB. Parity between the two paths is
-# pinned in tests/test_graph_ops.py.
+# for. Measured twice on REAL alias graphs, interleaved A/B in one
+# session each time: 541k directed edges (1M-file corpus) driver 9.2 s vs
+# loop 35.4 s; 1.11M directed edges (2M-file corpus) driver 15.8 s vs
+# loop 34.9-37.9 s — identical output both times. Driver time is linear
+# in edges (~6 s per 500k), the loop's round overhead near-flat (~35 s),
+# so the crossover extrapolates to ~2.8M directed rows; 2M is the
+# conservative gate below it, and 2M rows of name-pair strings collect in
+# ~120 MB (fine for any standard driver heap). Parity between the two
+# paths is pinned in tests/test_graph_ops.py.
 
 
 def _driver_union_find(sym: DataFrame) -> DataFrame:
