@@ -1347,6 +1347,83 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing efficiency report per language: documents greedily
+    packed into 2048-token training batches (relational.budget_groups —
+    the cumsum-window form of greedy packing), then per-lang batch count
+    and mean fill ratio — the padding-waste metric a training pipeline
+    watches (tokens bought vs tokens used). Token estimator shared with
+    doc_quality's oracle-replicated formula."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", token_count_col(F.col("text")).alias("tokens")
+    )
+    g = budget_groups(
+        toks, ["lang"], [F.asc("doc_id")], F.col("tokens"), budget=2048.0
+    )
+    return (
+        g.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("group_id").alias("n_batches"),
+            F.sum("tokens").alias("total_tokens"),
+            F.round(
+                F.sum("tokens") / (F.count_distinct("group_id") * 2048.0), 6
+            ).alias("mean_fill"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The leakage guard as DATA: count near-dup pairs straddling splits
+    under (a) a naive per-doc hash split and (b) the cluster-keyed
+    leakage-safe split — cluster_safe must be 0 BY CONSTRUCTION (every
+    duplicate-group member shares the cluster's split), while naive_by_doc
+    shows the contamination naive splits admit (Lee et al. 2022 §6.2).
+    Same pair set / split arithmetic as leakage_safe_split's oracle."""
+    from raptor_spark.operators.curation import (
+        leakage_safe_split,
+        split_assignment_col,
+    )
+    from raptor_spark.operators.dedup import near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    # localCheckpoint: the pair set feeds clusters AND both straddle joins
+    pairs = (
+        ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
+        .select("a", "b")
+        .localCheckpoint()
+    )
+    base = docs.select(F.col("doc_id").alias("id"))
+    safe = leakage_safe_split(base, near_dup_clusters(pairs)).select(
+        "id", F.col("split").alias("s")
+    )
+    naive = base.select(
+        "id", split_assignment_col(F.col("id").cast("string")).alias("s")
+    )
+
+    def straddle(assign: DataFrame, scheme: str) -> DataFrame:
+        a = assign.select(F.col("id").alias("a"), F.col("s").alias("sa"))
+        b = assign.select(F.col("id").alias("b"), F.col("s").alias("sb"))
+        return (
+            pairs.join(a, "a")
+            .join(b, "b")
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.sum(
+                    F.when(F.col("sa") != F.col("sb"), 1).otherwise(0)
+                ).cast("long").alias("n_straddle"),
+            )
+            .select(F.lit(scheme).alias("scheme"), "n_pairs", "n_straddle")
+        )
+    return (
+        straddle(naive, "naive_by_doc")
+        .unionByName(straddle(safe, "cluster_safe"))
+        .orderBy("scheme")
+    )
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of per-user event sequences
     (operators/profile.transition_counts — lead over (ts, event_id), one
@@ -2459,6 +2536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_boilerplate": q_source_boilerplate,
         "epoch_order": q_epoch_order,
         "heavy_hitters_cms": q_heavy_hitters_cms,
+        "packing_efficiency": q_packing_efficiency,
+        "split_leakage_audit": q_split_leakage_audit,
         "event_transitions": q_event_transitions,
         "value_histogram": q_value_histogram,
         "order_diff": q_order_diff,
@@ -3601,6 +3680,82 @@ def oracle_sql() -> dict[str, str]:
                      (list(CAST(doc_id AS VARCHAR) ORDER BY k, doc_id))[1:3],
                      ',') AS head_ids
             FROM s GROUP BY shard ORDER BY shard
+        """,
+        "packing_efficiency": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(ceil(
+                       length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) * 1.5
+                       + len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                         x -> x != '')) * 1.3) AS BIGINT) AS tokens
+              FROM documents
+            ), g AS (
+              SELECT lang, tokens,
+                     CAST(floor((sum(tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) - tokens) / 2048.0) AS INT) AS gid
+              FROM t
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(count(DISTINCT gid) AS BIGINT) AS n_batches,
+                   CAST(sum(tokens) AS BIGINT) AS total_tokens,
+                   round(sum(tokens) / (count(DISTINCT gid) * 2048.0::DOUBLE), 6)
+                     AS mean_fill
+            FROM g GROUP BY lang ORDER BY lang
+        """,
+        "split_leakage_audit": f"""
+            WITH RECURSIVE w AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS ws
+              FROM documents WHERE doc_id < 150
+            ), p AS MATERIALIZED (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM w a JOIN w b ON a.doc_id < b.doc_id
+              WHERE len(list_filter(a.ws, x -> list_contains(b.ws, x))) * 1.0 /
+                    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+            ), e AS (
+              SELECT a AS s, b AS d FROM p UNION SELECT b AS s, a AS d FROM p
+            ), r AS (
+              SELECT s, d FROM e
+              UNION
+              SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
+            ), cl AS (
+              SELECT s AS id, least(s, min(d)) AS cluster FROM r GROUP BY s
+            ), lab AS (
+              SELECT d.doc_id AS doc_id,
+                     coalesce(cl.cluster, d.doc_id) AS cluster
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
+              LEFT JOIN cl ON d.doc_id = cl.id
+            ), safe AS (
+              SELECT doc_id,
+                     CASE WHEN rr < 8 THEN 'train'
+                          WHEN rr < 9 THEN 'val' ELSE 'test' END AS s
+              FROM (SELECT doc_id,
+                           (({hb('h', 1)}) * 256 + ({hb('h', 2)})) % 65536 % 10 AS rr
+                    FROM (SELECT doc_id, md5(CAST(cluster AS VARCHAR)) AS h
+                          FROM lab))
+            ), naive AS (
+              SELECT doc_id,
+                     CASE WHEN rr < 8 THEN 'train'
+                          WHEN rr < 9 THEN 'val' ELSE 'test' END AS s
+              FROM (SELECT doc_id,
+                           (({hb('h', 1)}) * 256 + ({hb('h', 2)})) % 65536 % 10 AS rr
+                    FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+                          FROM documents WHERE doc_id < 150))
+            ), res AS (
+              SELECT 'cluster_safe' AS scheme, count(*) AS n_pairs,
+                     CAST(sum(CASE WHEN sa.s != sb.s THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_straddle
+              FROM p JOIN safe sa ON p.a = sa.doc_id
+                     JOIN safe sb ON p.b = sb.doc_id
+              UNION ALL
+              SELECT 'naive_by_doc', count(*),
+                     CAST(sum(CASE WHEN na.s != nb.s THEN 1 ELSE 0 END) AS BIGINT)
+              FROM p JOIN naive na ON p.a = na.doc_id
+                     JOIN naive nb ON p.b = nb.doc_id
+            )
+            SELECT scheme, n_pairs, n_straddle FROM res ORDER BY scheme
         """,
         "source_boilerplate": r"""
             WITH t AS (
