@@ -2424,6 +2424,231 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog on the trimmed star schema: unshipped-order revenue
+    for one market segment (orders placed before / lineitems shipped after a
+    cutoff), top 10 by revenue. The segment filter reaches the customer scan
+    and the date filters reach the orders/lineitem scans BEFORE either join
+    (predicate pushdown), so the join input is a fraction of each table."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    cutoff = F.lit("1998-07-01").cast("timestamp")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: bilateral shipping volume between two nations by
+    ship year (supplier nation × customer nation). The two nation dims are
+    broadcast; the nation filter lands on BOTH join inputs before the big
+    lineitem-orders shuffle, so only the two nations' rows move."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    # 4-nation trade bloc (2 nations is vacuous at sf0.001 — the supplier
+    # dim is too small there to cover every nation)
+    pair = ("NATION_0", "NATION_1", "NATION_2", "NATION_3")
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("supp_nation").isin(*pair))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("cust_nation").isin(*pair))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: top-20 customers by revenue lost to returns in one
+    quarter. Date filter pushed to the orders scan, returnflag filter to the
+    lineitem scan; nation broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name", "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: per ship-year share of revenue from PROMO-type
+    parts. part is broadcast (it is the small dim); the share is a
+    conditional-sum ratio, one pass over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+        )
+        .orderBy("l_year")
+    )
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: customers whose single orders exceed a quantity
+    threshold. The lineitem aggregate + HAVING runs FIRST (map-side
+    combinable, ~1% survivor rate), so the order/customer joins see only
+    the survivors — never the full fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250.0)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q_brand_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog: revenue under a disjunction of brand/size/quantity
+    clauses — the classic OR-of-ANDs predicate that must evaluate INSIDE the
+    broadcast-join stage (no shuffle: part broadcast, single pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    )
+    clause1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    clause2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(clause1 | clause2)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (curation.dsir_importance): hashed
+    unigram+bigram features, target = the src0-src3 slice, per-document
+    mean log-ratio of target vs raw feature distributions. The statistical
+    stand-in for the reference's model-scored relevance routing
+    (api_document_search_with_cache.py:157-237)."""
+    from raptor_spark.operators.curation import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dsir_importance(
+        docs,
+        "doc_id",
+        "text",
+        target_pred=F.col("source").isin("src0", "src1", "src2", "src3"),
+        n_buckets=1024,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_features", "dsir_logratio"
+    ).orderBy("doc_id")
+
+
+def q_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy + type-token ratio
+    (text.word_entropy) — the Gopher-style template/boilerplate signal."""
+    from raptor_spark.operators.text import word_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        word_entropy(docs, "doc_id", "text")
+        .select(F.col("id").alias("doc_id"), "n_words", "n_distinct", "entropy", "ttr")
+        .orderBy("doc_id")
+    )
+
+
 # --- read-path result cache (opt-in) ---------------------------------------
 # With RAPTOR_QUERY_CACHE_DIR set, the expensive JVM-only queries listed in
 # CACHED_QUERIES serve repeat invocations from the materialized result cache
@@ -2591,6 +2816,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_chunks": q_sliding_chunks,
         "leakage_safe_split": q_leakage_safe_split,
         "cohort_retention": q_cohort_retention,
+        "shipping_priority": q_shipping_priority,
+        "nation_trade_volume": q_nation_trade_volume,
+        "returned_items": q_returned_items,
+        "promo_revenue_share": q_promo_revenue_share,
+        "large_volume_customers": q_large_volume_customers,
+        "brand_filtered_revenue": q_brand_filtered_revenue,
+        "dsir_importance": q_dsir_importance,
+        "word_entropy": q_word_entropy,
     }
 
 
@@ -4884,6 +5117,143 @@ def oracle_sql() -> dict[str, str]:
                    round(r.n_active * 1.0 / s.cohort_n, 4) AS retention
             FROM ret r JOIN sizes s USING (cohort_day)
             ORDER BY cohort_day, day_offset
+        """,
+        "shipping_priority": """
+            SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-07-01'
+              AND l_shipdate > TIMESTAMP '1998-07-01'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "nation_trade_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
+              AND n2.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
+              AND n1.n_name != n2.n_name
+            GROUP BY 1, 2, 3
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "returned_items": """
+            SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "promo_revenue_share": """
+            SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                          THEN l_extendedprice * (1 - l_discount)
+                                          ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1 ORDER BY l_year
+        """,
+        "large_volume_customers": """
+            WITH big AS (
+              SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+              FROM lineitem GROUP BY 1
+              HAVING round(sum(l_quantity), 2) > 250.0
+            )
+            SELECT c_custkey, c_name, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   round(o_totalprice, 2) AS totalprice, total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey
+        """,
+        "brand_filtered_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 30)
+        """,
+        "dsir_importance": rf"""
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+                          THEN 1 ELSE 0 END AS is_t,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x != '') AS ws
+              FROM documents
+            ), f0 AS (
+              SELECT doc_id, is_t,
+                     unnest(list_concat(ws,
+                       CASE WHEN len(ws) >= 2
+                            THEN [ws[i] || chr(1) || ws[i+1]
+                                  for i in generate_series(1, len(ws) - 1)]
+                            ELSE []::VARCHAR[] END)) AS feat
+              FROM w
+            ), fh AS (
+              SELECT doc_id, is_t, md5(feat) AS h FROM f0
+            ), f AS (
+              SELECT doc_id, is_t,
+                     (({hb('h', 1)}) * 256 + ({hb('h', 2)})) % 1024 AS bucket
+              FROM fh
+            ), c AS (
+              SELECT bucket, sum(is_t) AS n_t, count(*) AS n_r
+              FROM f GROUP BY 1
+            ), t AS (
+              SELECT sum(n_t) AS tot_t, sum(n_r) AS tot_r FROM c
+            ), s AS (
+              SELECT doc_id,
+                     ln(CAST(n_t + 1 AS DOUBLE) / CAST(tot_t + 1024 AS DOUBLE))
+                   - ln(CAST(n_r + 1 AS DOUBLE) / CAST(tot_r + 1024 AS DOUBLE))
+                     AS lr
+              FROM f JOIN c USING (bucket) CROSS JOIN t
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_features,
+                   round(avg(lr), 4) + 0.0 AS dsir_logratio
+            FROM s GROUP BY doc_id ORDER BY doc_id
+        """,
+        "word_entropy": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x != '') AS ws
+              FROM documents
+            ), t AS (
+              SELECT doc_id, unnest(ws) AS wd FROM w
+            ), c AS (
+              SELECT doc_id, wd, count(*) AS c FROM t GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_words,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   round(ln(CAST(sum(c) AS DOUBLE))
+                         - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                           / CAST(sum(c) AS DOUBLE), 4) AS entropy,
+                   round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4)
+                     AS ttr
+            FROM c GROUP BY doc_id ORDER BY doc_id
         """,
     }
 

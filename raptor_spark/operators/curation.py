@@ -668,3 +668,82 @@ def quantile_gate(
     return df.join(F.broadcast(thr), key_col).filter(
         F.col(value_col) >= F.col("q_thr")
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    hashed n-gram features (word unigrams + bigrams → md5 buckets), two
+    add-alpha-smoothed categorical distributions — the TARGET slice
+    (rows where ``target_pred``) vs the RAW corpus — and per-document
+    log-importance ln p_target(feature)/p_raw(feature) averaged over the
+    document's features. High scores = "looks like the target domain";
+    resample/filter the raw corpus on them. This is the statistical
+    stand-in for the reference's model-scored relevance routing
+    (qdrant_search_docker/api_document_search_with_cache.py:157-237).
+
+    Scale shape: one explode+groupBy over hashed features (map-side
+    combinable, key space capped at ``n_buckets`` — NOT vocabulary-sized,
+    the whole point of feature hashing), totals folded in via a broadcast
+    1-row frame, and scoring is the feature explode joined to the
+    BROADCAST bucket table (≤ n_buckets rows) — map-only over the corpus,
+    same proven shape as ``lm_perplexity(broadcast_counts=True)`` (0.92+
+    N-vs-4N scaling). Every value is reproducible cross-engine: md5
+    bucketing, integer counts, IEEE double ln of (int+α)/(int+α) ratios.
+    """
+    from raptor_spark.functions import bind_col
+    from raptor_spark.operators.text import words_col
+
+    def _features(w: Column) -> Column:
+        bigrams = F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.concat_ws(
+                    "\x01", F.element_at(w, i + 1), F.element_at(w, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(w, bigrams)
+
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        target_pred.cast("int").alias("is_target"),
+        F.explode(bind_col(words_col(F.col(text_col)), _features)).alias("feat"),
+    ).withColumn("bucket", md5_bucket_col(F.col("feat"), n_buckets))
+    counts = feats.groupBy("bucket").agg(
+        F.sum("is_target").alias("n_t"), F.count("*").alias("n_r")
+    )
+    totals = counts.agg(
+        F.sum("n_t").alias("tot_t"), F.sum("n_r").alias("tot_r")
+    )
+    scored = (
+        feats.select("id", "bucket")
+        .join(F.broadcast(counts), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            (
+                F.log(
+                    (F.col("n_t") + F.lit(alpha))
+                    / (F.col("tot_t") + F.lit(alpha) * F.lit(n_buckets))
+                )
+                - F.log(
+                    (F.col("n_r") + F.lit(alpha))
+                    / (F.col("tot_r") + F.lit(alpha) * F.lit(n_buckets))
+                )
+            ).alias("lr"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_features"),
+        # sign-crossing after round: +0.0 normalizes -0.0 (both engines)
+        (F.round(F.avg("lr"), 4) + F.lit(0.0)).alias("dsir_logratio"),
+    )

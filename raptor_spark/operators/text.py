@@ -368,3 +368,31 @@ def compression_quality(
             )
 
     return df.select(id_col, text_col).mapInPandas(fn, out_schema)
+
+
+def word_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document unigram Shannon entropy + type-token ratio — the
+    Gopher-style repetition/diversity quality signals (Rae et al. 2021
+    §A1.1: low word entropy = template/boilerplate, high = diverse prose;
+    the reference's model-based quality scoring replaced by its classic
+    statistical core). H = ln(n) - (Σ c·ln c)/n over per-doc word counts c
+    (identical algebra on both engines — no p·ln p division per term, so
+    the only float ops are ln of INTEGER counts and one fused sum).
+
+    Scale shape: explode → ONE (id, word) hash aggregate (map-side
+    combinable; keys bounded by Σ per-doc distinct words) → ONE id
+    aggregate. No joins, no broadcast, two shuffles on content-derived
+    keys; partition-count invariant."""
+    wc = (
+        df.select(F.col(id_col).alias("id"), F.explode(words_col(F.col(text_col))).alias("w"))
+        .groupBy("id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return wc.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"), 4
+        ).alias("entropy"),
+        F.round(F.count("*") / F.sum("c"), 4).alias("ttr"),
+    )

@@ -669,3 +669,57 @@ def test_epoch_order_python_replay_and_epoch_variation(spark):
     e1, e2 = py_manifest(1), py_manifest(2)
     assert {s: v[0] for s, v in e1.items()} == {s: v[0] for s, v in e2.items()}
     assert any(e1[s][1] != e2[s][1] for s in e1)
+
+
+def test_dsir_importance_planted_domain_signal(spark):
+    """Planted-geometry gate: docs drawn from the target vocabulary must
+    out-score docs from a disjoint background vocabulary, and a held-out
+    target-vocab doc NOT in the target slice still scores high (that is the
+    whole point of importance resampling — the score is a property of the
+    content, not of the label)."""
+    from raptor_spark.operators.curation import dsir_importance
+    from pyspark.sql import functions as F
+
+    target_words = ["theorem", "lemma", "proof", "corollary", "axiom"]
+    noise_words = ["car", "engine", "wheel", "brake", "road"]
+    rows = []
+    # 20 labeled target docs, 40 background docs, 1 held-out target-like doc
+    for i in range(20):
+        rows.append((i, " ".join(target_words[(i + j) % 5] for j in range(30)), "target"))
+    for i in range(20, 60):
+        rows.append((i, " ".join(noise_words[(i + j) % 5] for j in range(30)), "web"))
+    rows.append((99, " ".join(target_words[j % 5] for j in range(30)), "web"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.id: r.dsir_logratio
+        for r in dsir_importance(
+            df, "doc_id", "text", target_pred=F.col("source") == "target"
+        ).collect()
+    }
+    assert len(out) == 61
+    target_scores = [out[i] for i in range(20)]
+    noise_scores = [out[i] for i in range(20, 60)]
+    assert min(target_scores) > max(noise_scores)
+    # label-free generalization: the held-out doc scores with the targets
+    assert out[99] > max(noise_scores)
+
+
+def test_word_entropy_closed_form(spark):
+    """Uniform doc: H = ln(k); single repeated word: H = 0, TTR = 1/n."""
+    import math
+
+    from raptor_spark.operators.text import word_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # 4 distinct, uniform -> ln(4)
+            (2, "x x x x x"),        # 1 distinct -> 0
+            (3, "a a b"),            # H = ln(3) - (2 ln 2)/3
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.id: r for r in word_entropy(df, "doc_id", "text").collect()}
+    assert got[1].entropy == round(math.log(4), 4) and got[1].ttr == 1.0
+    assert got[2].entropy == 0.0 and got[2].ttr == 0.2
+    assert got[3].entropy == round(math.log(3) - 2 * math.log(2) / 3, 4)
+    assert (got[3].n_words, got[3].n_distinct) == (3, 2)
