@@ -313,3 +313,34 @@ def test_round3_addition_plans_stay_clean(spark):
         assert "BatchEvalPython" not in p, name
         assert "PythonUDF" not in p, name
         assert "CartesianProduct" not in p, name
+
+
+def test_tpch_analog_plans(spark):
+    """The round-3 TPC-H family keeps its scale shape: filters pushed into
+    the parquet scans (dates/segment/brand prune the fact input before any
+    join), dims broadcast, no cartesian, no Python in the plan, and the
+    top-N queries use TakeOrderedAndProject (never a global Sort+Limit)."""
+    p = plan_str(QUERIES["shipping_priority"](spark, SF_DIR))
+    assert "EqualTo(c_mktsegment,BUILDING)" in p, p
+    assert "LessThan(o_orderdate" in p, p
+    assert "GreaterThan(l_shipdate" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p
+
+    p = plan_str(QUERIES["returned_items"](spark, SF_DIR))
+    assert "EqualTo(l_returnflag,R)" in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+    p = plan_str(QUERIES["brand_filtered_revenue"](spark, SF_DIR))
+    # the OR-of-ANDs disjunction still pushes an Or() filter to the scan
+    assert "Or(And(" in p, p
+
+    for name in (
+        "nation_trade_volume", "promo_revenue_share",
+        "large_volume_customers", "order_priority_check",
+        "customer_order_distribution", "dormant_high_balance",
+    ):
+        p = plan_str(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+        assert "PythonUDF" not in p, name
