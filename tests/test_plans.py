@@ -344,3 +344,71 @@ def test_tpch_analog_plans(spark):
         assert "CartesianProduct" not in p, name
         assert "BatchEvalPython" not in p, name
         assert "PythonUDF" not in p, name
+
+
+def test_tpch_family_completion_plans(spark):
+    """The eleven analogs that complete the 22-query TPC-H family keep the
+    same scale shape as the first half: every selective predicate is pushed
+    into the parquet scan, dims ride broadcast joins, the scalar-subquery
+    shapes never degenerate into a cartesian, and nothing drops to Python."""
+    # Q6: pure scan-and-aggregate — all four predicates in the scan, no join
+    p = plan_str(QUERIES["revenue_forecast"](spark, SF_DIR))
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+    assert "LessThan(l_quantity,24.0)" in p, p
+    assert "Join" not in p, p
+
+    # Q2: the part/region prune reaches the scan before the correlated-min
+    p = plan_str(QUERIES["min_cost_supplier"](spark, SF_DIR))
+    assert "EqualTo(p_type,STANDARD)" in p, p
+    assert "EqualTo(r_name,EUROPE)" in p, p
+    assert "CartesianProduct" not in p
+
+    # Q9/Q17/Q20: LIKE prunes push down as StringContains / StringStartsWith
+    p = plan_str(QUERIES["product_type_profit"](spark, SF_DIR))
+    assert "StringContains(p_name,widget)" in p, p
+    p = plan_str(QUERIES["dominant_part_suppliers"](spark, SF_DIR))
+    assert "StringStartsWith(p_name,red )" in p, p
+    p = plan_str(QUERIES["small_quantity_revenue"](spark, SF_DIR))
+    assert "EqualTo(p_brand,Brand#12)" in p, p
+
+    # Q16: the NOT IN complaint set is a broadcast anti-join, and the size
+    # IN-list reaches the part scan
+    p = plan_str(QUERIES["supplier_part_variety"](spark, SF_DIR))
+    assert "In(p_size" in p, p
+    assert "LeftAnti" in p, p
+
+    # Q21: EXISTS/NOT EXISTS are hash semi/anti joins, and the top-N is a
+    # TakeOrderedAndProject, never a global sort
+    p = plan_str(QUERIES["suppliers_kept_waiting"](spark, SF_DIR))
+    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p
+
+    for name in (
+        "nation_market_share", "important_part_values",
+        "late_shipment_priority", "top_supplier",
+    ):
+        p = plan_str(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+        assert "PythonUDF" not in p, name
+
+
+def test_tpch_scalar_branches_reuse_or_cache(spark):
+    """The three Q11/Q15/Q20-style scalar-threshold branches must not scan
+    the fact twice: the non-broadcast threshold joins get a runtime
+    ReusedExchange from AQE, and top_supplier (whose max lives in a
+    broadcast subquery AQE can't share) persists the per-supplier view."""
+    import re
+
+    for name in ("important_part_values", "dominant_part_suppliers"):
+        df = QUERIES[name](spark, SF_DIR)
+        df.collect()
+        p = plan_str(df)
+        assert len(re.findall(r"\(\d+\) ReusedExchange", p)) >= 1, (name, p)
+
+    df = QUERIES["top_supplier"](spark, SF_DIR)
+    df.collect()
+    p = plan_str(df)
+    assert "InMemoryTableScan" in p or "InMemoryRelation" in p, p
