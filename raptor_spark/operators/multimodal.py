@@ -5,12 +5,13 @@ Mirrors the reference's media pipelines — frame extraction + quality filter
 (svc/video_analysis_service/frame_extraction.py:87-150), audio
 transcode-normalize (svc/audio_recognizer_service/processors/recognizer.py:
 55-85), VLM describe (svc/image_processing_service/image_processor.py:164-222).
-Decode is REAL for the stdlib-decodable container family (PIXEL_FORMATS:
-PNG/BMP/GIF pixels via zlib+spec unfilter/LZW, WAV samples via PCM parse),
-with content features computed from actual pixels/samples and animated-GIF
-frame sampling decoding real frames; payloads needing codec libraries this
-environment lacks (JPEG/MP3/MP4 — no PIL/ffmpeg) fall back to a
-deterministic content-hash stub, honestly flagged. The Spark-side contract
+Decode is REAL for the stdlib+numpy-decodable family (PIXEL_FORMATS:
+PNG/BMP/GIF pixels via zlib+spec unfilter/LZW, WAV samples via PCM parse,
+baseline JPEG via Huffman + dequant + IDCT), with content features computed
+from actual pixels/samples and animated-GIF frame sampling decoding real
+frames; payloads needing codec libraries this environment lacks
+(progressive JPEG/MP3/MP4 — no PIL/ffmpeg) fall back to a deterministic
+content-hash stub, honestly flagged. The Spark-side contract
 (schema, batch shape, partitioning, error column) is identical either way.
 
 Swap ``_decode_stub``'s fallback for PIL/ffmpeg by replacing ONE function;
@@ -68,17 +69,18 @@ FRAMES_SCHEMA = StructType(
     ]
 )
 
-REAL_DECODERS_AVAILABLE = False  # no PIL/ffmpeg in this container — JPEG/
-# MP3/MP4 payloads fall back to the deterministic hash stub. The formats a
-# pure stdlib decode CAN handle are decoded for real (PIXEL_FORMATS below):
-# pixels/samples come from the actual bytes via zlib/struct, and the feature
-# vector is computed from them.
-HEADER_FORMATS = ("png", "gif", "bmp", "wav")
-PIXEL_FORMATS = ("png", "gif", "bmp", "wav")  # real pixel/sample decode,
-# stdlib-only: PNG (zlib inflate + spec unfilter), BMP (uncompressed 24/32-
-# bit), GIF (LZW), WAV (PCM/IEEE-float). Kept separate from
-# REAL_DECODERS_AVAILABLE, which tracks the codec libraries (PIL/ffmpeg)
-# needed for JPEG/video.
+REAL_DECODERS_AVAILABLE = False  # no PIL/ffmpeg in this container — MP3/
+# MP4 payloads (and progressive JPEG) fall back to the deterministic hash
+# stub. The formats a pure stdlib+numpy decode CAN handle are decoded for
+# real (PIXEL_FORMATS below): pixels/samples come from the actual bytes,
+# and the feature vector is computed from them.
+HEADER_FORMATS = ("png", "gif", "bmp", "wav", "jpeg")
+PIXEL_FORMATS = ("png", "gif", "bmp", "wav", "jpeg")  # real pixel/sample
+# decode, stdlib+numpy only: PNG (zlib inflate + spec unfilter), BMP
+# (uncompressed 24/32-bit), GIF (LZW), WAV (PCM/IEEE-float), baseline JPEG
+# (Huffman + dequant + IDCT + chroma upsample; progressive returns None and
+# keeps the hash stub). Kept separate from REAL_DECODERS_AVAILABLE, which
+# tracks the codec libraries (PIL/ffmpeg) needed for video/MP3.
 
 
 def parse_media_header(data: bytes) -> dict | None:
@@ -111,6 +113,27 @@ def parse_media_header(data: bytes) -> dict | None:
             "height": abs(int.from_bytes(data[22:26], "little", signed=True)),
             "duration_s": None,
         }
+    if len(data) >= 4 and data[:2] == b"\xff\xd8":
+        # JPEG: dimensions live in the first SOFn segment (any DCT mode —
+        # header metadata is real even when pixel decode needs PIL)
+        pos = 2
+        while pos + 9 <= len(data):
+            if data[pos] != 0xFF:
+                return None
+            marker = data[pos + 1]
+            if 0xD0 <= marker <= 0xD9:
+                pos += 2
+                continue
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                          0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return {
+                    "format": "jpeg",
+                    "width": int.from_bytes(data[pos + 7:pos + 9], "big"),
+                    "height": int.from_bytes(data[pos + 5:pos + 7], "big"),
+                    "duration_s": None,
+                }
+            pos += 2 + int.from_bytes(data[pos + 2:pos + 4], "big")
+        return None
     if len(data) >= 44 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         pos, byte_rate, data_size = 12, None, None
         while pos + 8 <= len(data):
@@ -369,9 +392,264 @@ def _gif_frames(data: bytes):
     return frames or None
 
 
+# --- baseline JPEG (ITU-T T.81 sequential DCT), numpy-only -----------------
+# The one codec-library format this sandbox CAN cover without PIL: baseline
+# Huffman JPEG needs nothing but bit twiddling and an 8×8 IDCT, both exact
+# in numpy. Supported: 8-bit precision, SOF0, 1 or 3 components, arbitrary
+# sampling factors (4:4:4 / 4:2:2 / 4:2:0), restart markers. Progressive
+# (SOF2) and arithmetic coding return None and keep the honest hash stub.
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# orthonormal DCT-II basis: pixels = _DCT_A.T @ coefs @ _DCT_A
+_DCT_A = np.array([
+    [
+        (np.sqrt(1.0 / 8.0) if k == 0 else np.sqrt(2.0 / 8.0))
+        * np.cos((2 * n + 1) * k * np.pi / 16.0)
+        for n in range(8)
+    ]
+    for k in range(8)
+])
+
+
+class _JpegBits:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00
+    de-stuffing; RSTn markers are consumed by ``sync_restart``."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        d = self.data
+        if self.pos >= len(d):
+            raise IndexError("jpeg: bitstream exhausted")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt != 0x00:  # a real marker: no more entropy bits
+                raise IndexError("jpeg: marker inside entropy data")
+        v = (b >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1 + (1 if b == 0xFF else 0)  # skip stuffed 0x00
+        return v
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> bool:
+        """Skip to and consume the RSTn marker at a restart boundary."""
+        if self.bit:
+            self.bit = 0
+            self.pos += 1 + (1 if self.data[self.pos] == 0xFF else 0)
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return True
+            if d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
+                return False
+            self.pos += 1
+        return False
+
+
+def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict:
+    """(length, code) → symbol for a canonical JPEG Huffman table."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_decode_symbol(bits: _JpegBits, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | bits.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _jpeg_pixels(data: bytes):
+    """H×W×3 uint8 RGB (or H×W×1 grayscale) from a baseline sequential JPEG,
+    None for progressive/arithmetic/12-bit or malformed payloads."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    try:
+        pos = 2
+        qt: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        frame = None
+        restart_interval = 0
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                return None
+            marker = data[pos + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            if marker == 0xD9:  # EOI before SOS
+                return None
+            seglen = int.from_bytes(data[pos + 2:pos + 4], "big")
+            body = data[pos + 4:pos + 2 + seglen]
+            if marker == 0xDB:  # DQT (tables stay in zigzag order)
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 0x0F
+                    if pq != 0:  # 16-bit tables ⇒ 12-bit precision
+                        return None
+                    qt[tq] = np.frombuffer(
+                        body, np.uint8, 64, i + 1
+                    ).astype(np.int32)
+                    i += 65
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # not baseline sequential Huffman
+            elif marker == 0xC0:  # SOF0
+                if body[0] != 8:
+                    return None
+                h = int.from_bytes(body[1:3], "big")
+                w = int.from_bytes(body[3:5], "big")
+                ncomp = body[5]
+                if ncomp not in (1, 3) or w <= 0 or h <= 0:
+                    return None
+                comps = []
+                for c in range(ncomp):
+                    cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                                  "tq": tq})
+                frame = (w, h, comps)
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i + 17 <= len(body):
+                    tc, th = body[i] >> 4, body[i] & 0x0F
+                    counts = body[i + 1:i + 17]
+                    n = sum(counts)
+                    huff[(tc, th)] = _jpeg_huff_table(
+                        counts, body[i + 17:i + 17 + n]
+                    )
+                    i += 17 + n
+            elif marker == 0xDD:  # DRI
+                restart_interval = int.from_bytes(body[0:2], "big")
+            elif marker == 0xDA:  # SOS
+                if frame is None:
+                    return None
+                w, h, comps = frame
+                ns = body[0]
+                if ns != len(comps):
+                    return None  # non-interleaved multi-scan: not baseline's
+                    # common shape and not worth the complexity here
+                sel = {}
+                for c in range(ns):
+                    cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                    sel[cs] = (tt >> 4, tt & 0x0F)
+                return _jpeg_scan(
+                    data, pos + 2 + seglen, frame, qt, huff, sel,
+                    restart_interval,
+                )
+            pos += 2 + seglen
+        return None
+    except (IndexError, ValueError, KeyError):
+        return None
+
+
+def _jpeg_scan(data, pos, frame, qt, huff, sel, restart_interval):
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for c in comps:
+        c["bw"] = mcux * c["h"]  # blocks across, padded to MCU grid
+        c["bh"] = mcuy * c["v"]
+        planes.append(np.zeros((c["bh"] * 8, c["bw"] * 8), np.float64))
+    bits = _JpegBits(data, pos)
+    pred = [0] * len(comps)
+    coef = np.zeros(64, np.int32)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                if not bits.sync_restart():
+                    return None
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, c in enumerate(comps):
+                dc_tab = huff.get((0, sel[c["id"]][0]))
+                ac_tab = huff.get((1, sel[c["id"]][1]))
+                q = qt.get(c["tq"])
+                if dc_tab is None or ac_tab is None or q is None:
+                    return None
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef[:] = 0
+                        t = _jpeg_decode_symbol(bits, dc_tab)
+                        diff = _jpeg_extend(bits.receive(t), t)
+                        pred[ci] += diff
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_decode_symbol(bits, ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                return None
+                            coef[k] = _jpeg_extend(bits.receive(s), s)
+                            k += 1
+                        block = np.zeros(64, np.float64)
+                        block[_ZIGZAG] = coef * q
+                        px = _DCT_A.T @ block.reshape(8, 8) @ _DCT_A
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+    out = []
+    for ci, c in enumerate(comps):
+        p = planes[ci] + 128.0
+        if c["h"] < hmax or c["v"] < vmax:  # chroma upsample
+            p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return g[:, :, None]
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_image_pixels(data: bytes):
-    """H×W×C uint8 pixel array from PNG/BMP/GIF bytes (first frame for
-    animated GIFs), None when the payload is not stdlib-decodable."""
+    """H×W×C uint8 pixel array from PNG/BMP/GIF/baseline-JPEG bytes (first
+    frame for animated GIFs), None when the payload is not decodable here
+    (progressive JPEG needs a codec library)."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _png_pixels(data)
     if data[:2] == b"BM":
@@ -379,6 +657,8 @@ def decode_image_pixels(data: bytes):
     if data[:6] in (b"GIF87a", b"GIF89a"):
         frames = _gif_frames(data)
         return frames[0] if frames else None
+    if data[:2] == b"\xff\xd8":
+        return _jpeg_pixels(data)
     return None
 
 
@@ -500,9 +780,10 @@ def _decode_stub(data: bytes, media_type: str) -> dict:
     """Decode metadata: REAL container-header parse when the payload is a
     recognized format (parse_media_header), deterministic content-hash
     stub otherwise. For PIXEL_FORMATS the 8-dim feature vector is computed
-    from the ACTUAL pixels/samples (stdlib decoders above); for formats
-    needing codec libraries this container lacks (JPEG/MP3/MP4) it stays
-    hash-derived — swap this one function when PIL/ffmpeg exist."""
+    from the ACTUAL pixels/samples (decoders above — including baseline
+    JPEG); for payloads needing codec libraries this container lacks
+    (progressive JPEG/MP3/MP4) it stays hash-derived — swap this one
+    function when PIL/ffmpeg exist."""
     if data is None:
         raise ValueError("null media payload")
     h = hashlib.sha256(data).digest()

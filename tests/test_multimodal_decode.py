@@ -319,3 +319,297 @@ def test_sample_frames_real_gif(spark):
     assert set(got) == {0}
     assert abs(got[0].brightness - 100.0) < 1.0
     assert abs(got[0].entropy - 1.0) < 1e-6
+
+
+# --- baseline JPEG (spec encoder, independent of the decoder) ---------------
+
+def _jzigzag() -> np.ndarray:
+    """Zigzag scan order derived from the diagonal walk (independent of the
+    decoder's hardcoded table)."""
+    order = sorted(
+        ((y, x) for y in range(8) for x in range(8)),
+        # odd diagonals run top-right → bottom-left (y ascending), even ones
+        # bottom-left → top-right (x ascending)
+        key=lambda p: (p[0] + p[1], p[0] if (p[0] + p[1]) % 2 else p[1]),
+    )
+    return np.array([y * 8 + x for y, x in order])
+
+
+_JZZ = _jzigzag()
+_JA = np.array([
+    [
+        (np.sqrt(1.0 / 8.0) if k == 0 else 0.5)
+        * np.cos((2 * n + 1) * k * np.pi / 16.0)
+        for n in range(8)
+    ]
+    for k in range(8)
+])
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with 0xFF00 stuffing and 1-bit padding."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def align(self) -> None:
+        while self.n:
+            self.put(1, 1)
+
+    def marker(self, m: int) -> None:
+        self.align()
+        self.out += bytes([0xFF, m])
+
+
+def _jcat(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _jfixed_table(freqs: dict) -> tuple[bytes, bytes, dict]:
+    """All-same-length canonical table over the used symbols; one codepoint
+    (the all-ones code) is left unassigned per the spec convention."""
+    syms = sorted(freqs)
+    length = 1
+    while (1 << length) <= len(syms):
+        length += 1
+    counts = bytearray(16)
+    counts[length - 1] = len(syms)
+    codes = {s: (i, length) for i, s in enumerate(syms)}
+    return bytes(counts), bytes(syms), codes
+
+
+def encode_jpeg(
+    px: np.ndarray,
+    subsample: str = "444",
+    quant_luma: np.ndarray | None = None,
+    quant_chroma: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline sequential JPEG (SOF0) from uint8 pixels — H×W or H×W×1
+    grayscale, H×W×3 RGB with 4:4:4 or 4:2:0 sampling. Quant tables are
+    64-entry zigzag-order arrays (default all ones ≈ near-lossless)."""
+    px = np.atleast_3d(px).astype(np.float64)
+    h, w, nchan = px.shape
+    ql = (np.ones(64) if quant_luma is None else np.asarray(quant_luma)).astype(int)
+    qc = ql if quant_chroma is None else np.asarray(quant_chroma).astype(int)
+    if nchan == 1:
+        planes = [px[:, :, 0]]
+        samp = [(1, 1)]
+        qids = [0]
+    else:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample == "420":
+            pe = lambda p: np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                                  mode="edge")
+            ds = lambda p: pe(p).reshape(
+                (pe(p).shape[0] // 2, 2, pe(p).shape[1] // 2, 2)
+            ).mean(axis=(1, 3))
+            planes = [y, ds(cb), ds(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qids = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        padded.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                             mode="edge"))
+    # token pass: (is_ac, table_id, symbol, extra_val, extra_bits)
+    tokens: list = []
+    freqs: dict = {(0, 0): {}, (1, 0): {}, (0, 1): {}, (1, 1): {}}
+    pred = [0] * len(planes)
+    quants = [ql, qc]
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                tokens.append(("RST", (mcu_count // restart_interval - 1) % 8))
+                pred = [0] * len(planes)
+            mcu_count += 1
+            for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+                tid = 0 if qids[ci] == 0 else 1
+                q = quants[qids[ci]]
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        block = p[y0:y0 + 8, x0:x0 + 8] - 128.0
+                        coefs = _JA @ block @ _JA.T
+                        zz = np.round(coefs.flatten()[_JZZ] / q).astype(int)
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        s = _jcat(diff)
+                        extra = diff if diff >= 0 else diff + (1 << s) - 1
+                        tokens.append((0, tid, s, extra, s))
+                        freqs[(0, tid)][s] = freqs[(0, tid)].get(s, 0) + 1
+                        run = 0
+                        last_nz = max(
+                            (k for k in range(1, 64) if zz[k]), default=0
+                        )
+                        for k in range(1, last_nz + 1):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                tokens.append((1, tid, 0xF0, 0, 0))
+                                freqs[(1, tid)][0xF0] = (
+                                    freqs[(1, tid)].get(0xF0, 0) + 1
+                                )
+                                run -= 16
+                            s = _jcat(v)
+                            extra = v if v >= 0 else v + (1 << s) - 1
+                            sym = (run << 4) | s
+                            tokens.append((1, tid, sym, extra, s))
+                            freqs[(1, tid)][sym] = freqs[(1, tid)].get(sym, 0) + 1
+                            run = 0
+                        if last_nz < 63:
+                            tokens.append((1, tid, 0x00, 0, 0))
+                            freqs[(1, tid)][0x00] = (
+                                freqs[(1, tid)].get(0x00, 0) + 1
+                            )
+    n_tables = 1 if nchan == 1 else 2
+    tables = {
+        (cls, tid): _jfixed_table(freqs[(cls, tid)])
+        for cls in (0, 1)
+        for tid in range(n_tables)
+    }
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big")
+                   + body)
+
+    seg(0xDB, bytes([0x00]) + bytes(ql.tolist()))
+    if nchan == 3:
+        seg(0xDB, bytes([0x01]) + bytes(qc.tolist()))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([len(planes)])
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, qids[ci]])
+    seg(0xC0, sof)
+    for (cls, tid), (counts, syms, _) in sorted(tables.items()):
+        seg(0xC4, bytes([(cls << 4) | tid]) + counts + syms)
+    if restart_interval:
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        tid = 0 if qids[ci] == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+    wtr = _JpegBitWriter()
+    for tok in tokens:
+        if tok[0] == "RST":
+            wtr.marker(0xD0 + tok[1])
+            continue
+        cls, tid, sym, extra, nbits = tok
+        code, length = tables[(cls, tid)][2][sym]
+        wtr.put(code, length)
+        if nbits:
+            wtr.put(extra, nbits)
+    wtr.align()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+_Q50_LUMA = np.array([
+    16, 11, 12, 14, 12, 10, 16, 14, 13, 14, 18, 17, 16, 19, 24, 40,
+    26, 24, 22, 22, 24, 49, 35, 37, 29, 40, 58, 51, 61, 60, 57, 51,
+    56, 55, 64, 72, 92, 78, 64, 68, 87, 69, 55, 56, 80, 109, 81, 87,
+    95, 98, 103, 104, 103, 62, 77, 113, 121, 112, 100, 120, 92, 101,
+    103, 99,
+])
+
+
+def test_jpeg_roundtrip_gray_lossless_quant():
+    px = _grad(24, 17, 1)
+    got = decode_image_pixels(encode_jpeg(px))
+    assert got is not None and got.shape == (24, 17, 1)
+    diff = np.abs(got.astype(int) - px.astype(int))
+    assert diff.max() <= 5, diff.max()
+    assert diff.mean() <= 1.5, diff.mean()
+
+
+def test_jpeg_roundtrip_rgb_444():
+    px = _grad(16, 23, 3)
+    got = decode_image_pixels(encode_jpeg(px))
+    assert got is not None and got.shape == (16, 23, 3)
+    diff = np.abs(got.astype(int) - px.astype(int))
+    assert diff.max() <= 8, diff.max()
+    assert diff.mean() <= 2.0, diff.mean()
+
+
+def test_jpeg_roundtrip_420_with_restarts():
+    y, x = np.mgrid[0:21, 0:26]
+    px = np.stack([
+        np.clip(x * 4 + y, 0, 255),
+        np.clip(y * 4, 0, 255),
+        np.full_like(x, 128),
+    ], axis=-1).astype(np.uint8)
+    got = decode_image_pixels(
+        encode_jpeg(px, subsample="420", restart_interval=2)
+    )
+    assert got is not None and got.shape == (21, 26, 3)
+    diff = np.abs(got.astype(int) - px.astype(int))
+    assert diff.max() <= 14, diff.max()
+    assert diff.mean() <= 3.0, diff.mean()
+
+
+def test_jpeg_coarse_quantization_decodes():
+    y, x = np.mgrid[0:16, 0:16]
+    px = np.clip(x * 8 + y * 4, 0, 255).astype(np.uint8)
+    got = decode_image_pixels(encode_jpeg(px, quant_luma=_Q50_LUMA))
+    assert got is not None and got.shape == (16, 16, 1)
+    diff = np.abs(got[:, :, 0].astype(int) - px.astype(int))
+    assert diff.mean() <= 12.0, diff.mean()
+
+
+def test_jpeg_header_dims_and_progressive_rejection():
+    from raptor_spark.operators.multimodal import parse_media_header
+
+    payload = encode_jpeg(_grad(12, 34, 3))
+    meta = parse_media_header(payload)
+    assert meta == {"format": "jpeg", "width": 34, "height": 12,
+                    "duration_s": None}
+    # flip SOF0 → SOF2 (progressive): header metadata still real, pixel
+    # decode honestly refuses
+    prog = bytearray(payload)
+    idx = prog.find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2
+    meta = parse_media_header(bytes(prog))
+    assert meta is not None and meta["width"] == 34
+    assert decode_image_pixels(bytes(prog)) is None
+    assert decode_image_pixels(payload[:20]) is None
+
+
+def test_jpeg_features_from_real_pixels():
+    px = _grad(16, 16, 3)
+    got = decode_image_pixels(encode_jpeg(px))
+    feats = image_content_features(got)
+    # brightness must track the true luminance mean, not a hash
+    lum = 0.2126 * px[:, :, 0] + 0.7152 * px[:, :, 1] + 0.0722 * px[:, :, 2]
+    assert abs(feats[0] - lum.mean() / 255.0) < 0.02
+    assert feats[4] == 0.5  # square aspect
