@@ -3139,6 +3139,61 @@ def _maybe_cached(fn: Callable[[SparkSession, str], DataFrame]):
     return wrapped
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rank-frequency power-law fit (ranking.zipf_fit): OLS of
+    ln(count) on ln(rank) over the whole-vocabulary histogram — the
+    one-row corpus-health audit (template floods bend the Zipf curve)."""
+    from raptor_spark.operators.ranking import zipf_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    out = zipf_fit(docs, "text")
+    return out.select(
+        "n_terms",
+        "n_tokens",
+        (F.round(F.col("slope"), 4) + F.lit(0.0)).alias("slope"),
+        (F.round(F.col("intercept"), 4) + F.lit(0.0)).alias("intercept"),
+        (F.round(F.col("r2"), 4) + F.lit(0.0)).alias("r2"),
+    )
+
+
+def q_embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding separation audit (similarity.label_centroid_audit):
+    squared-L2 to own vs nearest-other label centroid, silhouette-style
+    rollup — labels whose mean_sil hugs 0 are mislabeled/collapsed."""
+    from raptor_spark.operators.similarity import label_centroid_audit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = label_centroid_audit(emb, "vec_id", "embedding", "label")
+    return out.select(
+        "label",
+        "n_vecs",
+        (F.round(F.col("avg_intra"), 4) + F.lit(0.0)).alias("avg_intra"),
+        (F.round(F.col("avg_nearest_other"), 4) + F.lit(0.0)).alias(
+            "avg_nearest_other"
+        ),
+        (F.round(F.col("mean_sil"), 4) + F.lit(0.0)).alias("mean_sil"),
+    ).orderBy("label")
+
+
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated-vs-exact Jaccard per exact pair (dedup.minhash_calibration):
+    md5-derived engine-portable MinHash lanes audited against the exact
+    n-gram Jaccard the SSJoin path computes — the LSH config's drift gauge."""
+    from raptor_spark.operators.dedup import minhash_calibration
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    out = minhash_calibration(
+        docs, "doc_id", "text", n=1, threshold=0.5, n_hashes=16
+    )
+    return out.select(
+        "a",
+        "b",
+        (F.round(F.col("j_exact"), 4) + F.lit(0.0)).alias("j_exact"),
+        (F.round(F.col("j_est"), 4) + F.lit(0.0)).alias("j_est"),
+        (F.round(F.col("abs_err"), 4) + F.lit(0.0)).alias("abs_err"),
+    ).orderBy("a", "b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -3275,6 +3330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_filtered_revenue": q_brand_filtered_revenue,
         "dsir_importance": q_dsir_importance,
         "word_entropy": q_word_entropy,
+        "zipf_fit": q_zipf_fit,
+        "embedding_silhouette": q_embedding_silhouette,
+        "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
         "dormant_high_balance": q_dormant_high_balance,
@@ -3319,6 +3377,28 @@ def oracle_sql() -> dict[str, str]:
                 f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1))"
             )
         return f"CAST({e} AS BIGINT)"
+
+    def h32(h: str) -> str:
+        """First 8 hex chars of md5 varchar ``h`` as a 32-bit BIGINT — the
+        DuckDB replay of conv(substring(md5(..), 1, 8), 16, 10)
+        (operators/dedup.minhash_signature_md5)."""
+        e = f"(strpos('0123456789abcdef', substr({h}, 1, 1)) - 1)"
+        for i in range(2, 9):
+            e = (
+                f"(({e}) * 16 + "
+                f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1))"
+            )
+        return f"CAST({e} AS BIGINT)"
+
+    mh_hx = ",\n                     ".join(
+        f"md5(s || '#mh{j}') AS h{j}" for j in range(1, 17)
+    )
+    mh_min = ",\n                     ".join(
+        f"min({h32(f'h{j}')}) AS mh{j}" for j in range(1, 17)
+    )
+    mh_cases = " + ".join(
+        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)" for j in range(1, 17)
+    )
 
     return {
         "interval_argmax": f"""
@@ -5719,6 +5799,88 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4)
                      AS ttr
             FROM c GROUP BY doc_id ORDER BY doc_id
+        """,
+        "zipf_fit": r"""
+            WITH t AS (
+              SELECT unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x != '')) AS term
+              FROM documents
+            ), c AS (
+              SELECT term, count(*) AS c FROM t GROUP BY term
+            ), r AS (
+              SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, term ASC)
+                             AS DOUBLE)) AS x,
+                     ln(CAST(c AS DOUBLE)) AS y, c
+              FROM c
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   round(regr_slope(y, x), 4) + 0.0 AS slope,
+                   round(regr_intercept(y, x), 4) + 0.0 AS intercept,
+                   round(corr(x, y) * corr(x, y), 4) + 0.0 AS r2
+            FROM r
+        """,
+        "embedding_silhouette": """
+            WITH v AS (
+              SELECT vec_id, label,
+                     generate_subscripts(embedding, 1) AS i,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings
+            ), cent AS (
+              SELECT label AS clabel, i, avg(x) AS c FROM v GROUP BY 1, 2
+            ), d AS (
+              SELECT v.vec_id, v.label, cent.clabel,
+                     sum((v.x - cent.c) * (v.x - cent.c)) AS d2
+              FROM v JOIN cent USING (i)
+              GROUP BY 1, 2, 3
+            ), pv AS (
+              SELECT vec_id, label,
+                     max(CASE WHEN clabel = label THEN d2 END) AS a,
+                     min(CASE WHEN clabel <> label THEN d2 END) AS b
+              FROM d GROUP BY 1, 2
+            )
+            SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                   round(avg(sqrt(a)), 4) + 0.0 AS avg_intra,
+                   round(avg(sqrt(b)), 4) + 0.0 AS avg_nearest_other,
+                   round(avg((b - a) / greatest(a, b)), 4) + 0.0 AS mean_sil
+            FROM pv GROUP BY label ORDER BY label
+        """,
+        "minhash_calibration": rf"""
+            WITH w AS MATERIALIZED (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)), '\s+'))
+                       AS ws
+              FROM documents WHERE doc_id < 150
+            ), pairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b,
+                     len(list_filter(a.ws, x -> list_contains(b.ws, x))) * 1.0 /
+                     len(list_distinct(list_concat(a.ws, b.ws))) AS j_exact
+              FROM w a JOIN w b ON a.doc_id < b.doc_id
+              WHERE len(list_filter(a.ws, x -> list_contains(b.ws, x))) * 1.0 /
+                    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5
+            ), sh AS (
+              SELECT doc_id, unnest(ws) AS s FROM w
+            ), hx AS (
+              SELECT doc_id,
+                     {mh_hx}
+              FROM sh
+            ), sig AS MATERIALIZED (
+              SELECT doc_id,
+                     {mh_min}
+              FROM hx GROUP BY doc_id
+            ), m AS (
+              SELECT p.a, p.b, p.j_exact,
+                     ({mh_cases}) / CAST(16 AS DOUBLE) AS j_est
+              FROM pairs p
+              JOIN sig sa ON sa.doc_id = p.a
+              JOIN sig sb ON sb.doc_id = p.b
+            )
+            SELECT a, b,
+                   round(j_exact, 4) + 0.0 AS j_exact,
+                   round(j_est, 4) + 0.0 AS j_est,
+                   round(abs(j_exact - j_est), 4) + 0.0 AS abs_err
+            FROM m ORDER BY a, b
         """,
         "order_priority_check": """
             SELECT o_orderpriority, count(*) AS n_orders

@@ -663,3 +663,78 @@ def span_dedup(
             ).alias("clean_md5"),
         )
     )
+
+
+def minhash_signature_md5(
+    df: DataFrame, id_col: str, text_col: str, n: int = 1, n_hashes: int = 16
+) -> DataFrame:
+    """Per-document MinHash signature over word n-gram shingles with
+    md5-derived hash functions: h_j(s) = first 8 hex chars of
+    md5(s || '#mh<j>') as a 32-bit integer — reproducible byte-for-byte in
+    any SQL engine (the same cross-engine trick as curation._bloom_pos), so
+    signatures can be audited outside Spark. Returns (id, mh1..mh<k>).
+
+    This is the CALIBRATION twin of the production `minhash_near_dups`
+    path (which uses xxhash64 lane-mixing for speed): same estimator,
+    engine-portable hashes. Scale shape: one shingle explode, one
+    map-side-combined min aggregation keyed by id — the corpus shuffles
+    once and the output is one narrow row per document."""
+    sh = _ensure_parallel(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles_col(F.col(text_col), n)).alias("s"),
+    )
+    aggs = [
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("s"), F.lit(f"#mh{j}"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"mh{j}")
+        for j in range(1, n_hashes + 1)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 1,
+    threshold: float = 0.5,
+    n_hashes: int = 16,
+) -> DataFrame:
+    """Estimated-vs-exact Jaccard calibration audit: for every exact n-gram
+    Jaccard pair ≥ threshold, the MinHash estimate (matching-lane fraction
+    of the md5 signatures) next to the exact value —
+    (a, b, j_exact, j_est, abs_err). The production LSH path's recall/
+    precision story, made inspectable per pair: a drifting abs_err
+    distribution means the banding config no longer matches the corpus.
+
+    Scale shape: exact pairs come from the prefix-filtered SSJoin
+    (`ngram_jaccard_pairs`); signatures are one min-aggregation; the final
+    step joins one narrow signature row per side onto the pair set — no
+    shingle arrays cross the pair join (the wide-payload rule)."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    sig = minhash_signature_md5(df, id_col, text_col, n=n, n_hashes=n_hashes)
+    lanes = [f"mh{j}" for j in range(1, n_hashes + 1)]
+    sa = sig.select(
+        F.col("id").alias("a"), *[F.col(c).alias(f"a_{c}") for c in lanes]
+    )
+    sb = sig.select(
+        F.col("id").alias("b"), *[F.col(c).alias(f"b_{c}") for c in lanes]
+    )
+    match_frac = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in lanes
+    ) / F.lit(float(n_hashes))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.col("jaccard").alias("j_exact"),
+            match_frac.alias("j_est"),
+        )
+        .withColumn("abs_err", F.abs(F.col("j_exact") - F.col("j_est")))
+    )

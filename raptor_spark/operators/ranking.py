@@ -18,7 +18,7 @@ scale) and broadcast back onto the per-doc side.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from raptor_spark.operators.text import words_col
@@ -202,3 +202,44 @@ def bigram_pmi(
     if top_n is not None:
         out = out.orderBy(F.desc("pmi"), "w1", "w2").limit(top_n)
     return out
+
+
+def zipf_fit(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus rank-frequency power-law fit (Zipf's law): OLS of ln(count)
+    on ln(rank) over the whole-vocabulary term histogram, returning one row
+    (n_terms, n_tokens, slope, intercept, r2). A healthy natural-language
+    corpus fits ln c ≈ intercept - s·ln r with s near 1 and r2 high;
+    machine-generated or template-flooded corpora bend the curve — the
+    classic one-glance corpus-health audit next to `word_entropy`'s
+    per-document view.
+
+    Scale shape: one shuffle builds the term histogram (map-side combined);
+    the rank window then runs over VOCABULARY rows only, which Heaps' law
+    keeps sublinear in corpus size (~O(N^0.5) types for N tokens), and the
+    OLS is a single scalar aggregation of that. The corpus itself is
+    scanned once and never re-shuffled."""
+    counts = (
+        df.select(F.explode(words_col(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = counts.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("term")))
+        .alias("r"),
+        "c",
+    ).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+        "c",
+    )
+    corr = F.corr("x", "y")
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.sum("c").alias("n_tokens"),
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("slope"),
+        (F.avg("y") - F.covar_pop("x", "y") / F.var_pop("x") * F.avg("x")).alias(
+            "intercept"
+        ),
+        (corr * corr).alias("r2"),
+    )

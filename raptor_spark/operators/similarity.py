@@ -464,3 +464,73 @@ def semdedup_prune(
             .alias("pruned"),
         )
     )
+
+
+def label_centroid_audit(
+    df: DataFrame, id_col: str, vec_col: str, label_col: str
+) -> DataFrame:
+    """Per-label embedding-space separation audit (the silhouette idea on
+    centroids): for every vector, squared L2 distance to its OWN label's
+    centroid (a) and to the NEAREST other label's centroid (b), rolled up
+    per label as (label, n_vecs, avg_intra, avg_nearest_other, mean_sil)
+    with sil = (b - a) / max(a, b) on the distances. Labels whose mean_sil
+    hugs 0 (or goes negative) are the mislabeled / collapsed clusters a
+    labeling pipeline should re-examine — the embedding-QA twin of
+    `semdedup_prune`'s within-cell view.
+
+    Scale shape: centroids are one posexplode + groupBy over (label, dim) —
+    L×d rows out, map-side combined — then collapsed back to L array rows
+    and CROSS-JOINED BROADCAST onto the corpus (L small by contract, like
+    the IVF codebook). Each corpus row computes its L distances in one
+    zip_with/aggregate pass; the only corpus-sized shuffle is the final
+    per-label rollup. The corpus is scanned once."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cent = (
+        base.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("i", "c"))).alias("ic"),
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            F.transform("ic", lambda s: s["c"]).alias("cv"),
+        )
+    )
+    d2 = (
+        base.crossJoin(F.broadcast(cent))
+        .select(
+            "id",
+            "label",
+            "clabel",
+            F.aggregate(
+                F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    per_vec = d2.groupBy("id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("d2"))).alias("a"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2"))).alias("b"),
+    )
+    return (
+        per_vec.select(
+            "label",
+            "a",
+            "b",
+            ((F.col("b") - F.col("a")) / F.greatest("a", "b")).alias("sil"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.avg(F.sqrt("a")).alias("avg_intra"),
+            F.avg(F.sqrt("b")).alias("avg_nearest_other"),
+            F.avg("sil").alias("mean_sil"),
+        )
+    )

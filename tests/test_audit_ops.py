@@ -1,0 +1,119 @@
+"""Semantic gates for the corpus-audit operators added in round 3:
+ranking.zipf_fit (rank-frequency OLS vs numpy recomputation),
+dedup.minhash_signature_md5 / minhash_calibration (hashlib replay +
+duplicate-pair exactness), similarity.label_centroid_audit (planted
+separated vs collapsed label geometry)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from raptor_spark.operators.dedup import (
+    minhash_calibration,
+    minhash_signature_md5,
+)
+from raptor_spark.operators.ranking import zipf_fit
+from raptor_spark.operators.similarity import label_centroid_audit
+
+
+def test_zipf_fit_matches_numpy_ols(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a a b b c"),
+            (1, "a a b d"),
+            (2, "a c d e"),
+        ],
+        ["doc_id", "text"],
+    )
+    row = zipf_fit(docs, "text").collect()[0]
+    # counts: a=7 b=3 c=2 d=2 e=1 → ranks by (count desc, term asc)
+    counts = {"a": 7, "b": 3, "c": 2, "d": 2, "e": 1}
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    x = np.log(np.arange(1, len(ranked) + 1, dtype=float))
+    y = np.log(np.array([c for _, c in ranked], dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert row.n_terms == 5 and row.n_tokens == 15
+    assert math.isclose(row.slope, slope, abs_tol=1e-9)
+    assert math.isclose(row.intercept, intercept, abs_tol=1e-9)
+    assert math.isclose(row.r2, r2, abs_tol=1e-9)
+    assert row.slope < 0  # frequency falls with rank
+
+
+def _mh_py(words: set[str], j: int) -> int:
+    return min(
+        int(hashlib.md5(f"{w}#mh{j}".encode()).hexdigest()[:8], 16) for w in words
+    )
+
+
+def test_minhash_signature_matches_hashlib(spark):
+    docs = spark.createDataFrame(
+        [(0, "spark join shuffle"), (1, "join scan")], ["doc_id", "text"]
+    )
+    rows = {
+        r.id: r
+        for r in minhash_signature_md5(
+            docs, "doc_id", "text", n=1, n_hashes=4
+        ).collect()
+    }
+    for did, words in [(0, {"spark", "join", "shuffle"}), (1, {"join", "scan"})]:
+        for j in range(1, 5):
+            assert rows[did][f"mh{j}"] == _mh_py(words, j), (did, j)
+
+
+def test_minhash_calibration_exact_on_duplicates(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),  # exact dup of 0
+            (2, "alpha beta gamma zeta"),  # J = 3/5 with 0 and 1
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.a, r.b): r
+        for r in minhash_calibration(
+            docs, "doc_id", "text", n=1, threshold=0.5, n_hashes=16
+        ).collect()
+    }
+    dup = out[(0, 1)]
+    assert dup.j_exact == 1.0 and dup.j_est == 1.0 and dup.abs_err == 0.0
+    near = out[(0, 2)]
+    assert math.isclose(near.j_exact, 0.6, abs_tol=1e-12)
+    # the estimate is a fraction of 16 matching lanes, inside [0, 1]
+    assert 0.0 <= near.j_est <= 1.0
+    assert math.isclose(near.abs_err, abs(near.j_exact - near.j_est), abs_tol=1e-12)
+
+
+def test_label_centroid_audit_planted_geometry(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    # label 0 and label 1: tight, far-apart clusters → sil near 1
+    for label, center in [(0, 0.0), (1, 100.0)]:
+        for _ in range(20):
+            v = (center + rng.normal(0, 0.1, 8)).tolist()
+            rows.append((vid, [float(x) for x in v], label))
+            vid += 1
+    # labels 2 and 3: the SAME point cloud split in two → collapsed, sil ≈ 0
+    for label in (2, 3):
+        for _ in range(20):
+            v = (50.0 + rng.normal(0, 0.1, 8)).tolist()
+            rows.append((vid, [float(x) for x in v], label))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {
+        r.label: r
+        for r in label_centroid_audit(emb, "vec_id", "embedding", "label").collect()
+    }
+    assert all(out[l].n_vecs == 20 for l in range(4))
+    assert out[0].mean_sil > 0.9 and out[1].mean_sil > 0.9
+    assert out[2].mean_sil < 0.3 and out[3].mean_sil < 0.3
+    # separated labels: nearest-other centroid is far vs intra spread
+    assert out[0].avg_nearest_other > 10 * out[0].avg_intra
+    # collapsed labels: the other centroid is about as close as one's own
+    assert out[2].avg_nearest_other < 2 * out[2].avg_intra
