@@ -3175,6 +3175,23 @@ def q_embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component projection (similarity.pca_power_scores):
+    one moment pass + driver power iteration on the d×d matrix + map-only
+    centered projection — the 1-D embedding layout pruning/drift reads."""
+    from raptor_spark.operators.similarity import pca_power_scores
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pca_power_scores(
+        emb, "vec_id", "embedding", n_iter=12, passthrough=("label",)
+    )
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "label",
+        (F.round(F.col("pc1"), 4) + F.lit(0.0)).alias("pc1"),
+    ).orderBy("vec_id")
+
+
 def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimated-vs-exact Jaccard per exact pair (dedup.minhash_calibration):
     md5-derived engine-portable MinHash lanes audited against the exact
@@ -3332,6 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_entropy": q_word_entropy,
         "zipf_fit": q_zipf_fit,
         "embedding_silhouette": q_embedding_silhouette,
+        "embedding_pca": q_embedding_pca,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -3399,6 +3417,23 @@ def oracle_sql() -> dict[str, str]:
     mh_cases = " + ".join(
         f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)" for j in range(1, 17)
     )
+
+    # embedding_pca: 12 unrolled power-iteration rounds (matvec + normalize),
+    # each MATERIALIZED — plain CTEs referenced twice double the plan per
+    # round (the pagerank/SSSP oracle lesson).
+    pca_rounds = []
+    prev = "w0"
+    for t in range(1, 13):
+        pca_rounds.append(
+            f"""p{t} AS MATERIALIZED (
+              SELECT c.i AS i, sum(c.c * {prev}.w) AS w
+              FROM c JOIN {prev} ON {prev}.i = c.j GROUP BY c.i
+            ), w{t} AS MATERIALIZED (
+              SELECT i, w / (SELECT sqrt(sum(w * w)) FROM p{t}) AS w FROM p{t}
+            )"""
+        )
+        prev = f"w{t}"
+    pca_iter_sql = ", ".join(pca_rounds)
 
     return {
         "interval_argmax": f"""
@@ -5845,6 +5880,35 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(sqrt(b)), 4) + 0.0 AS avg_nearest_other,
                    round(avg((b - a) / greatest(a, b)), 4) + 0.0 AS mean_sil
             FROM pv GROUP BY label ORDER BY label
+        """,
+        "embedding_pca": f"""
+            WITH v AS MATERIALIZED (
+              SELECT vec_id, label,
+                     generate_subscripts(embedding, 1) - 1 AS i,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings
+            ), nn AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings
+            ), mu AS MATERIALIZED (
+              SELECT i, avg(x) AS m FROM v GROUP BY i
+            ), xx AS MATERIALIZED (
+              SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS s
+              FROM v a JOIN v b USING (vec_id) GROUP BY 1, 2
+            ), c AS MATERIALIZED (
+              SELECT xx.i, xx.j, xx.s / nn.n - ma.m * mb.m AS c
+              FROM xx CROSS JOIN nn
+              JOIN mu ma ON ma.i = xx.i
+              JOIN mu mb ON mb.i = xx.j
+            ), w0 AS (
+              SELECT i, CASE WHEN i = 0 THEN CAST(1 AS DOUBLE)
+                             ELSE CAST(0 AS DOUBLE) END AS w
+              FROM mu
+            ), {pca_iter_sql}
+            SELECT v.vec_id, v.label,
+                   round(sum((v.x - mu.m) * w12.w), 4) + 0.0 AS pc1
+            FROM v JOIN mu USING (i) JOIN w12 USING (i)
+            GROUP BY v.vec_id, v.label
+            ORDER BY v.vec_id
         """,
         "minhash_calibration": rf"""
             WITH w AS MATERIALIZED (

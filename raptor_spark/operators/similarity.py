@@ -534,3 +534,104 @@ def label_centroid_audit(
             F.avg("sil").alias("mean_sil"),
         )
     )
+
+
+def pca_power_scores(
+    df,
+    id_col: str,
+    vec_col: str,
+    n_iter: int = 12,
+    passthrough: tuple[str, ...] = (),
+):
+    """Top-principal-component projection of an embedding column: one
+    distributed pass accumulates the second-moment matrix, the tiny d×d
+    eigenproblem is solved on the driver by power iteration (v0 = e0,
+    ``n_iter`` rounds), and the unit eigenvector is broadcast back for a
+    map-only centered-projection pass. Returns (id, *passthrough, pc1) —
+    the 1-D corpus layout SemDeDup-style pruning, drift monitoring, or
+    embedding-space visualization reads first.
+
+    Scale shape (the MLlib RowMatrix gram design): each Arrow batch
+    contributes one numpy ``m.T @ m`` partial — d(d+1)/2-ish values per
+    PARTITION, not per row — reduced by a map-side-combined groupBy sum;
+    the driver collects exactly d² + d + 1 numbers (bounded, like the IVF
+    codebook), and the corpus is scanned twice (moments, projection) with
+    no corpus-sized shuffle anywhere. Power iteration is deterministic:
+    float64, fixed v0, fixed round count — replayable in SQL (the
+    embedding_pca oracle unrolls the same 12 matvec/normalize rounds as
+    materialized CTEs).
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in passthrough],
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+    def _moments(batches):
+        sxx = None
+        sx = None
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf["v"].tolist(), dtype=np.float64)
+            if sxx is None:
+                d = m.shape[1]
+                sxx = np.zeros((d, d))
+                sx = np.zeros(d)
+            sxx += m.T @ m
+            sx += m.sum(axis=0)
+            n += m.shape[0]
+        if sxx is None:
+            return
+        d = sxx.shape[0]
+        i_idx, j_idx = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([i_idx.ravel(), np.arange(d), [-1]]),
+                "j": np.concatenate([j_idx.ravel(), np.full(d, -1), [-1]]),
+                "s": np.concatenate([sxx.ravel(), sx, [float(n)]]),
+            }
+        )
+
+    parts = (
+        base.select("v")
+        .mapInPandas(_moments, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    n = next(r.s for r in parts if r.i == -1 and r.j == -1)
+    d = max(r.i for r in parts) + 1
+    mu = np.zeros(d)
+    cov = np.zeros((d, d))
+    for r in parts:
+        if r.i >= 0 and r.j == -1:
+            mu[r.i] = r.s / n
+        elif r.i >= 0 and r.j >= 0:
+            cov[r.i, r.j] = r.s / n
+    cov -= np.outer(mu, mu)
+    v = np.zeros(d)
+    v[0] = 1.0
+    for _ in range(n_iter):
+        v = cov @ v
+        v = v / np.linalg.norm(v)
+
+    mu_lit = F.array(*[F.lit(float(x)) for x in mu])
+    v_lit = F.array(*[F.lit(float(x)) for x in v])
+    return base.select(
+        "id",
+        *passthrough,
+        F.aggregate(
+            F.zip_with(
+                F.zip_with(F.col("v"), mu_lit, lambda x, m: x - m),
+                v_lit,
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("pc1"),
+    )

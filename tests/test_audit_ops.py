@@ -2,7 +2,8 @@
 ranking.zipf_fit (rank-frequency OLS vs numpy recomputation),
 dedup.minhash_signature_md5 / minhash_calibration (hashlib replay +
 duplicate-pair exactness), similarity.label_centroid_audit (planted
-separated vs collapsed label geometry)."""
+separated vs collapsed label geometry), similarity.pca_power_scores
+(numpy-eigh parity on a planted anisotropic cloud)."""
 
 from __future__ import annotations
 
@@ -117,3 +118,34 @@ def test_label_centroid_audit_planted_geometry(spark):
     assert out[0].avg_nearest_other > 10 * out[0].avg_intra
     # collapsed labels: the other centroid is about as close as one's own
     assert out[2].avg_nearest_other < 2 * out[2].avg_intra
+
+
+def test_pca_power_scores_matches_numpy_eig(spark):
+    from raptor_spark.operators.similarity import pca_power_scores
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud: variance 25 along a fixed direction, 0.01 elsewhere
+    d = 6
+    direction = np.ones(d) / math.sqrt(d)
+    data = (
+        rng.normal(0, 5, (80, 1)) * direction
+        + rng.normal(0, 0.1, (80, d))
+        + 3.0  # nonzero mean: centering must matter
+    )
+    rows = [(i, [float(x) for x in data[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r.id: r.pc1
+        for r in pca_power_scores(df, "vec_id", "embedding", n_iter=30).collect()
+    }
+    mu = data.mean(axis=0)
+    cov = np.cov(data, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    want = (data - mu) @ top
+    gv = np.array([got[i] for i in range(80)])
+    # power iteration's sign is fixed by v0=e0; compare up to global sign
+    sign = 1.0 if abs(gv[0] - want[0]) < abs(gv[0] + want[0]) else -1.0
+    assert np.allclose(gv, sign * want, atol=1e-6)
+    # the projection captures nearly all the variance
+    assert gv.var() > 0.95 * np.trace(cov)
