@@ -3175,6 +3175,16 @@ def q_embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training over the corpus (text.bpe_train): 8 greedy
+    merge rounds on the word-frequency table — integer-exact, so the
+    oracle replays the identical loop as unrolled materialized CTEs."""
+    from raptor_spark.operators.text import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", n_merges=8).orderBy("rank")
+
+
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-principal-component projection (similarity.pca_power_scores):
     one moment pass + driver power iteration on the d×d matrix + map-only
@@ -3350,6 +3360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "embedding_silhouette": q_embedding_silhouette,
         "embedding_pca": q_embedding_pca,
+        "bpe_train": q_bpe_train,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -3435,7 +3446,60 @@ def oracle_sql() -> dict[str, str]:
         prev = f"w{t}"
     pca_iter_sql = ", ".join(pca_rounds)
 
+    # bpe_train: 8 unrolled greedy merge rounds. Each round: pair counts
+    # over the (vocab-sized) token table, 1-row argmax (count desc, pair
+    # asc), greedy left-to-right merge fold via list_reduce over
+    # one-element-list-wrapped tokens (list_reduce seeds from the first
+    # element, so the accumulator must already be a list). Integer counts
+    # end-to-end — bit-exact vs Spark by construction.
+    bpe_rounds = []
+    bpe_out = []
+    for t in range(1, 9):
+        bpe_rounds.append(
+            f"""p{t} AS (
+              SELECT p.l AS l, p.r AS r, sum(wc) AS c
+              FROM (
+                SELECT wc,
+                       unnest([{{'l': toks[i], 'r': toks[i + 1]}}
+                               for i in generate_series(1, len(toks) - 1)]) AS p
+                FROM v{t - 1} WHERE len(toks) >= 2
+              ) GROUP BY 1, 2
+            ), t{t} AS MATERIALIZED (
+              SELECT l, r, l || r AS m, c FROM p{t}
+              ORDER BY c DESC, l ASC, r ASC LIMIT 1
+            ), v{t} AS MATERIALIZED (
+              SELECT wc,
+                     list_reduce(
+                       list_transform(toks, x -> [x]),
+                       (acc, x) -> CASE WHEN acc[-1] = t.l AND x[1] = t.r
+                                   THEN list_append(acc[:len(acc) - 1], t.m)
+                                   ELSE list_append(acc, x[1]) END
+                     ) AS toks
+              FROM v{t - 1} CROSS JOIN t{t} t
+            )"""
+        )
+        bpe_out.append(
+            f"SELECT {t} AS rank, l AS \"left\", r AS \"right\", m AS merged,"
+            f" CAST(c AS BIGINT) AS pair_count FROM t{t}"
+        )
+    bpe_iter_sql = ", ".join(bpe_rounds)
+    bpe_union_sql = " UNION ALL ".join(bpe_out)
+
     return {
+        "bpe_train": rf"""
+            WITH wds AS (
+              SELECT unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x != '')) AS w
+              FROM documents
+            ), v0 AS MATERIALIZED (
+              SELECT CAST(count(*) AS BIGINT) AS wc,
+                     list_transform(generate_series(1, CAST(length(w) AS INT)),
+                                    i -> substr(w, CAST(i AS INT), 1)) AS toks
+              FROM wds GROUP BY w
+            ), {bpe_iter_sql}
+            SELECT * FROM ({bpe_union_sql}) ORDER BY rank
+        """,
         "interval_argmax": f"""
             WITH l AS (
               SELECT event_id, user_id, epoch(ts) AS s, epoch(ts)+{seg} AS e

@@ -396,3 +396,86 @@ def word_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).alias("entropy"),
         F.round(F.count("*") / F.sum("c"), 4).alias("ttr"),
     )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str, n_merges: int = 8
+) -> "DataFrame":
+    """Classic BPE merge training (Sennrich et al. 2016) over the corpus:
+    start from characters within words, repeat ``n_merges`` times: count
+    adjacent symbol pairs weighted by word frequency, merge the most
+    frequent pair (ties: lexicographic) greedily left-to-right everywhere.
+    Returns the merge table (rank, left, right, merged, pair_count) — the
+    tokenizer-training artifact an LLM data pipeline derives from its own
+    corpus before token-budget accounting.
+
+    Scale shape: ONE corpus-sized shuffle builds the word-frequency table;
+    every merge round then runs on the VOCABULARY (Heaps-sublinear in
+    corpus size) — an explode/sum pair count, a 1-row driver collect of
+    the argmax (count desc, pair asc), and a map-only greedy fold
+    (F.aggregate) applying the merge. Each round's table is persisted so
+    round k+1 doesn't re-fold rounds 1..k; integer counts end-to-end, so
+    results are bit-exact on any engine."""
+    vocab = (
+        df.select(F.explode(words_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .select(
+            "wc",
+            F.expr(
+                "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+            ).alias("toks"),
+        )
+        .persist()
+    )
+
+    merges = []
+    cur = vocab
+    spark = df.sparkSession
+    for rank in range(1, n_merges + 1):
+        pairs = (
+            cur.select(
+                "wc",
+                F.explode(
+                    F.when(
+                        F.size("toks") >= 2,
+                        F.expr(
+                            "transform(sequence(1, size(toks) - 1),"
+                            " i -> struct(toks[i - 1] AS l, toks[i] AS r))"
+                        ),
+                    ).otherwise(F.expr("array()"))
+                ).alias("p"),
+            )
+            .groupBy("p")
+            .agg(F.sum("wc").alias("c"))
+            .orderBy(F.desc("c"), F.asc("p.l"), F.asc("p.r"))
+        )
+        top = pairs.first()
+        if top is None:
+            break
+        left, right, cnt = top.p.l, top.p.r, top.c
+        merged = left + right
+        merges.append((rank, left, right, merged, int(cnt)))
+        nxt = cur.select(
+            "wc",
+            F.aggregate(
+                "toks",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(left))
+                    & (x == F.lit(right)),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("toks"),
+        ).persist()
+        nxt.count()  # materialize before unpersisting the parent
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    )

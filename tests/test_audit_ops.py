@@ -3,7 +3,8 @@ ranking.zipf_fit (rank-frequency OLS vs numpy recomputation),
 dedup.minhash_signature_md5 / minhash_calibration (hashlib replay +
 duplicate-pair exactness), similarity.label_centroid_audit (planted
 separated vs collapsed label geometry), similarity.pca_power_scores
-(numpy-eigh parity on a planted anisotropic cloud)."""
+(numpy-eigh parity on a planted anisotropic cloud), text.bpe_train
+(pure-python BPE reference parity incl. overlap and tie cases)."""
 
 from __future__ import annotations
 
@@ -149,3 +150,52 @@ def test_pca_power_scores_matches_numpy_eig(spark):
     assert np.allclose(gv, sign * want, atol=1e-6)
     # the projection captures nearly all the variance
     assert gv.var() > 0.95 * np.trace(cov)
+
+
+def _bpe_py(word_counts: dict[str, int], n_merges: int):
+    vocab = {w: (list(w), c) for w, c in word_counts.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for toks, c in vocab.values():
+            for i in range(len(toks) - 1):
+                counts[(toks[i], toks[i + 1])] = (
+                    counts.get((toks[i], toks[i + 1]), 0) + c
+                )
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, l + r, c))
+        for w, (toks, wc) in vocab.items():
+            out: list[str] = []
+            for x in toks:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            vocab[w] = (out, wc)
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from collections import Counter
+
+    from raptor_spark.operators.text import bpe_train
+
+    texts = [
+        (0, "low lower lowest low low"),
+        (1, "new newer newest new"),
+        (2, "aaaa aaaa baaa"),  # overlapping-pair greedy semantics
+        (3, "xy xz"),  # tie broken lexicographically
+    ]
+    wc = Counter(w for _, t in texts for w in t.split())
+    want = _bpe_py(dict(wc), 10)
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_train(docs, "text", n_merges=10).orderBy("rank").collect()
+    ]
+    assert got == want
+    # greedy left-to-right on "aaaa" with (a,a): [aa, aa], not [aa, a, a]+[a, aa]
+    aa = [m for m in want if m[3] == "aa"]
+    assert aa, "fixture must exercise the overlap case"
