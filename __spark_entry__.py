@@ -3185,6 +3185,26 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, "text", n_merges=8).orderBy("rank")
 
 
+def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer efficiency (text.bpe_compression): the
+    corpus-trained 8-merge BPE applied back per source — sources whose
+    compression stays near 1 are OOD vs the tokenizer's training corpus."""
+    from raptor_spark.operators.text import bpe_compression
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bpe_compression(docs, "text", "source", n_merges=8)
+    return out.select(
+        F.col("slice").alias("source"),
+        "n_words",
+        "n_chars",
+        "n_tokens",
+        (F.round(F.col("tokens_per_word"), 4) + F.lit(0.0)).alias(
+            "tokens_per_word"
+        ),
+        (F.round(F.col("compression"), 4) + F.lit(0.0)).alias("compression"),
+    ).orderBy("source")
+
+
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-principal-component projection (similarity.pca_power_scores):
     one moment pass + driver power iteration on the d×d matrix + map-only
@@ -3361,6 +3381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_silhouette": q_embedding_silhouette,
         "embedding_pca": q_embedding_pca,
         "bpe_train": q_bpe_train,
+        "bpe_compression": q_bpe_compression,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -3468,7 +3489,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT l, r, l || r AS m, c FROM p{t}
               ORDER BY c DESC, l ASC, r ASC LIMIT 1
             ), v{t} AS MATERIALIZED (
-              SELECT wc,
+              SELECT w, wc,
                      list_reduce(
                        list_transform(toks, x -> [x]),
                        (acc, x) -> CASE WHEN acc[-1] = t.l AND x[1] = t.r
@@ -3484,21 +3505,46 @@ def oracle_sql() -> dict[str, str]:
         )
     bpe_iter_sql = ", ".join(bpe_rounds)
     bpe_union_sql = " UNION ALL ".join(bpe_out)
-
-    return {
-        "bpe_train": rf"""
+    bpe_with_prefix = rf"""
             WITH wds AS (
               SELECT unnest(list_filter(
                        string_split_regex(lower(trim(text)), '\s+'),
                        x -> x != '')) AS w
               FROM documents
             ), v0 AS MATERIALIZED (
-              SELECT CAST(count(*) AS BIGINT) AS wc,
+              SELECT w, CAST(count(*) AS BIGINT) AS wc,
                      list_transform(generate_series(1, CAST(length(w) AS INT)),
                                     i -> substr(w, CAST(i AS INT), 1)) AS toks
               FROM wds GROUP BY w
-            ), {bpe_iter_sql}
+            ), {bpe_iter_sql}"""
+
+    return {
+        "bpe_train": rf"""
+            {bpe_with_prefix}
             SELECT * FROM ({bpe_union_sql}) ORDER BY rank
+        """,
+        "bpe_compression": rf"""
+            {bpe_with_prefix}, sw AS (
+              SELECT source,
+                     unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x != '')) AS w
+              FROM documents
+            ), swc AS (
+              SELECT source, w, count(*) AS wc FROM sw GROUP BY 1, 2
+            ), vf AS (
+              SELECT w, len(toks) AS n_toks FROM v8
+            )
+            SELECT source,
+                   CAST(sum(wc) AS BIGINT) AS n_words,
+                   CAST(sum(wc * length(w)) AS BIGINT) AS n_chars,
+                   CAST(sum(wc * n_toks) AS BIGINT) AS n_tokens,
+                   round(sum(wc * n_toks) / sum(wc), 4) + 0.0
+                     AS tokens_per_word,
+                   round(sum(wc * n_toks) / sum(wc * length(w)), 4) + 0.0
+                     AS compression
+            FROM swc JOIN vf USING (w)
+            GROUP BY source ORDER BY source
         """,
         "interval_argmax": f"""
             WITH l AS (

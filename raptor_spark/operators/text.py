@@ -399,15 +399,18 @@ def word_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def bpe_train(
-    df: DataFrame, text_col: str, n_merges: int = 8
-) -> "DataFrame":
+    df: DataFrame, text_col: str, n_merges: int = 8, return_vocab: bool = False
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Classic BPE merge training (Sennrich et al. 2016) over the corpus:
     start from characters within words, repeat ``n_merges`` times: count
     adjacent symbol pairs weighted by word frequency, merge the most
     frequent pair (ties: lexicographic) greedily left-to-right everywhere.
     Returns the merge table (rank, left, right, merged, pair_count) — the
     tokenizer-training artifact an LLM data pipeline derives from its own
-    corpus before token-budget accounting.
+    corpus before token-budget accounting. With ``return_vocab=True`` also
+    returns the post-merge vocabulary (w, wc, toks) — the applied tokenizer
+    (a word's token count after training is ``size(toks)``), which
+    `bpe_compression` joins back onto per-slice word counts.
 
     Scale shape: ONE corpus-sized shuffle builds the word-frequency table;
     every merge round then runs on the VOCABULARY (Heaps-sublinear in
@@ -421,6 +424,7 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count("*").alias("wc"))
         .select(
+            "w",
             "wc",
             F.expr(
                 "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
@@ -457,6 +461,7 @@ def bpe_train(
         merged = left + right
         merges.append((rank, left, right, merged, int(cnt)))
         nxt = cur.select(
+            "w",
             "wc",
             F.aggregate(
                 "toks",
@@ -475,7 +480,55 @@ def bpe_train(
         nxt.count()  # materialize before unpersisting the parent
         cur.unpersist()
         cur = nxt
-    cur.unpersist()
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count bigint"
     )
+    if return_vocab:
+        # truncate the 8-round fold lineage so the vocab stays computable
+        # (and cheap) after its cache is released
+        final = cur.localCheckpoint(eager=True)
+        cur.unpersist()
+        return merges_df, final
+    cur.unpersist()
+    return merges_df
+
+
+def bpe_compression(
+    df: DataFrame, text_col: str, slice_col: str, n_merges: int = 8
+) -> DataFrame:
+    """Apply the corpus-trained BPE merges back to the corpus and report
+    per-slice tokenizer efficiency: (slice, n_words, n_chars, n_tokens,
+    tokens_per_word, compression = n_tokens / n_chars). A slice whose
+    compression stays near 1 is text the tokenizer barely helps —
+    out-of-distribution vs the training corpus (the practical signal for
+    "this source needs its own vocab / is garbage").
+
+    Scale shape: merges train globally (`bpe_train`, vocab-sized rounds);
+    the apply is ONE corpus shuffle to (slice, word) counts, then a
+    vocabulary-sized join against the post-merge vocab — per-word token
+    counts ride the join; the corpus itself is never refolded."""
+    merges, vocab = bpe_train(df, text_col, n_merges, return_vocab=True)
+    per_slice = (
+        df.select(
+            F.col(slice_col).alias("slice"),
+            F.explode(words_col(F.col(text_col))).alias("w"),
+        )
+        .groupBy("slice", "w")
+        .agg(F.count("*").alias("wc"))
+    )
+    joined = per_slice.join(
+        vocab.select("w", F.size("toks").alias("n_toks")), "w"
+    )
+    out = joined.groupBy("slice").agg(
+        F.sum("wc").alias("n_words"),
+        F.sum(F.col("wc") * F.length("w")).alias("n_chars"),
+        F.sum(F.col("wc") * F.col("n_toks")).alias("n_tokens"),
+        (F.sum(F.col("wc") * F.col("n_toks")) / F.sum("wc")).alias(
+            "tokens_per_word"
+        ),
+        (
+            F.sum(F.col("wc") * F.col("n_toks"))
+            / F.sum(F.col("wc") * F.length("w"))
+        ).alias("compression"),
+    )
+    return out

@@ -12,7 +12,6 @@ import hashlib
 import math
 
 import numpy as np
-import pyspark.sql.functions as F
 
 from raptor_spark.operators.dedup import (
     minhash_calibration,
@@ -199,3 +198,51 @@ def test_bpe_train_matches_python_reference(spark):
     # greedy left-to-right on "aaaa" with (a,a): [aa, aa], not [aa, a, a]+[a, aa]
     aa = [m for m in want if m[3] == "aa"]
     assert aa, "fixture must exercise the overlap case"
+
+
+def test_bpe_compression_matches_python_reference(spark):
+    from collections import Counter
+
+    from raptor_spark.operators.text import bpe_compression
+
+    texts = [
+        (0, "low lower lowest low low", "a"),
+        (1, "new newer newest new", "a"),
+        (2, "zq xv qzx vxq", "b"),  # OOD slice: merges won't help it
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text", "src"])
+    wc = Counter(w for _, t, _ in texts for w in t.split())
+    merges = _bpe_py(dict(wc), 6)
+    # apply the merges to every word with the same greedy fold
+    vocab = {w: list(w) for w in wc}
+    for _, l, r, m, _ in merges:
+        for w, toks in vocab.items():
+            out: list[str] = []
+            for x in toks:
+                if out and out[-1] == l and x == r:
+                    out[-1] = m
+                else:
+                    out.append(x)
+            vocab[w] = out
+    want = {}
+    for s in ("a", "b"):
+        ws = [w for _, t, src in texts if src == s for w in t.split()]
+        n_words = len(ws)
+        n_chars = sum(len(w) for w in ws)
+        n_tokens = sum(len(vocab[w]) for w in ws)
+        want[s] = (n_words, n_chars, n_tokens)
+    got = {
+        r.slice: r
+        for r in bpe_compression(docs, "text", "src", n_merges=6).collect()
+    }
+    for s in ("a", "b"):
+        assert (got[s].n_words, got[s].n_chars, got[s].n_tokens) == want[s], s
+        assert math.isclose(
+            got[s].tokens_per_word, want[s][2] / want[s][0], abs_tol=1e-12
+        )
+        assert math.isclose(
+            got[s].compression, want[s][2] / want[s][1], abs_tol=1e-12
+        )
+    # the in-distribution slice compresses; the OOD slice barely does
+    assert got["a"].compression < 0.7
+    assert got["b"].compression > 0.9
