@@ -198,3 +198,56 @@ def test_order_sensitive_session_ops_partition_invariant(spark):
         assert outs[0], "empty result — invariance is vacuous"
     ev.unpersist()
     pairs.unpersist()
+
+
+def test_zipf_fit_partition_invariant(spark, docs):
+    from raptor_spark.operators.ranking import zipf_fit
+
+    results = []
+    for d in _layouts(docs):
+        r = zipf_fit(d, "text").collect()[0]
+        results.append(
+            (r.n_terms, r.n_tokens, round(r.slope, 6), round(r.intercept, 6),
+             round(r.r2, 6))
+        )
+    assert results[0] == results[1] == results[2]
+
+
+def test_bpe_train_partition_invariant(spark, docs):
+    from raptor_spark.operators.text import bpe_train
+
+    results = []
+    for d in _layouts(docs):
+        rows = bpe_train(d, "text", n_merges=4).orderBy("rank").collect()
+        results.append([tuple(r) for r in rows])
+    # integer counts end-to-end: exact equality, no rounding needed
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) == 4
+
+
+def test_pca_scores_partition_invariant(spark):
+    from raptor_spark.operators.similarity import pca_power_scores
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    results = []
+    for d in (emb.coalesce(1), emb.repartition(16),
+              emb.orderBy(F.desc("vec_id")).repartition(7, "label")):
+        rows = pca_power_scores(d, "vec_id", "embedding").collect()
+        # FP sums vary with partition boundaries at ~1e-12; the query rounds
+        # to 4 decimals — gate at 6 to leave two orders of headroom
+        results.append({(r.id, round(r.pc1, 6)) for r in rows})
+    assert results[0] == results[1] == results[2]
+
+
+def test_label_centroid_audit_partition_invariant(spark):
+    from raptor_spark.operators.similarity import label_centroid_audit
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    results = []
+    for d in (emb.coalesce(1), emb.repartition(16)):
+        rows = label_centroid_audit(d, "vec_id", "embedding", "label").collect()
+        results.append(
+            {(r.label, r.n_vecs, round(r.avg_intra, 6), round(r.mean_sil, 6))
+             for r in rows}
+        )
+    assert results[0] == results[1]
