@@ -3185,6 +3185,24 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, "text", n_merges=8).orderBy("rank")
 
 
+def q_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source by Dunning G² log-likelihood
+    keyness (ranking.term_keyness) — the corpus-linguistics "what makes
+    this slice different" audit TF-IDF/PMI don't answer."""
+    from raptor_spark.operators.ranking import term_keyness
+
+    docs = _t(spark, sf_dir, "documents")
+    out = term_keyness(docs, "text", "source", top_n=5, min_count=5)
+    return out.select(
+        F.col("slice").alias("source"),
+        "rk",
+        "term",
+        "a",
+        "t",
+        (F.round(F.col("g2"), 4) + F.lit(0.0)).alias("g2"),
+    ).orderBy("source", "rk")
+
+
 def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer efficiency (text.bpe_compression): the
     corpus-trained 8-merge BPE applied back per source — sources whose
@@ -3382,6 +3400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pca": q_embedding_pca,
         "bpe_train": q_bpe_train,
         "bpe_compression": q_bpe_compression,
+        "source_keyness": q_source_keyness,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -3522,6 +3541,49 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": rf"""
             {bpe_with_prefix}
             SELECT * FROM ({bpe_union_sql}) ORDER BY rank
+        """,
+        "source_keyness": r"""
+            WITH w AS (
+              SELECT source AS slice,
+                     unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x != '')) AS term
+              FROM documents
+            ), a AS (
+              SELECT slice, term, CAST(count(*) AS BIGINT) AS a
+              FROM w GROUP BY 1, 2
+            ), tot AS (
+              SELECT term, CAST(sum(a) AS BIGINT) AS t FROM a GROUP BY 1
+            ), n1 AS (
+              SELECT slice, CAST(sum(a) AS BIGINT) AS n1 FROM a GROUP BY 1
+            ), nn AS (
+              SELECT CAST(sum(a) AS BIGINT) AS N FROM a
+            ), j AS (
+              SELECT a.slice, a.term, a.a, tot.t, n1.n1, nn.N,
+                     tot.t - a.a AS b, nn.N - n1.n1 AS n2
+              FROM a JOIN tot USING (term) JOIN n1 USING (slice)
+              CROSS JOIN nn
+              WHERE tot.t >= 5
+                AND a.a * (nn.N - n1.n1) > (tot.t - a.a) * n1.n1
+            ), g AS (
+              SELECT slice, term, a, t,
+                     2.0::DOUBLE * (
+                       a * ln(a / (CAST(n1 AS DOUBLE) * t / N))
+                       + CASE WHEN b > 0
+                         THEN b * ln(b / (CAST(n2 AS DOUBLE) * t / N))
+                         ELSE 0.0::DOUBLE END
+                     ) AS g2
+              FROM j
+            ), r AS (
+              SELECT slice, term, a, t, g2,
+                     row_number() OVER (
+                       PARTITION BY slice ORDER BY g2 DESC, term ASC
+                     ) AS rk
+              FROM g
+            )
+            SELECT slice AS source, CAST(rk AS INT) AS rk, term, a, t,
+                   round(g2, 4) + 0.0 AS g2
+            FROM r WHERE rk <= 5 ORDER BY source, rk
         """,
         "bpe_compression": rf"""
             {bpe_with_prefix}, sw AS (

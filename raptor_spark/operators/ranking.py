@@ -243,3 +243,60 @@ def zipf_fit(df: DataFrame, text_col: str) -> DataFrame:
         ),
         (corr * corr).alias("r2"),
     )
+
+
+def term_keyness(
+    df: DataFrame,
+    text_col: str,
+    slice_col: str,
+    top_n: int = 10,
+    min_count: int = 5,
+) -> DataFrame:
+    """Distinctive terms per slice by log-likelihood keyness (Dunning's G²,
+    the corpus-linguistics standard): for each (slice, term), compare the
+    term's in-slice count ``a`` against its rest-of-corpus count ``b``
+    under the null that the term is slice-independent; keep the ``top_n``
+    OVERREPRESENTED terms (a·n2 > b·n1 — exact integer test) per slice.
+    The "what vocabulary makes this source different" audit that TF-IDF
+    (per-document) and PMI (per-bigram) don't answer.
+
+    Scale shape: one corpus shuffle to (slice, term) counts; term totals
+    and slice totals are re-aggregations of THAT table (vocabulary- and
+    slice-sized, broadcast-eligible under AQE) joined back; the G² scalar
+    math is map-only and the final top-k window partitions by slice over
+    vocabulary-sized rows."""
+    terms = df.select(
+        F.col(slice_col).alias("slice"),
+        F.explode(words_col(F.col(text_col))).alias("term"),
+    )
+    a = terms.groupBy("slice", "term").agg(F.count("*").alias("a"))
+    tot = a.groupBy("term").agg(F.sum("a").alias("t"))
+    n1 = a.groupBy("slice").agg(F.sum("a").alias("n1"))
+    big_n = a.agg(F.sum("a").alias("N"))
+    j = (
+        a.join(tot, "term")
+        .join(F.broadcast(n1), "slice")
+        .crossJoin(F.broadcast(big_n))
+        .filter(F.col("t") >= min_count)
+        .withColumn("b", F.col("t") - F.col("a"))
+        .withColumn("n2", F.col("N") - F.col("n1"))
+        # overrepresented in this slice only (exact integer comparison)
+        .filter(F.col("a") * F.col("n2") > F.col("b") * F.col("n1"))
+    )
+    e1 = F.col("n1").cast("double") * F.col("t") / F.col("N")
+    e2 = F.col("n2").cast("double") * F.col("t") / F.col("N")
+    g2 = 2.0 * (
+        F.col("a") * F.log(F.col("a") / e1)
+        + F.when(
+            F.col("b") > 0, F.col("b") * F.log(F.col("b") / e2)
+        ).otherwise(F.lit(0.0))
+    )
+    w = Window.partitionBy("slice").orderBy(
+        F.desc("g2"), F.asc("term")
+    )
+    return (
+        j.withColumn("g2", g2)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select("slice", "rk", "term", "a", "t", "g2")
+    )

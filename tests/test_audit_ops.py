@@ -246,3 +246,47 @@ def test_bpe_compression_matches_python_reference(spark):
     # the in-distribution slice compresses; the OOD slice barely does
     assert got["a"].compression < 0.7
     assert got["b"].compression > 0.9
+
+
+def test_term_keyness_planted_distinctive_vocab(spark):
+    from raptor_spark.operators.ranking import term_keyness
+
+    # slice "med" over-uses "patient"; slice "law" over-uses "court";
+    # "the" is common everywhere (high count, G2 ~ 0, filtered by the
+    # overrepresentation test or ranked below the planted terms)
+    rows = []
+    for i in range(20):
+        rows.append((i, "the patient felt the dose " + ("patient " * 3), "med"))
+    for i in range(20, 40):
+        rows.append((i, "the court ruled the case " + ("court " * 3), "law"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "src"])
+    out = term_keyness(docs, "text", "src", top_n=3, min_count=5).collect()
+    top = {r.slice: r.term for r in out if r.rk == 1}
+    assert top == {"med": "patient", "law": "court"}
+    # G2 manual check for ("med", "patient"): a=80, t=80, n1=160, N=320
+    med_patient = [r for r in out if r.slice == "med" and r.term == "patient"][0]
+    a, t, n1, big_n = 80, 80, 160, 320
+    b, n2 = t - a, big_n - n1
+    e1 = n1 * t / big_n
+    g2 = 2.0 * (a * math.log(a / e1))  # b == 0 branch contributes 0
+    assert med_patient.a == a and med_patient.t == t
+    assert math.isclose(med_patient.g2, g2, rel_tol=1e-12)
+    # "the" appears in both slices at equal rate: never overrepresented
+    assert not [r for r in out if r.term == "the"]
+
+
+def test_term_keyness_partition_invariance(spark):
+    from raptor_spark.operators.ranking import term_keyness
+
+    rows = [
+        (i, f"alpha beta w{i % 7} w{i % 3} gamma" + " zeta" * (i % 4), f"s{i % 3}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "src"])
+    a = term_keyness(docs, "text", "src", top_n=4, min_count=3)
+    b = term_keyness(
+        docs.repartition(13, "doc_id"), "text", "src", top_n=4, min_count=3
+    )
+    ka = sorted((r.slice, r.rk, r.term, r.a, r.t) for r in a.collect())
+    kb = sorted((r.slice, r.rk, r.term, r.a, r.t) for r in b.collect())
+    assert ka == kb
