@@ -3203,6 +3203,25 @@ def q_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "rk")
 
 
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between source unigram
+    distributions (ranking.vocab_divergence) — the whole-distribution
+    "which sources are interchangeable" audit; base-2, so 0 = identical
+    vocabulary mix and 1 = disjoint."""
+    from raptor_spark.operators.ranking import vocab_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    out = vocab_divergence(docs, "text", "source")
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_tokens_a",
+        "n_tokens_b",
+        "common_terms",
+        (F.round(F.col("jsd"), 4) + F.lit(0.0)).alias("jsd"),
+    ).orderBy("source_a", "source_b")
+
+
 def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer efficiency (text.bpe_compression): the
     corpus-trained 8-merge BPE applied back per source — sources whose
@@ -3401,6 +3420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_compression": q_bpe_compression,
         "source_keyness": q_source_keyness,
+        "source_divergence": q_source_divergence,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -3584,6 +3604,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT slice AS source, CAST(rk AS INT) AS rk, term, a, t,
                    round(g2, 4) + 0.0 AS g2
             FROM r WHERE rk <= 5 ORDER BY source, rk
+        """,
+        "source_divergence": r"""
+            WITH w AS (
+              SELECT source AS s,
+                     unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x != '')) AS term
+              FROM documents
+            ), a AS (
+              SELECT s, term, CAST(count(*) AS BIGINT) AS c
+              FROM w GROUP BY 1, 2
+            ), n1 AS (
+              SELECT s, CAST(sum(c) AS BIGINT) AS n FROM a GROUP BY 1
+            ), p AS (
+              SELECT a.s, a.term, n, c / CAST(n AS DOUBLE) AS p
+              FROM a JOIN n1 USING (s)
+            ), pr AS (
+              SELECT x.s AS sa, y.s AS sb, x.n AS na, y.n AS nb,
+                     x.p AS p, y.p AS q
+              FROM p x JOIN p y ON x.term = y.term AND x.s < y.s
+            ), agg AS (
+              SELECT sa, sb,
+                     CAST(count(*) AS BIGINT) AS common_terms,
+                     sum(p * ln((p + p) / (p + q))) AS klp,
+                     sum(q * ln((q + q) / (p + q))) AS klq,
+                     sum(p) AS cpx, sum(q) AS cpy
+              FROM pr GROUP BY 1, 2
+            ), grid AS (
+              SELECT ga.s AS sa, gb.s AS sb, ga.n AS na, gb.n AS nb
+              FROM n1 ga JOIN n1 gb ON ga.s < gb.s
+            ), filled AS (
+              SELECT sa, sb, na, nb,
+                     COALESCE(common_terms, 0) AS common_terms,
+                     COALESCE(klp, 0.0::DOUBLE) AS klp,
+                     COALESCE(klq, 0.0::DOUBLE) AS klq,
+                     COALESCE(cpx, 0.0::DOUBLE) AS cpx,
+                     COALESCE(cpy, 0.0::DOUBLE) AS cpy
+              FROM grid LEFT JOIN agg USING (sa, sb)
+            )
+            SELECT sa AS source_a, sb AS source_b,
+                   na AS n_tokens_a, nb AS n_tokens_b, common_terms,
+                   round((0.5::DOUBLE * (klp
+                            + 0.6931471805599453::DOUBLE * (1.0::DOUBLE - cpx))
+                        + 0.5::DOUBLE * (klq
+                            + 0.6931471805599453::DOUBLE * (1.0::DOUBLE - cpy)))
+                        / 0.6931471805599453::DOUBLE, 4) + 0.0 AS jsd
+            FROM filled ORDER BY source_a, source_b
         """,
         "bpe_compression": rf"""
             {bpe_with_prefix}, sw AS (

@@ -300,3 +300,95 @@ def term_keyness(
         .filter(F.col("rk") <= top_n)
         .select("slice", "rk", "term", "a", "t", "g2")
     )
+
+
+def vocab_divergence(
+    df: DataFrame,
+    text_col: str,
+    slice_col: str,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (base 2, so 0 = identical and
+    1 = disjoint) between the unigram distributions of every pair of
+    slices — the "which sources are interchangeable vs genuinely
+    different" audit that complements psi_drift (numeric, vs one
+    reference slice) and term_keyness (per-term, not whole-distribution).
+
+    Sparse-exact decomposition: with M = (P+Q)/2,
+      KL(P||M) = sum_{common} p*ln(2p/(p+q)) + ln2 * (1 - sum_{common} p)
+    because every P-only term contributes p*ln(p/(p/2)) = p*ln2 — so only
+    the INTERSECTION of the two vocabularies is ever joined; the disjoint
+    mass enters through the common-probability sums.
+
+    Scale shape: one corpus shuffle to (slice, term) counts; the pair join
+    is a vocabulary-keyed self-join whose per-term fan-out is bounded by
+    the number of slices (sources are few — the output is C(S,2) rows);
+    nothing corpus-sized crosses it."""
+    a = (
+        df.select(
+            F.col(slice_col).alias("s"),
+            F.explode(words_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy("s", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    # four consumers (n1, both sides of the term self-join via p, and the
+    # grid through n1) — unpersisted, each would re-run the corpus
+    # explode+count; persisted, the corpus is scanned exactly once and
+    # everything downstream re-aggregates the vocabulary-sized table
+    a = a.persist()
+    n1 = a.groupBy("s").agg(F.sum("c").alias("n"))
+    p = a.join(F.broadcast(n1), "s").select(
+        "s", "term", "n", (F.col("c") / F.col("n")).alias("p")
+    )
+    x, y = p.alias("x"), p.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.term") == F.col("y.term")) & (F.col("x.s") < F.col("y.s")),
+    ).select(
+        F.col("x.s").alias("sa"),
+        F.col("y.s").alias("sb"),
+        F.col("x.n").alias("na"),
+        F.col("y.n").alias("nb"),
+        F.col("x.p").alias("p"),
+        F.col("y.p").alias("q"),
+    )
+    ln2 = 0.6931471805599453
+    agg = pairs.groupBy("sa", "sb").agg(
+        F.count("*").alias("common_terms"),
+        F.sum(F.col("p") * F.log(2.0 * F.col("p") / (F.col("p") + F.col("q")))).alias("klp"),
+        F.sum(F.col("q") * F.log(2.0 * F.col("q") / (F.col("p") + F.col("q")))).alias("klq"),
+        F.sum("p").alias("cpx"),
+        F.sum("q").alias("cpy"),
+    )
+    # the pair GRID comes from the slice totals (slice-count-sized), not the
+    # common-term join: a fully vocabulary-disjoint pair must still report
+    # jsd = 1, not silently vanish from the audit
+    ga, gb = n1.alias("ga"), n1.alias("gb")
+    grid = ga.join(gb, F.col("ga.s") < F.col("gb.s")).select(
+        F.col("ga.s").alias("sa"),
+        F.col("gb.s").alias("sb"),
+        F.col("ga.n").alias("na"),
+        F.col("gb.n").alias("nb"),
+    )
+    filled = grid.join(agg, ["sa", "sb"], "left").select(
+        "sa",
+        "sb",
+        "na",
+        "nb",
+        F.coalesce("common_terms", F.lit(0)).alias("common_terms"),
+        F.coalesce("klp", F.lit(0.0)).alias("klp"),
+        F.coalesce("klq", F.lit(0.0)).alias("klq"),
+        F.coalesce("cpx", F.lit(0.0)).alias("cpx"),
+        F.coalesce("cpy", F.lit(0.0)).alias("cpy"),
+    )
+    jsd_nats = 0.5 * (F.col("klp") + ln2 * (1.0 - F.col("cpx"))) + 0.5 * (
+        F.col("klq") + ln2 * (1.0 - F.col("cpy"))
+    )
+    return filled.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        F.col("na").alias("n_tokens_a"),
+        F.col("nb").alias("n_tokens_b"),
+        F.col("common_terms"),
+        (jsd_nats / ln2).alias("jsd"),
+    )

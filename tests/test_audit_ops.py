@@ -290,3 +290,54 @@ def test_term_keyness_partition_invariance(spark):
     ka = sorted((r.slice, r.rk, r.term, r.a, r.t) for r in a.collect())
     kb = sorted((r.slice, r.rk, r.term, r.a, r.t) for r in b.collect())
     assert ka == kb
+
+
+def test_vocab_divergence_planted_geometry(spark):
+    from raptor_spark.operators.ranking import vocab_divergence
+
+    # "a" and "b" share the exact same unigram distribution -> JSD ~ 0;
+    # "c" is vocabulary-disjoint from both -> JSD exactly 1 (base 2)
+    rows = []
+    for i in range(10):
+        rows.append((i, "red green green blue", "a"))
+        rows.append((100 + i, "green blue red green", "b"))
+        rows.append((200 + i, "cyan magenta magenta yellow", "c"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "src"])
+    out = {
+        (r.source_a, r.source_b): r
+        for r in vocab_divergence(docs, "text", "src").collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert ab.n_tokens_a == 40 and ab.n_tokens_b == 40
+    assert ab.common_terms == 3
+    assert abs(ab.jsd) < 1e-12
+    # disjoint-vocabulary pairs must still appear (grid from slice totals,
+    # not the common-term join) with exactly jsd = 1
+    for pair in (("a", "c"), ("b", "c")):
+        r = out[pair]
+        assert r.common_terms == 0
+        assert math.isclose(r.jsd, 1.0, rel_tol=1e-12)
+
+
+def test_vocab_divergence_partition_invariance(spark):
+    from raptor_spark.operators.ranking import vocab_divergence
+
+    rows = [
+        (i, f"w{i % 11} w{i % 5} alpha beta" + " gamma" * (i % 3), f"s{i % 4}")
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "src"])
+    a = vocab_divergence(docs, "text", "src")
+    b = vocab_divergence(docs.repartition(13, "doc_id"), "text", "src")
+    ka = sorted(
+        (r.source_a, r.source_b, r.n_tokens_a, r.n_tokens_b, r.common_terms,
+         round(r.jsd, 10))
+        for r in a.collect()
+    )
+    kb = sorted(
+        (r.source_a, r.source_b, r.n_tokens_a, r.n_tokens_b, r.common_terms,
+         round(r.jsd, 10))
+        for r in b.collect()
+    )
+    assert ka == kb
