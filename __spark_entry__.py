@@ -3222,6 +3222,29 @@ def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source_a", "source_b")
 
 
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association lift between part brands within an order
+    (relational.basket_lift) — which brands travel together more than
+    independence predicts; the relational twin of bigram PMI."""
+    from raptor_spark.operators.relational import basket_lift
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    facts = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        "l_orderkey", "p_brand"
+    )
+    out = basket_lift(facts, "l_orderkey", "p_brand", min_support=5)
+    return out.select(
+        F.col("item_a").alias("brand_a"),
+        F.col("item_b").alias("brand_b"),
+        "n_co",
+        "n_a",
+        "n_b",
+        "n_baskets",
+        (F.round(F.col("lift"), 4) + F.lit(0.0)).alias("lift"),
+    ).orderBy("brand_a", "brand_b")
+
+
 def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer efficiency (text.bpe_compression): the
     corpus-trained 8-merge BPE applied back per source — sources whose
@@ -3421,6 +3444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_compression": q_bpe_compression,
         "source_keyness": q_source_keyness,
         "source_divergence": q_source_divergence,
+        "basket_lift": q_basket_lift,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -3651,6 +3675,34 @@ def oracle_sql() -> dict[str, str]:
                             + 0.6931471805599453::DOUBLE * (1.0::DOUBLE - cpy)))
                         / 0.6931471805599453::DOUBLE, 4) + 0.0 AS jsd
             FROM filled ORDER BY source_a, source_b
+        """,
+        "basket_lift": """
+            WITH b AS (
+              SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+            ), co AS (
+              SELECT x.item AS a, y.item AS b,
+                     CAST(count(*) AS BIGINT) AS n_co
+              FROM b x JOIN b y
+                ON x.basket = y.basket AND x.item < y.item
+              GROUP BY 1, 2
+            ), marg AS (
+              SELECT item, CAST(count(*) AS BIGINT) AS n_item
+              FROM b GROUP BY 1
+            ), tot AS (
+              SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets
+              FROM b
+            )
+            SELECT a AS brand_a, b AS brand_b, n_co,
+                   ia.n_item AS n_a, ib.n_item AS n_b, n_baskets,
+                   round(n_co * CAST(n_baskets AS DOUBLE)
+                         / (ia.n_item * ib.n_item), 4) + 0.0 AS lift
+            FROM co
+            JOIN marg ia ON co.a = ia.item
+            JOIN marg ib ON co.b = ib.item
+            CROSS JOIN tot
+            WHERE n_co >= 5
+            ORDER BY brand_a, brand_b
         """,
         "bpe_compression": rf"""
             {bpe_with_prefix}, sw AS (

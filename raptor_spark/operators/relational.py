@@ -397,3 +397,75 @@ def cohort_retention(
         F.col("cohort_n").cast("long").alias("cohort_n"),
         F.round(F.col("n_active") / F.col("cohort_n"), 4).alias("retention"),
     )
+
+
+def basket_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 3,
+) -> DataFrame:
+    """Association-rule lift over unordered item pairs within a basket:
+    lift(a,b) = P(a,b) / (P(a)·P(b)) with probabilities over baskets —
+    the market-basket co-occurrence audit (which item pairs travel
+    together more than independence predicts), the relational twin of
+    bigram PMI.
+
+    Scale shape: one basket-keyed shuffle collapses the fact table to
+    per-basket distinct item SETS (collect_set dedups presence); the
+    unordered-pair explosion is map-side over those small arrays (fan-out
+    bounded by basket size squared, ~4 items/basket here); the pair
+    aggregation and the item marginals are item-dimension-sized and
+    broadcast back. Nothing basket-count-sized is ever joined to itself.
+    """
+    sets = (
+        df.groupBy(F.col(basket_col).alias("basket"))
+        .agg(F.sort_array(F.collect_set(F.col(item_col))).alias("items"))
+        .persist()
+    )
+    # two-arg transform lambda receives (element, 0-based index); slice is
+    # 1-based, so i+2 starts just past the current element -> a < b pairs
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "items",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("items"), i + 2, F.size("items")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("pr")
+    ).select("pr.a", "pr.b")
+    co = pairs.groupBy("a", "b").agg(F.count("*").alias("n_co"))
+    marg = (
+        sets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("n_item"))
+    )
+    tot = sets.agg(F.count("*").alias("n_baskets"))
+    return (
+        co.filter(F.col("n_co") >= min_support)
+        .join(
+            F.broadcast(marg.select(F.col("item").alias("a"), F.col("n_item").alias("n_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("item").alias("b"), F.col("n_item").alias("n_b"))),
+            "b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a").alias("item_a"),
+            F.col("b").alias("item_b"),
+            "n_co",
+            "n_a",
+            "n_b",
+            "n_baskets",
+            (
+                F.col("n_co") * F.col("n_baskets").cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )

@@ -341,3 +341,41 @@ def test_vocab_divergence_partition_invariance(spark):
         for r in b.collect()
     )
     assert ka == kb
+
+
+def test_basket_lift_manual_counts(spark):
+    from raptor_spark.operators.relational import basket_lift
+
+    rows = []
+    for b in range(4):
+        rows += [(b, "x"), (b, "y"), (b, "x")]  # dup x: presence, not count
+    for b in (4, 5):
+        rows += [(b, "x"), (b, "z")]
+    for b in (6, 7):
+        rows += [(b, "y")]
+    for b in (8, 9):
+        rows += [(b, "z")]
+    facts = spark.createDataFrame(rows, ["basket", "item"])
+    out = {
+        (r.item_a, r.item_b): r
+        for r in basket_lift(facts, "basket", "item", min_support=2).collect()
+    }
+    # n_x=6, n_y=6, n_z=4, N=10; co(x,y)=4, co(x,z)=2, co(y,z)=0
+    assert set(out) == {("x", "y"), ("x", "z")}
+    xy = out[("x", "y")]
+    assert (xy.n_co, xy.n_a, xy.n_b, xy.n_baskets) == (4, 6, 6, 10)
+    assert math.isclose(xy.lift, 4 * 10 / 36.0, rel_tol=1e-12)
+    xz = out[("x", "z")]
+    assert (xz.n_co, xz.n_a, xz.n_b) == (2, 6, 4)
+    assert math.isclose(xz.lift, 2 * 10 / 24.0, rel_tol=1e-12)
+
+
+def test_basket_lift_partition_invariance(spark):
+    from raptor_spark.operators.relational import basket_lift
+
+    rows = [(i % 17, f"it{(i * 7) % 6}") for i in range(200)]
+    facts = spark.createDataFrame(rows, ["basket", "item"])
+    a = basket_lift(facts, "basket", "item", min_support=2)
+    b = basket_lift(facts.repartition(13, "item"), "basket", "item", min_support=2)
+    key = lambda r: (r.item_a, r.item_b, r.n_co, r.n_a, r.n_b, r.n_baskets, round(r.lift, 10))
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
