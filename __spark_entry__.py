@@ -3245,6 +3245,25 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("brand_a", "brand_b")
 
 
+def q_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness of per-user inter-arrival gaps per event
+    type (profile.interarrival_burstiness) — the clumping audit that
+    catches replayed/botted streams a mean-rate monitor can't."""
+    from raptor_spark.operators.profile import interarrival_burstiness
+
+    ev = _t(spark, sf_dir, "events")
+    out = interarrival_burstiness(
+        ev, ["user_id"], "event_type", "ts", "event_id"
+    )
+    return out.select(
+        F.col("slice").alias("event_type"),
+        "n_gaps",
+        (F.round(F.col("mean_gap_s"), 4) + F.lit(0.0)).alias("mean_gap_s"),
+        (F.round(F.col("cv"), 4) + F.lit(0.0)).alias("cv"),
+        (F.round(F.col("burstiness"), 4) + F.lit(0.0)).alias("burstiness"),
+    ).orderBy("event_type")
+
+
 def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer efficiency (text.bpe_compression): the
     corpus-trained 8-merge BPE applied back per source — sources whose
@@ -3445,6 +3464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_keyness": q_source_keyness,
         "source_divergence": q_source_divergence,
         "basket_lift": q_basket_lift,
+        "event_burstiness": q_event_burstiness,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -3703,6 +3723,27 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             WHERE n_co >= 5
             ORDER BY brand_a, brand_b
+        """,
+        "event_burstiness": """
+            WITH g AS (
+              SELECT event_type,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id
+                     ) AS gap
+              FROM events
+            ), agg AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n_gaps,
+                     avg(gap) AS mu,
+                     stddev_pop(gap) AS sd
+              FROM g WHERE gap IS NOT NULL GROUP BY 1
+            )
+            SELECT event_type, n_gaps,
+                   round(mu / 1e6, 4) + 0.0 AS mean_gap_s,
+                   round(sd / mu, 4) + 0.0 AS cv,
+                   round((sd - mu) / (sd + mu), 4) + 0.0 AS burstiness
+            FROM agg ORDER BY event_type
         """,
         "bpe_compression": rf"""
             {bpe_with_prefix}, sw AS (

@@ -561,3 +561,57 @@ def psi_drift(
         )
         .select(F.col("k").alias(key_col), F.col("n_docs").cast("long").alias("n_docs"), "psi")
     )
+
+
+def interarrival_burstiness(
+    df: DataFrame,
+    key_cols: list[str],
+    slice_col: str,
+    ts_col: str,
+    order_tiebreak: str,
+) -> DataFrame:
+    """Goh–Barabási burstiness of inter-arrival times per ``slice_col``:
+    B = (σ − μ) / (σ + μ) over the gaps between consecutive events of the
+    same ``key_cols`` stream — B ≈ −1 periodic, 0 Poisson, → 1 bursty.
+    The stream-health audit that catches replayed/botted event sources a
+    mean-rate monitor can't (same rate, different clumping).
+
+    Scale shape: one (key, slice)-partitioned window computes the lag
+    gaps (the only corpus-sized shuffle); the roll-up is slice-dimension
+    sized. Gaps are exact integer microseconds; only the final moments
+    are floating point. Ties in ``ts_col`` are broken by
+    ``order_tiebreak``, but gap MULTISETS are tie-order invariant (they
+    are differences of the sorted timestamp sequence), so the output is
+    deterministic either way."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols, "slice").orderBy(
+        F.col("t"), F.col(order_tiebreak)
+    )
+    gaps = (
+        df.select(
+            F.col(slice_col).alias("slice"),
+            *[F.col(c) for c in key_cols],
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+            F.col(order_tiebreak),
+        )
+        .withColumn("gap", F.col("t") - F.lag("t").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    mu = F.col("mean_gap_us")
+    sd = F.col("sd_gap_us")
+    return (
+        gaps.groupBy("slice")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.avg("gap").alias("mean_gap_us"),
+            F.stddev_pop("gap").alias("sd_gap_us"),
+        )
+        .select(
+            "slice",
+            "n_gaps",
+            (mu / 1e6).alias("mean_gap_s"),
+            (sd / mu).alias("cv"),
+            ((sd - mu) / (sd + mu)).alias("burstiness"),
+        )
+    )

@@ -379,3 +379,65 @@ def test_basket_lift_partition_invariance(spark):
     b = basket_lift(facts.repartition(13, "item"), "basket", "item", min_support=2)
     key = lambda r: (r.item_a, r.item_b, r.n_co, r.n_a, r.n_b, r.n_baskets, round(r.lift, 10))
     assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_interarrival_burstiness_planted_geometry(spark):
+    from datetime import datetime, timedelta
+
+    from raptor_spark.operators.profile import interarrival_burstiness
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # periodic: every 10 s exactly -> sigma = 0, B = -1, cv = 0
+    for i in range(11):
+        rows.append((eid, t0 + timedelta(seconds=10 * i), 1, "periodic"))
+        eid += 1
+    # bursty: gaps [1]*9 + [91] -> mu = 10 s, sigma = 27 s, B = 17/37
+    t = t0
+    rows.append((eid, t, 2, "bursty")); eid += 1
+    for g in [1] * 9 + [91]:
+        t = t + timedelta(seconds=g)
+        rows.append((eid, t, 2, "bursty"))
+        eid += 1
+    # a second periodic user shifted by 3 s: gaps must NOT cross users
+    for i in range(5):
+        rows.append((eid, t0 + timedelta(seconds=3 + 10 * i), 3, "periodic"))
+        eid += 1
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {
+        r.slice: r
+        for r in interarrival_burstiness(
+            ev, ["user_id"], "event_type", "ts", "event_id"
+        ).collect()
+    }
+    per = out["periodic"]
+    assert per.n_gaps == 10 + 4  # per-stream gaps only
+    assert math.isclose(per.cv, 0.0, abs_tol=1e-12)
+    assert math.isclose(per.burstiness, -1.0, rel_tol=1e-12)
+    assert math.isclose(per.mean_gap_s, 10.0, rel_tol=1e-12)
+    bur = out["bursty"]
+    assert bur.n_gaps == 10
+    assert math.isclose(bur.mean_gap_s, 10.0, rel_tol=1e-12)
+    assert math.isclose(bur.burstiness, 17.0 / 37.0, rel_tol=1e-12)
+    assert math.isclose(bur.cv, 2.7, rel_tol=1e-12)
+
+
+def test_interarrival_burstiness_partition_invariance(spark):
+    from datetime import datetime, timedelta
+
+    from raptor_spark.operators.profile import interarrival_burstiness
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(seconds=(i * 37) % 1000), i % 7, f"t{i % 3}")
+        for i in range(300)
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    a = interarrival_burstiness(ev, ["user_id"], "event_type", "ts", "event_id")
+    b = interarrival_burstiness(
+        ev.repartition(13, "event_id"), ["user_id"], "event_type", "ts", "event_id"
+    )
+    key = lambda r: (r.slice, r.n_gaps, round(r.mean_gap_s, 8), round(r.cv, 8),
+                     round(r.burstiness, 8))
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
