@@ -3264,6 +3264,27 @@ def q_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_rate_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point on the daily event-rate series per event type
+    (profile.cusum_changepoint) — the single most likely level shift of
+    each type's rate; argmax decided in exact BIGINT arithmetic."""
+    from raptor_spark.operators.profile import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events")
+    out = cusum_changepoint(ev, "event_type", "ts")
+    r4 = lambda c: F.round(F.col(c), 4) + F.lit(0.0)
+    return out.select(
+        F.col("slice").alias("event_type"),
+        "n_days",
+        "cp_day",
+        r4("max_cusum").alias("max_cusum"),
+        r4("stat").alias("stat"),
+        r4("mean_before").alias("mean_before"),
+        r4("mean_after").alias("mean_after"),
+        r4("shift").alias("shift"),
+    ).orderBy("event_type")
+
+
 def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer efficiency (text.bpe_compression): the
     corpus-trained 8-merge BPE applied back per source — sources whose
@@ -3465,6 +3486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_divergence": q_source_divergence,
         "basket_lift": q_basket_lift,
         "event_burstiness": q_event_burstiness,
+        "rate_changepoint": q_rate_changepoint,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -3744,6 +3766,57 @@ def oracle_sql() -> dict[str, str]:
                    round(sd / mu, 4) + 0.0 AS cv,
                    round((sd - mu) / (sd + mu), 4) + 0.0 AS burstiness
             FROM agg ORDER BY event_type
+        """,
+        "rate_changepoint": """
+            WITH ev AS (
+              SELECT event_type AS slice, date_trunc('day', ts)::DATE AS d
+              FROM events
+            ), counts AS (
+              SELECT slice, d, CAST(count(*) AS BIGINT) AS c
+              FROM ev GROUP BY 1, 2
+            ), bounds AS (
+              SELECT min(d) AS min_d, max(d) AS max_d FROM ev
+            ), grid AS (
+              SELECT slice,
+                     unnest(generate_series(min_d, max_d,
+                                            INTERVAL 1 DAY))::DATE AS d
+              FROM (SELECT DISTINCT slice FROM ev) CROSS JOIN bounds
+            ), filled AS (
+              SELECT g.slice, g.d, CAST(COALESCE(c, 0) AS BIGINT) AS c
+              FROM grid g LEFT JOIN counts USING (slice, d)
+            ), per AS (
+              SELECT slice, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(c) AS BIGINT) AS total,
+                     stddev_pop(c) AS sd
+              FROM filled GROUP BY 1
+            ), series AS (
+              SELECT filled.slice, d, n, total, sd,
+                     CAST(row_number() OVER w AS BIGINT) AS i,
+                     CAST(sum(c) OVER w AS BIGINT) AS cum
+              FROM filled JOIN per USING (slice)
+              WINDOW w AS (PARTITION BY filled.slice ORDER BY d
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), scored AS (
+              SELECT *, n * cum - i * total AS t_stat
+              FROM series WHERE i < n
+            ), cp AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY slice
+                       ORDER BY abs(t_stat) DESC, d ASC) AS rk
+              FROM scored
+            )
+            SELECT slice AS event_type, n AS n_days, d AS cp_day,
+                   round(abs(t_stat) / CAST(n AS DOUBLE), 4) + 0.0
+                     AS max_cusum,
+                   round(CASE WHEN sd > 0
+                         THEN abs(t_stat) / (n * sd * sqrt(n))
+                         ELSE 0.0::DOUBLE END, 4) + 0.0 AS stat,
+                   round(cum / CAST(i AS DOUBLE), 4) + 0.0 AS mean_before,
+                   round((total - cum) / CAST(n - i AS DOUBLE), 4) + 0.0
+                     AS mean_after,
+                   round((total - cum) / CAST(n - i AS DOUBLE)
+                         - cum / CAST(i AS DOUBLE), 4) + 0.0 AS shift
+            FROM cp WHERE rk = 1 ORDER BY event_type
         """,
         "bpe_compression": rf"""
             {bpe_with_prefix}, sw AS (

@@ -615,3 +615,84 @@ def interarrival_burstiness(
             ((sd - mu) / (sd + mu)).alias("burstiness"),
         )
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    slice_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """CUSUM change-point detection on the daily event-rate series per
+    ``slice_col``: the bucket i maximizing |S_i|, S_i = Σ_{j≤i}(x_j − x̄),
+    is the most likely single change point of the rate (Page's statistic
+    over counts). The level-shift audit a trend fit (value_trends) and a
+    dispersion monitor both miss.
+
+    Engine-portable by construction: the argmax compares
+    T_i = n·cum_i − i·total — exact BIGINT arithmetic, no floating-point
+    cumulative sums — so the chosen change point is identical on any
+    engine; only the reported magnitudes are doubles. Candidates are
+    restricted to i < n (a change after the last bucket is not a change).
+
+    Scale shape: one corpus shuffle to (slice, day) counts; the day grid
+    is slice-dim × window-days (zero-filled — an empty day IS a rate
+    observation); the cumulative window and argmax run over that tiny
+    series table."""
+    from pyspark.sql.window import Window
+
+    ev = df.select(
+        F.col(slice_col).alias("slice"),
+        F.date_trunc("day", F.col(ts_col).cast("timestamp")).cast("date").alias("d"),
+    )
+    counts = ev.groupBy("slice", "d").agg(F.count("*").alias("c"))
+    bounds = ev.agg(F.min("d").alias("min_d"), F.max("d").alias("max_d"))
+    grid = (
+        ev.select("slice")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "slice",
+            F.explode(F.sequence(F.col("min_d"), F.col("max_d"))).alias("d"),
+        )
+    )
+    filled = grid.join(counts, ["slice", "d"], "left").select(
+        "slice", "d", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    per = filled.groupBy("slice").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("total"),
+        F.stddev_pop("c").alias("sd"),
+    )
+    w = Window.partitionBy("slice").orderBy("d")
+    series = (
+        filled.join(F.broadcast(per), "slice")
+        .withColumn("i", F.row_number().over(w))
+        .withColumn("cum", F.sum("c").over(w))
+        .withColumn("t_stat", F.col("n") * F.col("cum") - F.col("i") * F.col("total"))
+    )
+    pick = Window.partitionBy("slice").orderBy(
+        F.abs(F.col("t_stat")).desc(), F.col("d").asc()
+    )
+    cp = (
+        series.filter(F.col("i") < F.col("n"))
+        .withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+    )
+    mean_before = F.col("cum") / F.col("i")
+    mean_after = (F.col("total") - F.col("cum")) / (F.col("n") - F.col("i"))
+    return cp.select(
+        F.col("slice"),
+        F.col("n").alias("n_days"),
+        F.col("d").alias("cp_day"),
+        (F.abs(F.col("t_stat")) / F.col("n")).alias("max_cusum"),
+        F.when(
+            F.col("sd") > 0,
+            F.abs(F.col("t_stat"))
+            / (F.col("n") * F.col("sd") * F.sqrt(F.col("n"))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("stat"),
+        mean_before.alias("mean_before"),
+        mean_after.alias("mean_after"),
+        (mean_after - mean_before).alias("shift"),
+    )

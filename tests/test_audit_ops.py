@@ -441,3 +441,69 @@ def test_interarrival_burstiness_partition_invariance(spark):
     key = lambda r: (r.slice, r.n_gaps, round(r.mean_gap_s, 8), round(r.cv, 8),
                      round(r.burstiness, 8))
     assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_cusum_changepoint_planted_step(spark):
+    from datetime import datetime, timedelta
+
+    from raptor_spark.operators.profile import cusum_changepoint
+
+    d0 = datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    # "step": 3/day on days 0-9, 9/day on days 10-19 -> cp after day index 9,
+    # |S| peak 30, mean_before 3, mean_after 9
+    for day in range(20):
+        for k in range(3 if day < 10 else 9):
+            rows.append((eid, d0 + timedelta(days=day, minutes=k), "step"))
+            eid += 1
+    # "flat": exactly 4/day -> sd = 0, stat = 0, t_stat = 0 everywhere,
+    # tie broken to the earliest day
+    for day in range(20):
+        for k in range(4):
+            rows.append((eid, d0 + timedelta(days=day, minutes=k), "flat"))
+            eid += 1
+    # "gappy": 2/day except day 7 has none -> the zero-filled grid must
+    # count day 7 as an observation (n_days = 20, cp lands at day 7 area)
+    for day in range(20):
+        if day == 7:
+            continue
+        for k in range(2):
+            rows.append((eid, d0 + timedelta(days=day, minutes=k), "gappy"))
+            eid += 1
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    out = {r.slice: r for r in cusum_changepoint(ev, "event_type", "ts").collect()}
+    assert set(out) == {"step", "flat", "gappy"}
+    assert all(out[k].n_days == 20 for k in out)
+
+    st = out["step"]
+    assert st.cp_day.day == 10  # March 10 = last low-rate day (index 9)
+    assert math.isclose(st.max_cusum, 30.0, rel_tol=1e-12)
+    assert math.isclose(st.mean_before, 3.0, rel_tol=1e-12)
+    assert math.isclose(st.mean_after, 9.0, rel_tol=1e-12)
+    assert math.isclose(st.shift, 6.0, rel_tol=1e-12)
+    assert math.isclose(st.stat, 30.0 / (3.0 * math.sqrt(20)), rel_tol=1e-12)
+
+    fl = out["flat"]
+    assert fl.cp_day.day == 1 and fl.max_cusum == 0.0 and fl.stat == 0.0
+
+    gp = out["gappy"]
+    assert gp.n_days == 20  # zero-filled day 7 counted
+
+
+def test_cusum_changepoint_partition_invariance(spark):
+    from datetime import datetime, timedelta
+
+    from raptor_spark.operators.profile import cusum_changepoint
+
+    d0 = datetime(2024, 3, 1)
+    rows = [
+        (i, d0 + timedelta(days=(i * 13) % 25, seconds=i), f"t{i % 3}")
+        for i in range(400)
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    a = cusum_changepoint(ev, "event_type", "ts")
+    b = cusum_changepoint(ev.repartition(17, "event_id"), "event_type", "ts")
+    key = lambda r: (r.slice, r.n_days, r.cp_day, round(r.max_cusum, 8),
+                     round(r.stat, 8), round(r.shift, 8))
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
