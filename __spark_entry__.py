@@ -3285,6 +3285,25 @@ def q_rate_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift of each source's document-length
+    distribution vs the rest of the corpus (profile.ks_drift) — the
+    distribution-free twin of source_drift_psi; sup location decided in
+    exact BIGINT."""
+    from raptor_spark.operators.profile import ks_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ks_drift(docs, "source", "n_chars")
+    return out.select(
+        F.col("slice").alias("source"),
+        "n_s",
+        "n_r",
+        "at_value",
+        (F.round(F.col("ks_d"), 4) + F.lit(0.0)).alias("ks_d"),
+        (F.round(F.col("ks_scaled"), 4) + F.lit(0.0)).alias("ks_scaled"),
+    ).orderBy("source")
+
+
 def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer efficiency (text.bpe_compression): the
     corpus-trained 8-merge BPE applied back per source — sources whose
@@ -3487,6 +3506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_lift": q_basket_lift,
         "event_burstiness": q_event_burstiness,
         "rate_changepoint": q_rate_changepoint,
+        "source_ks_drift": q_source_ks_drift,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -3817,6 +3837,53 @@ def oracle_sql() -> dict[str, str]:
                    round((total - cum) / CAST(n - i AS DOUBLE)
                          - cum / CAST(i AS DOUBLE), 4) + 0.0 AS shift
             FROM cp WHERE rk = 1 ORDER BY event_type
+        """,
+        "source_ks_drift": """
+            WITH cv AS (
+              SELECT source AS s, n_chars AS v,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM documents GROUP BY 1, 2
+            ), gv AS (
+              SELECT v, CAST(sum(c) AS BIGINT) AS cg FROM cv GROUP BY 1
+            ), grid AS (
+              SELECT s, v
+              FROM (SELECT DISTINCT s FROM cv) CROSS JOIN (SELECT v FROM gv)
+            ), filled AS (
+              SELECT grid.s, grid.v, CAST(COALESCE(c, 0) AS BIGINT) AS c
+              FROM grid LEFT JOIN cv USING (s, v)
+            ), cum_g AS (
+              SELECT v, CAST(sum(cg) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_g
+              FROM gv
+            ), tot AS (
+              SELECT s, CAST(sum(c) AS BIGINT) AS n_s FROM cv GROUP BY 1
+            ), nn AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n_all FROM cv
+            ), scored AS (
+              SELECT f.s, f.v, n_s, n_all - n_s AS n_r,
+                     CAST(sum(c) OVER (PARTITION BY f.s ORDER BY f.v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_s,
+                     cum_g
+              FROM filled f
+              JOIN cum_g USING (v) JOIN tot USING (s) CROSS JOIN nn
+            ), t AS (
+              SELECT s, v, n_s, n_r,
+                     abs(n_r * cum_s - n_s * (cum_g - cum_s)) AS t
+              FROM scored
+            ), cp AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY s ORDER BY t DESC, v ASC) AS rk
+              FROM t
+            )
+            SELECT s AS source, n_s, n_r, v AS at_value,
+                   round(t / (CAST(n_s AS DOUBLE) * n_r), 4) + 0.0 AS ks_d,
+                   round(t / (CAST(n_s AS DOUBLE) * n_r)
+                         * sqrt((n_s * n_r)
+                                / CAST(n_s + n_r AS DOUBLE)), 4) + 0.0
+                     AS ks_scaled
+            FROM cp WHERE rk = 1 ORDER BY source
         """,
         "bpe_compression": rf"""
             {bpe_with_prefix}, sw AS (

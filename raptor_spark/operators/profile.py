@@ -696,3 +696,81 @@ def cusum_changepoint(
         mean_after.alias("mean_after"),
         (mean_after - mean_before).alias("shift"),
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    slice_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic of each slice's
+    ``value_col`` distribution against the REST of the corpus:
+    D_s = sup_v |F_s(v) − F_rest(v)| — the distribution-free drift audit
+    (psi_drift needs a designated reference slice and a bucket grid; KS
+    needs neither and is exact).
+
+    Engine-portable by construction: with integer cumulative counts,
+    D's numerator t(v) = |n_rest·cum_s(v) − n_s·cum_rest(v)| is exact
+    BIGINT, so the sup location (earliest v on ties) is identical on any
+    engine; D and the scaled statistic are doubles derived after the
+    argmax.
+
+    Scale shape: one corpus shuffle to (slice, value) counts; the
+    evaluation grid is slices × distinct values (both sides' step points
+    — a slice must be evaluated at every corpus step, including values it
+    never takes); cumulative windows and the argmax run over that
+    grid-sized table, never the corpus. Contract: the value domain must
+    be modest (discrete/integer-ish — e.g. lengths, counts, scores);
+    quantize continuous values first or the step grid itself becomes
+    corpus-sized (the global cumulative over distinct values is a
+    single-partition window by design — it is value-domain-sized)."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(slice_col).alias("s"), F.col(value_col).alias("v")
+    )
+    cv = base.groupBy("s", "v").agg(F.count("*").alias("c"))
+    gv = cv.groupBy("v").agg(F.sum("c").alias("cg"))
+    grid = cv.select("s").distinct().crossJoin(gv.select("v"))
+    filled = grid.join(cv, ["s", "v"], "left").select(
+        "s", "v", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    ws = Window.partitionBy("s").orderBy("v")
+    wg = Window.orderBy("v")
+    cum_g = gv.select("v", F.sum("cg").over(wg).alias("cum_g"))
+    tot = cv.groupBy("s").agg(F.sum("c").alias("n_s"))
+    big_n = cv.agg(F.sum("c").alias("n_all"))
+    scored = (
+        filled.withColumn("cum_s", F.sum("c").over(ws))
+        .join(cum_g, "v")
+        .join(F.broadcast(tot), "s")
+        .crossJoin(F.broadcast(big_n))
+        .withColumn("n_r", F.col("n_all") - F.col("n_s"))
+        .withColumn("cum_r", F.col("cum_g") - F.col("cum_s"))
+        .withColumn(
+            "t",
+            F.abs(
+                F.col("n_r") * F.col("cum_s") - F.col("n_s") * F.col("cum_r")
+            ),
+        )
+    )
+    pick = Window.partitionBy("s").orderBy(F.col("t").desc(), F.col("v").asc())
+    cp = scored.withColumn("rk", F.row_number().over(pick)).filter(
+        F.col("rk") == 1
+    )
+    d = F.col("t") / (F.col("n_s").cast("double") * F.col("n_r"))
+    return cp.select(
+        F.col("s").alias("slice"),
+        F.col("n_s"),
+        F.col("n_r"),
+        F.col("v").alias("at_value"),
+        d.alias("ks_d"),
+        (
+            d
+            * F.sqrt(
+                F.col("n_s")
+                * F.col("n_r")
+                / (F.col("n_s") + F.col("n_r")).cast("double")
+            )
+        ).alias("ks_scaled"),
+    )

@@ -507,3 +507,71 @@ def test_cusum_changepoint_partition_invariance(spark):
     key = lambda r: (r.slice, r.n_days, r.cp_day, round(r.max_cusum, 8),
                      round(r.stat, 8), round(r.shift, 8))
     assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def _ks_py(vals: dict[str, list[int]]):
+    out = {}
+    for s, xs in vals.items():
+        rest = [v for k, vv in vals.items() if k != s for v in vv]
+        grid = sorted(set(v for vv in vals.values() for v in vv))
+        n_s, n_r = len(xs), len(rest)
+        best = None
+        for v in grid:
+            t = abs(n_r * sum(1 for x in xs if x <= v)
+                    - n_s * sum(1 for x in rest if x <= v))
+            if best is None or t > best[0]:
+                best = (t, v)
+        t, v = best
+        out[s] = (n_s, n_r, v, t / (n_s * n_r))
+    return out
+
+
+def test_ks_drift_matches_bruteforce(spark):
+    from raptor_spark.operators.profile import ks_drift
+
+    vals = {
+        "a": [(i * 7) % 10 + 1 for i in range(30)],
+        "b": [(i * 3) % 12 + 5 for i in range(40)],
+        "c": [(i * 5) % 6 + 2 for i in range(25)],
+    }
+    rows = [
+        (i, s, v)
+        for i, (s, v) in enumerate(
+            (s, v) for s, vv in sorted(vals.items()) for v in vv
+        )
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    got = {r.slice: r for r in ks_drift(docs, "source", "n_chars").collect()}
+    want = _ks_py(vals)
+    for s, (n_s, n_r, v, d) in want.items():
+        r = got[s]
+        assert (r.n_s, r.n_r) == (n_s, n_r), s
+        assert r.at_value == v, s
+        assert math.isclose(r.ks_d, d, rel_tol=1e-12), s
+
+
+def test_ks_drift_disjoint_ranges_hit_d1(spark):
+    from raptor_spark.operators.profile import ks_drift
+
+    # a: 1..10, b: 11..20 -> fully separated, D = 1 at v = 10 for both
+    rows = [(i, "a", i + 1) for i in range(10)]
+    rows += [(100 + i, "b", 11 + i) for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    out = {r.slice: r for r in ks_drift(docs, "source", "n_chars").collect()}
+    for s in ("a", "b"):
+        assert math.isclose(out[s].ks_d, 1.0, rel_tol=1e-12)
+        assert out[s].at_value == 10
+    assert math.isclose(
+        out["a"].ks_scaled, math.sqrt(100 / 20.0), rel_tol=1e-12
+    )
+
+
+def test_ks_drift_partition_invariance(spark):
+    from raptor_spark.operators.profile import ks_drift
+
+    rows = [(i, f"s{i % 4}", (i * 11) % 30) for i in range(200)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    a = ks_drift(docs, "source", "n_chars")
+    b = ks_drift(docs.repartition(13, "doc_id"), "source", "n_chars")
+    key = lambda r: (r.slice, r.n_s, r.n_r, r.at_value, round(r.ks_d, 10))
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
