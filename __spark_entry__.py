@@ -3304,6 +3304,26 @@ def q_source_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-diversity profile (ranking.lexical_diversity):
+    TTR, hapax share, Guiraud index — the vocabulary-size twin of
+    zipf_fit's shape audit; low TTR + low hapax = template text."""
+    from raptor_spark.operators.ranking import lexical_diversity
+
+    docs = _t(spark, sf_dir, "documents")
+    out = lexical_diversity(docs, "text", "source")
+    r4 = lambda c: F.round(F.col(c), 4) + F.lit(0.0)
+    return out.select(
+        F.col("slice").alias("source"),
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        r4("ttr").alias("ttr"),
+        r4("hapax_ratio").alias("hapax_ratio"),
+        r4("guiraud").alias("guiraud"),
+    ).orderBy("source")
+
+
 def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer efficiency (text.bpe_compression): the
     corpus-trained 8-merge BPE applied back per source — sources whose
@@ -3507,6 +3527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_burstiness": q_event_burstiness,
         "rate_changepoint": q_rate_changepoint,
         "source_ks_drift": q_source_ks_drift,
+        "lexical_diversity": q_lexical_diversity,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -3884,6 +3905,29 @@ def oracle_sql() -> dict[str, str]:
                                 / CAST(n_s + n_r AS DOUBLE)), 4) + 0.0
                      AS ks_scaled
             FROM cp WHERE rk = 1 ORDER BY source
+        """,
+        "lexical_diversity": r"""
+            WITH w AS (
+              SELECT source AS slice,
+                     unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x != '')) AS term
+              FROM documents
+            ), a AS (
+              SELECT slice, term, CAST(count(*) AS BIGINT) AS c
+              FROM w GROUP BY 1, 2
+            )
+            SELECT slice AS source,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_hapax,
+                   round(count(*) / CAST(sum(c) AS DOUBLE), 4) + 0.0 AS ttr,
+                   round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 4) + 0.0 AS hapax_ratio,
+                   round(count(*) / sqrt(CAST(sum(c) AS DOUBLE)), 4) + 0.0
+                     AS guiraud
+            FROM a GROUP BY 1 ORDER BY source
         """,
         "bpe_compression": rf"""
             {bpe_with_prefix}, sw AS (

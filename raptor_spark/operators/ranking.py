@@ -392,3 +392,35 @@ def vocab_divergence(
         F.col("common_terms"),
         (jsd_nats / ln2).alias("jsd"),
     )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    text_col: str,
+    slice_col: str,
+) -> DataFrame:
+    """Per-slice lexical-diversity profile: token count, type (distinct
+    term) count, type-token ratio, hapax-legomena share of the
+    vocabulary, and Guiraud's index (types/√tokens — the
+    length-compensated TTR). Low TTR + low hapax share = template/boiler
+    text; the vocabulary-size twin of zipf_fit's shape audit.
+
+    Scale shape: one corpus shuffle to (slice, term) counts; everything
+    else is a slice-dimension re-aggregation of that vocabulary-sized
+    table."""
+    a = (
+        df.select(
+            F.col(slice_col).alias("slice"),
+            F.explode(words_col(F.col(text_col))).alias("term"),
+        )
+        .groupBy("slice", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    return a.groupBy("slice").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+        (F.count("*") / F.sum("c")).alias("ttr"),
+        (F.sum((F.col("c") == 1).cast("long")) / F.count("*")).alias("hapax_ratio"),
+        (F.count("*") / F.sqrt(F.sum("c"))).alias("guiraud"),
+    )

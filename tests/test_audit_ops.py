@@ -575,3 +575,26 @@ def test_ks_drift_partition_invariance(spark):
     b = ks_drift(docs.repartition(13, "doc_id"), "source", "n_chars")
     key = lambda r: (r.slice, r.n_s, r.n_r, r.at_value, round(r.ks_d, 10))
     assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_lexical_diversity_manual_counts(spark):
+    from raptor_spark.operators.ranking import lexical_diversity
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a b b c", "rich"),     # + doc 1: tokens 10
+            (1, "d e f g", "rich"),         # types 7, hapax c d e f g = 5
+            (2, "x x x x x", "boiler"),     # tokens 10, types 2, hapax 0
+            (3, "x x x y y", "boiler"),
+        ],
+        ["doc_id", "text", "src"],
+    )
+    out = {r.slice: r for r in lexical_diversity(docs, "text", "src").collect()}
+    rich = out["rich"]
+    assert (rich.n_tokens, rich.n_types, rich.n_hapax) == (10, 7, 5)
+    assert math.isclose(rich.ttr, 0.7, rel_tol=1e-12)
+    assert math.isclose(rich.hapax_ratio, 5 / 7, rel_tol=1e-12)
+    assert math.isclose(rich.guiraud, 7 / math.sqrt(10), rel_tol=1e-12)
+    boiler = out["boiler"]
+    assert (boiler.n_tokens, boiler.n_types, boiler.n_hapax) == (10, 2, 0)
+    assert boiler.ttr < rich.ttr and boiler.hapax_ratio < rich.hapax_ratio
