@@ -3324,6 +3324,24 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) near-dup candidate pairs (dedup.winnow_pairs):
+    window-min selection over positional 3-gram md5 hashes, guarantee
+    that any shared run of ≥ 6 words yields a common fingerprint."""
+    from raptor_spark.operators.dedup import winnow_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = winnow_pairs(docs, "doc_id", "text", k=3, w=4, max_df=20, min_shared=2)
+    return out.select(
+        "a",
+        "b",
+        "n_shared",
+        "n_fp_a",
+        "n_fp_b",
+        (F.round(F.col("overlap"), 4) + F.lit(0.0)).alias("overlap"),
+    ).orderBy("a", "b")
+
+
 def q_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer efficiency (text.bpe_compression): the
     corpus-trained 8-merge BPE applied back per source — sources whose
@@ -3528,6 +3546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_changepoint": q_rate_changepoint,
         "source_ks_drift": q_source_ks_drift,
         "lexical_diversity": q_lexical_diversity,
+        "winnow_pairs": q_winnow_pairs,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -3928,6 +3947,56 @@ def oracle_sql() -> dict[str, str]:
                    round(count(*) / sqrt(CAST(sum(c) AS DOUBLE)), 4) + 0.0
                      AS guiraud
             FROM a GROUP BY 1 ORDER BY source
+        """,
+        "winnow_pairs": rf"""
+            WITH wsd AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '\s+'), x -> x != '')
+                       AS ws
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 3
+                       THEN list_transform(
+                              generate_series(1, len(ws) - 2),
+                              i -> array_to_string(ws[i:i+2], ' '))
+                       ELSE []::VARCHAR[] END AS sh
+              FROM wsd
+            ), hs AS (
+              SELECT doc_id,
+                     list_transform(sh, s -> {h32("md5(s)")}) AS hs
+              FROM sh
+            ), fps AS MATERIALIZED (
+              SELECT DISTINCT doc_id AS id,
+                     unnest(CASE WHEN len(hs) >= 1
+                       THEN list_transform(
+                              generate_series(1, greatest(1, len(hs) - 3)),
+                              i -> list_min(hs[i:i+3]))
+                       ELSE []::BIGINT[] END) AS fp
+              FROM hs
+            ), elig AS (
+              SELECT fp FROM fps GROUP BY fp
+              HAVING count(*) BETWEEN 2 AND 20
+            ), slim AS MATERIALIZED (
+              SELECT id, fp FROM fps JOIN elig USING (fp)
+            ), pairs AS (
+              SELECT x.id AS a, y.id AS b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM slim x JOIN slim y ON x.fp = y.fp AND x.id < y.id
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ), sizes AS (
+              SELECT id, CAST(count(*) AS BIGINT) AS n_fp
+              FROM fps GROUP BY 1
+            )
+            SELECT a, b, n_shared, sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+                   round(n_shared
+                         / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE), 4)
+                     + 0.0 AS overlap
+            FROM pairs
+            JOIN sizes sa ON a = sa.id
+            JOIN sizes sb ON b = sb.id
+            ORDER BY a, b
         """,
         "bpe_compression": rf"""
             {bpe_with_prefix}, sw AS (

@@ -738,3 +738,125 @@ def minhash_calibration(
         )
         .withColumn("abs_err", F.abs(F.col("j_exact") - F.col("j_est")))
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """(id, fp): winnowing fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every POSITIONAL word k-gram, slide a window of
+    ``w`` consecutive hashes, keep each window's minimum — guaranteeing
+    any shared run of ≥ w+k−1 words between two documents yields at least
+    one common fingerprint, while storing only ~2/(w+1) of the hashes.
+    The guarantee-based sibling of minhash (probabilistic) and
+    doc_fingerprint (single rolling hash).
+
+    Hashes are the md5-32-bit lanes of minhash_signature_md5 — engine-
+    portable byte-for-byte. Documents shorter than one window keep the
+    minimum of all their hashes (one fingerprint), so short docs are
+    never silently dropped.
+
+    Scale shape: entirely map-side per document (split → k-gram →
+    hash → window-min → distinct), one narrow (id, fp) output row per
+    selected fingerprint; no shuffle until the caller aggregates. Each
+    derivation step is bound as a column attribute in its own projection
+    — HOF lambdas get no common-subexpression elimination, so inlining
+    would re-split/re-hash at every reference."""
+    from raptor_spark.operators.text import words_col
+
+    def shingle_at(ws: Column):
+        def at(i: Column) -> Column:
+            return F.concat_ws(
+                " ", *[F.element_at(ws, i + F.lit(j + 1)) for j in range(k)]
+            )
+
+        return at
+
+    d1 = df.select(F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("ws"))
+    d2 = d1.select(
+        "id",
+        F.when(
+            F.size("ws") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - k), shingle_at(F.col("ws"))
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("sh"),
+    )
+    d3 = d2.select(
+        "id",
+        F.transform(
+            "sh",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        ).alias("hs"),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(1), F.size("hs") - F.lit(w) + 1)),
+        lambda i: F.array_min(F.slice(F.col("hs"), i, w)),
+    )
+    d4 = d3.select(
+        "id",
+        F.when(F.size("hs") >= 1, F.array_distinct(mins))
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("fps"),
+    )
+    return d4.select("id", F.explode("fps").alias("fp"))
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+    max_df: int = 20,
+    min_shared: int = 2,
+) -> DataFrame:
+    """(a, b, n_shared, n_fp_a, n_fp_b, overlap): candidate near-dup pairs
+    sharing ≥ ``min_shared`` winnowing fingerprints; ``overlap`` is the
+    containment-style n_shared / min(|fps_a|, |fps_b|). Fingerprints held
+    by more than ``max_df`` documents are excluded on BOTH engines before
+    pairing (the deterministic stop-fingerprint cap — boilerplate k-grams
+    otherwise make quadratic buckets).
+
+    Scale shape: the fingerprint table is persisted before the bucket
+    self-join (unpersisted, both sides would recompute the full hashing
+    lineage); only (id, fp) rows — never text or arrays — cross the join;
+    per-fingerprint fan-out is capped at C(max_df, 2)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w).persist()
+    dfp = fps.groupBy("fp").agg(F.count("*").alias("n_docs"))
+    eligible = dfp.filter(
+        (F.col("n_docs") >= 2) & (F.col("n_docs") <= max_df)
+    ).select("fp")
+    slim = fps.join(eligible, "fp")
+    x, y = slim.alias("x"), slim.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.fp") == F.col("y.fp")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sizes = fps.groupBy("id").agg(F.count("*").alias("n_fp"))
+    return (
+        pairs.join(sizes.select(F.col("id").alias("a"), F.col("n_fp").alias("n_fp_a")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n_fp").alias("n_fp_b")), "b")
+        .select(
+            "a",
+            "b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            (
+                F.col("n_shared")
+                / F.least(F.col("n_fp_a"), F.col("n_fp_b")).cast("double")
+            ).alias("overlap"),
+        )
+    )

@@ -598,3 +598,80 @@ def test_lexical_diversity_manual_counts(spark):
     boiler = out["boiler"]
     assert (boiler.n_tokens, boiler.n_types, boiler.n_hapax) == (10, 2, 0)
     assert boiler.ttr < rich.ttr and boiler.hapax_ratio < rich.hapax_ratio
+
+
+def _winnow_py(text: str, k: int = 3, w: int = 4) -> set[int]:
+    ws = [x for x in text.lower().strip().split() if x]
+    if len(ws) < k:
+        return set()
+    hs = [
+        int(hashlib.md5(" ".join(ws[i : i + k]).encode()).hexdigest()[:8], 16)
+        for i in range(len(ws) - k + 1)
+    ]
+    n_win = max(1, len(hs) - w + 1)
+    return {min(hs[i : i + w]) for i in range(n_win)}
+
+
+def test_winnow_fingerprints_match_hashlib_replay(spark):
+    from raptor_spark.operators.dedup import winnow_fingerprints
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog tonight"),
+        (1, "tiny doc"),                       # < k words -> no fingerprints
+        (2, "one two three"),                  # exactly k -> single hash, min of all
+        (3, "alpha beta gamma delta epsilon"),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    got: dict[int, set[int]] = {}
+    for r in winnow_fingerprints(docs, "doc_id", "text", k=3, w=4).collect():
+        got.setdefault(r.id, set()).add(r.fp)
+    for did, t in texts:
+        want = _winnow_py(t)
+        assert got.get(did, set()) == want, did
+
+
+def test_winnow_pairs_guarantee_and_cap(spark):
+    from raptor_spark.operators.dedup import winnow_pairs
+
+    shared = "zebra yak xylo wombat viper unicorn"  # 6 words = w + k - 1
+    rows = [
+        (0, f"aa bb cc {shared} dd ee ff"),
+        (1, f"gg hh ii jj {shared} kk ll"),
+        (2, "mm nn oo pp qq rr ss tt uu vv"),  # unrelated
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r.a, r.b): r
+        for r in winnow_pairs(
+            docs, "doc_id", "text", k=3, w=4, max_df=20, min_shared=1
+        ).collect()
+    }
+    # the winnowing guarantee: a shared >= w+k-1 word run MUST produce at
+    # least one common fingerprint
+    assert (0, 1) in out
+    assert not any(2 in p for p in out)
+    r = out[(0, 1)]
+    assert r.n_shared >= 1
+    assert math.isclose(
+        r.overlap, r.n_shared / min(r.n_fp_a, r.n_fp_b), rel_tol=1e-12
+    )
+    # stop-fingerprint cap: with max_df=1 nothing is eligible -> no pairs
+    capped = winnow_pairs(
+        docs, "doc_id", "text", k=3, w=4, max_df=1, min_shared=1
+    ).collect()
+    assert capped == []
+
+
+def test_winnow_pairs_partition_invariance(spark):
+    from raptor_spark.operators.dedup import winnow_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (i, base if i % 5 == 0 else f"{base.split()[i % 9]} w{i} x{i*7%13} y z q r s t u")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = winnow_pairs(docs, "doc_id", "text", min_shared=1)
+    b = winnow_pairs(docs.repartition(7, "doc_id"), "doc_id", "text", min_shared=1)
+    key = lambda r: (r.a, r.b, r.n_shared, r.n_fp_a, r.n_fp_b)
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
