@@ -1024,6 +1024,22 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(_jaccard_edge_set(spark, sf_dir))
 
 
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient
+    (operators/graph.local_clustering) — which near-dup cluster cores are
+    dense vs which nodes are pure bridges; the node-level refinement of
+    graph_triangles' one global number."""
+    from raptor_spark.operators.graph import local_clustering
+
+    out = local_clustering(_jaccard_edge_set(spark, sf_dir))
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        "degree",
+        "n_tri",
+        (F.round(F.col("lcc"), 4) + F.lit(0.0)).alias("lcc"),
+    ).orderBy("id")
+
+
 def q_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct friend-of-friend counts per vertex (the blocking fan-out
     metric of entity linking; operators/graph.two_hop_counts)."""
@@ -3547,6 +3563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_ks_drift": q_source_ks_drift,
         "lexical_diversity": q_lexical_diversity,
         "winnow_pairs": q_winnow_pairs,
+        "graph_clustering": q_graph_clustering,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -4723,6 +4740,40 @@ def oracle_sql() -> dict[str, str]:
               SELECT a AS s, b AS d FROM p UNION SELECT b AS s, a AS d FROM p
             )
             SELECT s AS id, count(*) AS degree FROM e GROUP BY s ORDER BY id
+        """,
+        "graph_clustering": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
+              FROM documents WHERE doc_id < 150
+            ), p AS MATERIALIZED (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM w a JOIN w b ON a.doc_id < b.doc_id
+              WHERE len(list_filter(a.ws, x -> list_contains(b.ws, x))) * 1.0 /
+                    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+            ), e AS (
+              SELECT a AS s, b AS d FROM p UNION SELECT b AS s, a AS d FROM p
+            ), deg AS (
+              SELECT s AS id, CAST(count(*) AS BIGINT) AS degree
+              FROM e GROUP BY s
+            ), tri AS (
+              SELECT p1.a AS u, p1.b AS v, p2.b AS x
+              FROM p p1
+              JOIN p p2 ON p1.a = p2.a AND p1.b < p2.b
+              JOIN p p3 ON p3.a = p1.b AND p3.b = p2.b
+            ), members AS (
+              SELECT unnest([u, v, x]) AS id FROM tri
+            ), pn AS (
+              SELECT id, CAST(count(*) AS BIGINT) AS n_tri
+              FROM members GROUP BY 1
+            )
+            SELECT deg.id, degree,
+                   CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri,
+                   round(CASE WHEN degree >= 2
+                         THEN 2.0::DOUBLE * COALESCE(n_tri, 0)
+                              / CAST(degree * (degree - 1) AS DOUBLE)
+                         ELSE 0.0::DOUBLE END, 4) + 0.0 AS lcc
+            FROM deg LEFT JOIN pn USING (id) ORDER BY id
         """,
         "graph_triangles": r"""
             WITH w AS (

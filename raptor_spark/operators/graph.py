@@ -509,3 +509,73 @@ def cooccurrence_edges(
     out = pairs.localCheckpoint()
     inc.unpersist()
     return out
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """(id, degree, n_tri, lcc): per-node triangle counts and local
+    clustering coefficient lcc = 2·n_tri / (degree·(degree−1)) — the
+    node-level refinement of triangle_stats' one global number (which
+    cluster cores are dense vs which nodes are pure bridges). lcc = 0 for
+    degree < 2 nodes.
+
+    Same hub-safe enumeration as triangle_stats: edges oriented low→high
+    by (degree, id) bound the wedge fan-out at O(√E) per source and count
+    each triangle ONCE — then each triangle is exploded to its three
+    members (map-side, ×3) and rolled up per node, so the per-node counts
+    cost one extra node-keyed shuffle over the triangle set (triangles,
+    not wedges — the closed subset only)."""
+    sym = symmetrize(edges).persist()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+
+    ranked = sym.join(deg.withColumnRenamed("id", "src"), "src").select(
+        "src",
+        "dst",
+        F.struct(
+            F.col("degree").alias("d"), F.col("src").cast("string").alias("i")
+        ).alias("rk_src"),
+    )
+    dst_rank = deg.select(
+        F.col("id").alias("dst"),
+        F.struct(
+            F.col("degree").alias("d"), F.col("id").cast("string").alias("i")
+        ).alias("rk_dst"),
+    )
+    directed = (
+        ranked.join(dst_rank, "dst")
+        .filter(F.col("rk_src") < F.col("rk_dst"))
+        .select("src", "dst", "rk_dst")
+    ).persist()
+
+    e1 = directed.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("rk_dst").alias("rk_b")
+    )
+    e2 = directed.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("rk_dst").alias("rk_c")
+    )
+    wedges = e1.join(e2, "a").filter(F.col("rk_b") < F.col("rk_c"))
+    closing = directed.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    triangles = wedges.join(closing, ["b", "c"], "left_semi")
+    per_node = (
+        triangles.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    out = (
+        deg.join(per_node, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.coalesce("n_tri", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+    return out

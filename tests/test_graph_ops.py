@@ -412,3 +412,34 @@ def test_hits_matches_python_replay(spark):
     for v in nodes:
         assert abs(got[v][0] - hub.get(v, 0.0)) < 1e-9, v
         assert abs(got[v][1] - auth.get(v, 0.0)) < 1e-9, v
+
+
+def test_local_clustering_planted_graph(spark):
+    from raptor_spark.operators.graph import local_clustering
+
+    # K4 on {1,2,3,4}: every node lcc = 1, n_tri = 3, degree = 3.
+    # Pendant 5-1: node 5 degree 1 -> lcc 0; node 1 degree 4, still 3
+    # triangles -> lcc = 2*3/(4*3) = 0.5.
+    # Path 6-7-8: node 7 degree 2, no triangle -> lcc 0.
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    e = _edges(spark, k4 + [(5, 1), (6, 7), (7, 8)])
+    out = {r.id: r for r in local_clustering(e).collect()}
+    for v in (2, 3, 4):
+        assert (out[v].degree, out[v].n_tri, out[v].lcc) == (3, 3, 1.0)
+    assert (out[1].degree, out[1].n_tri, out[1].lcc) == (4, 3, 0.5)
+    assert (out[5].degree, out[5].n_tri, out[5].lcc) == (1, 0, 0.0)
+    assert (out[7].degree, out[7].n_tri, out[7].lcc) == (2, 0, 0.0)
+    # conservation: per-node triangle counts sum to 3x the global census
+    stats = triangle_stats(e).collect()[0]
+    assert sum(r.n_tri for r in out.values()) == 3 * stats.n_triangles
+
+
+def test_local_clustering_partition_invariance(spark):
+    from raptor_spark.operators.graph import local_clustering
+
+    pairs = [(i, (i * 7) % 23) for i in range(60)] + [(i, (i + 1) % 23) for i in range(23)]
+    e = _edges(spark, [(a, b) for a, b in pairs if a != b])
+    a = local_clustering(e)
+    b = local_clustering(e.repartition(11, "a"))
+    key = lambda r: (r.id, r.degree, r.n_tri, round(r.lcc, 10))
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
