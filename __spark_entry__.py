@@ -3414,6 +3414,28 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def q_lsh_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER blocking-quality audit (dedup.lsh_blocking_audit): pair
+    completeness / pairs quality / reduction ratio of 4×4 banded md5-lane
+    MinHash blocking vs the exact Jaccard ≥ 0.5 ground truth."""
+    from raptor_spark.operators.dedup import lsh_blocking_audit
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    out = lsh_blocking_audit(
+        docs, "doc_id", "text", n=1, threshold=0.5, n_hashes=16, bands=4
+    )
+    r4 = lambda c: F.round(F.col(c), 4) + F.lit(0.0)
+    return out.select(
+        "n_docs",
+        "n_exact",
+        "n_cand",
+        "n_hit",
+        r4("recall").alias("recall"),
+        r4("precision").alias("precision"),
+        r4("reduction_ratio").alias("reduction_ratio"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -3564,6 +3586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": q_lexical_diversity,
         "winnow_pairs": q_winnow_pairs,
         "graph_clustering": q_graph_clustering,
+        "lsh_blocking_audit": q_lsh_blocking_audit,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -3630,6 +3653,13 @@ def oracle_sql() -> dict[str, str]:
     )
     mh_cases = " + ".join(
         f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)" for j in range(1, 17)
+    )
+    # lsh_blocking_audit: 4 bands x 4 rows over the same 16 md5 lanes
+    blk_bands = " UNION ALL ".join(
+        "SELECT doc_id AS id, concat_ws('#', {j}, {lanes}) AS bk FROM sig".format(
+            j=j, lanes=", ".join(f"mh{j * 4 + i + 1}" for i in range(4))
+        )
+        for j in range(4)
     )
 
     # embedding_pca: 12 unrolled power-iteration rounds (matvec + normalize),
@@ -6581,6 +6611,55 @@ def oracle_sql() -> dict[str, str]:
                    round(j_est, 4) + 0.0 AS j_est,
                    round(abs(j_exact - j_est), 4) + 0.0 AS abs_err
             FROM m ORDER BY a, b
+        """,
+        "lsh_blocking_audit": rf"""
+            WITH w AS MATERIALIZED (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)), '\s+'))
+                       AS ws
+              FROM documents WHERE doc_id < 150
+            ), n_docs_t AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_docs FROM w
+            ), exact AS MATERIALIZED (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM w a JOIN w b ON a.doc_id < b.doc_id
+              WHERE len(list_filter(a.ws, x -> list_contains(b.ws, x))) * 1.0 /
+                    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5
+            ), sh AS (
+              SELECT doc_id, unnest(ws) AS s FROM w
+            ), hx AS (
+              SELECT doc_id,
+                     {mh_hx}
+              FROM sh
+            ), sig AS MATERIALIZED (
+              SELECT doc_id,
+                     {mh_min}
+              FROM hx GROUP BY doc_id
+            ), bk AS MATERIALIZED (
+              {blk_bands}
+            ), cand AS MATERIALIZED (
+              SELECT DISTINCT x.id AS a, y.id AS b
+              FROM bk x JOIN bk y ON x.bk = y.bk AND x.id < y.id
+            ), counts AS (
+              SELECT
+                (SELECT n_docs FROM n_docs_t) AS n_docs,
+                (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+                (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+                (SELECT CAST(count(*) AS BIGINT) FROM exact e
+                  WHERE EXISTS (SELECT 1 FROM cand c
+                                WHERE c.a = e.a AND c.b = e.b)) AS n_hit
+            )
+            SELECT n_docs, n_exact, n_cand, n_hit,
+                   round(CASE WHEN n_exact > 0
+                         THEN n_hit / CAST(n_exact AS DOUBLE)
+                         ELSE 1.0::DOUBLE END, 4) + 0.0 AS recall,
+                   round(CASE WHEN n_cand > 0
+                         THEN n_hit / CAST(n_cand AS DOUBLE)
+                         ELSE 1.0::DOUBLE END, 4) + 0.0 AS precision,
+                   round(1.0::DOUBLE - n_cand
+                         / (n_docs * (n_docs - 1) / 2.0::DOUBLE), 4) + 0.0
+                     AS reduction_ratio
+            FROM counts
         """,
         "order_priority_check": """
             SELECT o_orderpriority, count(*) AS n_orders

@@ -675,3 +675,44 @@ def test_winnow_pairs_partition_invariance(spark):
     b = winnow_pairs(docs.repartition(7, "doc_id"), "doc_id", "text", min_shared=1)
     key = lambda r: (r.a, r.b, r.n_shared, r.n_fp_a, r.n_fp_b)
     assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_lsh_blocking_audit_planted(spark):
+    from raptor_spark.operators.dedup import lsh_blocking_audit
+
+    # exact duplicates agree on every lane -> every band -> always
+    # candidates: with ONLY exact-dup true pairs, recall must be 1.0
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "alpha beta gamma delta epsilon"),  # dup of 0
+        (2, "zeta eta theta iota kappa"),
+        (3, "zeta eta theta iota kappa"),       # dup of 2
+        (4, "one two three four five"),         # unrelated
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = lsh_blocking_audit(
+        docs, "doc_id", "text", n=1, threshold=0.9, n_hashes=16, bands=4
+    ).collect()[0]
+    assert r.n_docs == 5
+    assert r.n_exact == 2  # (0,1), (2,3)
+    assert r.n_hit == 2 and math.isclose(r.recall, 1.0, rel_tol=1e-12)
+    assert r.n_cand >= 2
+    assert r.n_hit <= min(r.n_exact, r.n_cand)
+    assert math.isclose(r.precision, r.n_hit / r.n_cand, rel_tol=1e-12)
+    assert math.isclose(
+        r.reduction_ratio, 1.0 - r.n_cand / 10.0, rel_tol=1e-12
+    )
+
+
+def test_lsh_blocking_audit_empty_truth(spark):
+    from raptor_spark.operators.dedup import lsh_blocking_audit
+
+    docs = spark.createDataFrame(
+        [(0, "aa bb cc"), (1, "dd ee ff"), (2, "gg hh ii")],
+        ["doc_id", "text"],
+    )
+    r = lsh_blocking_audit(
+        docs, "doc_id", "text", n=1, threshold=0.9, n_hashes=16, bands=4
+    ).collect()[0]
+    assert r.n_exact == 0
+    assert r.recall == 1.0  # vacuous truth -> perfect completeness
