@@ -3414,6 +3414,23 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM behavioral segmentation of customers by their orders
+    (relational.rfm_segments): quintile scores on recency / frequency /
+    monetary, rolled up to segment cells."""
+    from raptor_spark.operators.relational import rfm_segments
+
+    orders = _t(spark, sf_dir, "orders")
+    out = rfm_segments(orders, "o_custkey", "o_orderdate", "o_totalprice")
+    return out.select(
+        "r_score",
+        "f_score",
+        "m_score",
+        "n_entities",
+        (F.round(F.col("avg_monetary"), 2) + F.lit(0.0)).alias("avg_monetary"),
+    ).orderBy("r_score", "f_score", "m_score")
+
+
 def q_lsh_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ER blocking-quality audit (dedup.lsh_blocking_audit): pair
     completeness / pairs quality / reduction ratio of 4×4 banded md5-lane
@@ -3587,6 +3604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "graph_clustering": q_graph_clustering,
         "lsh_blocking_audit": q_lsh_blocking_audit,
+        "rfm_segments": q_rfm_segments,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -6660,6 +6678,28 @@ def oracle_sql() -> dict[str, str]:
                          / (n_docs * (n_docs - 1) / 2.0::DOUBLE), 4) + 0.0
                      AS reduction_ratio
             FROM counts
+        """,
+        "rfm_segments": """
+            WITH per AS (
+              SELECT o_custkey AS k, max(o_orderdate) AS r_val,
+                     CAST(count(*) AS BIGINT) AS f_val,
+                     sum(o_totalprice) AS m_val
+              FROM orders GROUP BY 1
+            ), scored AS (
+              SELECT k, m_val,
+                     ntile(5) OVER (ORDER BY r_val, k) AS r_score,
+                     ntile(5) OVER (ORDER BY f_val, k) AS f_score,
+                     ntile(5) OVER (
+                       ORDER BY CAST(round(m_val * 100, 0) AS BIGINT), k
+                     ) AS m_score
+              FROM per
+            )
+            SELECT CAST(r_score AS INT) AS r_score,
+                   CAST(f_score AS INT) AS f_score,
+                   CAST(m_score AS INT) AS m_score,
+                   CAST(count(*) AS BIGINT) AS n_entities,
+                   round(avg(m_val), 2) + 0.0 AS avg_monetary
+            FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         "order_priority_check": """
             SELECT o_orderpriority, count(*) AS n_orders

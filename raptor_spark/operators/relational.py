@@ -469,3 +469,61 @@ def basket_lift(
             ).alias("lift"),
         )
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation rolled up to segment cells: score each
+    entity 1..n_tiles on Recency (latest activity), Frequency (event
+    count), and Monetary (amount sum) via ntile, then count entities and
+    average spend per (r, f, m) cell — the classic behavioral-cohort
+    audit (555 = best customers, 111 = churned low-value).
+
+    Determinism: ntile assignment within ties depends on row order, so
+    every ntile orders by (value, entity id) — a total order any engine
+    replays identically (ANSI ntile: equal buckets, remainder to the
+    leading ones). The monetary sum is floating point whose tail bits
+    depend on partial-aggregation order, so its ntile orders by the
+    EXACT integer-cents key round(m·100) — engines then sort identical
+    values. (Assumes 2-decimal amounts; pass a pre-scaled integer column
+    otherwise.)
+
+    Scale shape: one entity-keyed shuffle builds the per-entity RFM
+    table (entity-dimension-sized); the three ntile windows are global
+    single-partition windows BY DESIGN over that table — fine at the
+    dimension tier; for billion-entity scale swap ntile for
+    percentile-cut joins; the output is ≤ n_tiles³ cells."""
+    from pyspark.sql.window import Window
+
+    per = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.max(F.col(ts_col)).alias("r_val"),
+        F.count("*").alias("f_val"),
+        F.sum(F.col(amount_col)).alias("m_val"),
+    )
+    scored = (
+        per.withColumn(
+            "r_score",
+            F.ntile(n_tiles).over(Window.orderBy(F.col("r_val"), F.col("k"))),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(n_tiles).over(Window.orderBy(F.col("f_val"), F.col("k"))),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(n_tiles).over(
+                Window.orderBy(
+                    F.round(F.col("m_val") * 100, 0).cast("long"), F.col("k")
+                )
+            ),
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_entities"),
+        F.avg("m_val").alias("avg_monetary"),
+    )

@@ -716,3 +716,46 @@ def test_lsh_blocking_audit_empty_truth(spark):
     ).collect()[0]
     assert r.n_exact == 0
     assert r.recall == 1.0  # vacuous truth -> perfect completeness
+
+
+def test_rfm_segments_planted_scores(spark):
+    from datetime import datetime, timedelta
+
+    from raptor_spark.operators.relational import rfm_segments
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # customer c has c orders, latest at t0 + c days, each worth 10*c:
+    # recency/frequency/monetary orders all agree -> customer c gets
+    # score c on every dimension (5 customers, 5 tiles)
+    for c in range(1, 6):
+        for j in range(c):
+            rows.append((c, t0 + timedelta(days=c - (0 if j == 0 else 1)), 10.0 * c))
+    orders = spark.createDataFrame(rows, ["cust", "ts", "amount"])
+    out = rfm_segments(orders, "cust", "ts", "amount", n_tiles=5).collect()
+    cells = {(r.r_score, r.f_score, r.m_score): r for r in out}
+    assert set(cells) == {(c, c, c) for c in range(1, 6)}
+    for c in range(1, 6):
+        r = cells[(c, c, c)]
+        assert r.n_entities == 1
+        assert math.isclose(r.avg_monetary, 10.0 * c * c, rel_tol=1e-12)
+
+
+def test_rfm_segments_ansi_ntile_remainder(spark):
+    from datetime import datetime, timedelta
+
+    from raptor_spark.operators.relational import rfm_segments
+
+    t0 = datetime(2024, 1, 1)
+    # 6 identical entities into 5 tiles: ANSI ntile puts the remainder row
+    # in the FIRST bucket -> tile sizes [2,1,1,1,1]; ties broken by key
+    rows = [(c, t0, 5.0) for c in range(1, 7)]
+    orders = spark.createDataFrame(rows, ["cust", "ts", "amount"])
+    out = rfm_segments(orders, "cust", "ts", "amount", n_tiles=5).collect()
+    sizes = sorted(
+        (r.r_score, r.n_entities) for r in out
+    )
+    by_score: dict[int, int] = {}
+    for s, n in sizes:
+        by_score[s] = by_score.get(s, 0) + n
+    assert by_score == {1: 2, 2: 1, 3: 1, 4: 1, 5: 1}
