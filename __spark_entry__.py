@@ -3431,6 +3431,22 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("r_score", "f_score", "m_score")
 
 
+def q_event_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-rate series per event type at
+    lags 1..7 (profile.acf_daily) — the periodicity audit (weekly cadence
+    spikes at lag 7); numerators exact BIGINT."""
+    from raptor_spark.operators.profile import acf_daily
+
+    ev = _t(spark, sf_dir, "events")
+    out = acf_daily(ev, "event_type", "ts", max_lag=7)
+    return out.select(
+        F.col("slice").alias("event_type"),
+        "lag",
+        "n_days",
+        (F.round(F.col("acf"), 4) + F.lit(0.0)).alias("acf"),
+    ).orderBy("event_type", "lag")
+
+
 def q_lsh_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ER blocking-quality audit (dedup.lsh_blocking_audit): pair
     completeness / pairs quality / reduction ratio of 4×4 banded md5-lane
@@ -3605,6 +3621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering": q_graph_clustering,
         "lsh_blocking_audit": q_lsh_blocking_audit,
         "rfm_segments": q_rfm_segments,
+        "event_acf": q_event_acf,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -3678,6 +3695,21 @@ def oracle_sql() -> dict[str, str]:
             j=j, lanes=", ".join(f"mh{j * 4 + i + 1}" for i in range(4))
         )
         for j in range(4)
+    )
+    # event_acf: lag columns / exact-integer numerators / long-format rows
+    acf_lag_cols = ",\n                     ".join(
+        f"lag(c, {L}) OVER w AS lag{L}" for L in range(1, 8)
+    )
+    acf_nums = ",\n                     ".join(
+        f"CAST(sum(CASE WHEN lag{L} IS NOT NULL THEN"
+        f" (n*c - total)*(n*lag{L} - total) ELSE 0 END) AS BIGINT) AS num{L}"
+        for L in range(1, 8)
+    )
+    acf_finals = " UNION ALL ".join(
+        f"SELECT slice AS event_type, {L} AS lag, n_days,"
+        f" round(CASE WHEN den > 0 THEN num{L} / CAST(den AS DOUBLE)"
+        f" ELSE 0.0::DOUBLE END, 4) + 0.0 AS acf FROM agg"
+        for L in range(1, 8)
     )
 
     # embedding_pca: 12 unrolled power-iteration rounds (matvec + normalize),
@@ -6700,6 +6732,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_entities,
                    round(avg(m_val), 2) + 0.0 AS avg_monetary
             FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "event_acf": rf"""
+            WITH ev AS (
+              SELECT event_type AS slice, date_trunc('day', ts)::DATE AS d
+              FROM events
+            ), counts AS (
+              SELECT slice, d, CAST(count(*) AS BIGINT) AS c
+              FROM ev GROUP BY 1, 2
+            ), bounds AS (
+              SELECT min(d) AS min_d, max(d) AS max_d FROM ev
+            ), grid AS (
+              SELECT slice,
+                     unnest(generate_series(min_d, max_d,
+                                            INTERVAL 1 DAY))::DATE AS d
+              FROM (SELECT DISTINCT slice FROM ev) CROSS JOIN bounds
+            ), filled AS (
+              SELECT g.slice, g.d, CAST(COALESCE(c, 0) AS BIGINT) AS c
+              FROM grid g LEFT JOIN counts USING (slice, d)
+            ), per AS (
+              SELECT slice, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(c) AS BIGINT) AS total
+              FROM filled GROUP BY 1
+            ), series AS (
+              SELECT filled.slice, d, c, n, total,
+                     {acf_lag_cols}
+              FROM filled JOIN per USING (slice)
+              WINDOW w AS (PARTITION BY filled.slice ORDER BY d)
+            ), agg AS (
+              SELECT slice, CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(sum((n*c - total)*(n*c - total)) AS BIGINT) AS den,
+                     {acf_nums}
+              FROM series GROUP BY 1
+            )
+            SELECT * FROM ({acf_finals})
+            ORDER BY event_type, lag
         """,
         "order_priority_check": """
             SELECT o_orderpriority, count(*) AS n_orders

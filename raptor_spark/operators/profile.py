@@ -617,6 +617,36 @@ def interarrival_burstiness(
     )
 
 
+def daily_count_series(
+    df: DataFrame,
+    slice_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """(slice, d, c): zero-filled daily event counts per slice over the
+    GLOBAL [min_day, max_day] window — the shared rate-series builder of
+    cusum_changepoint and acf_daily (an empty day IS a rate observation).
+    One corpus shuffle to (slice, day) counts; the grid is slice-dim ×
+    window-days."""
+    ev = df.select(
+        F.col(slice_col).alias("slice"),
+        F.date_trunc("day", F.col(ts_col).cast("timestamp")).cast("date").alias("d"),
+    )
+    counts = ev.groupBy("slice", "d").agg(F.count("*").alias("c"))
+    bounds = ev.agg(F.min("d").alias("min_d"), F.max("d").alias("max_d"))
+    grid = (
+        ev.select("slice")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "slice",
+            F.explode(F.sequence(F.col("min_d"), F.col("max_d"))).alias("d"),
+        )
+    )
+    return grid.join(counts, ["slice", "d"], "left").select(
+        "slice", "d", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+
+
 def cusum_changepoint(
     df: DataFrame,
     slice_col: str,
@@ -640,24 +670,7 @@ def cusum_changepoint(
     series table."""
     from pyspark.sql.window import Window
 
-    ev = df.select(
-        F.col(slice_col).alias("slice"),
-        F.date_trunc("day", F.col(ts_col).cast("timestamp")).cast("date").alias("d"),
-    )
-    counts = ev.groupBy("slice", "d").agg(F.count("*").alias("c"))
-    bounds = ev.agg(F.min("d").alias("min_d"), F.max("d").alias("max_d"))
-    grid = (
-        ev.select("slice")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "slice",
-            F.explode(F.sequence(F.col("min_d"), F.col("max_d"))).alias("d"),
-        )
-    )
-    filled = grid.join(counts, ["slice", "d"], "left").select(
-        "slice", "d", F.coalesce("c", F.lit(0)).cast("long").alias("c")
-    )
+    filled = daily_count_series(df, slice_col, ts_col)
     per = filled.groupBy("slice").agg(
         F.count("*").alias("n"),
         F.sum("c").alias("total"),
@@ -773,4 +786,74 @@ def ks_drift(
                 / (F.col("n_s") + F.col("n_r")).cast("double")
             )
         ).alias("ks_scaled"),
+    )
+
+
+def acf_daily(
+    df: DataFrame,
+    slice_col: str,
+    ts_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """(slice, lag, n_days, acf): autocorrelation of the zero-filled daily
+    event-rate series per slice at lags 1..max_lag — the periodicity
+    audit (a weekly-cadence source spikes at lag 7) complementing
+    cusum_changepoint (level shifts) and interarrival_burstiness
+    (clumping).
+
+    Engine-portable by construction: with x̄ = T/n,
+      acf(L)·den = Σ_{i>L} (n·x_i − T)(n·x_{i−L} − T),
+      den        = Σ_i    (n·x_i − T)²,
+    both exact BIGINT sums (the n² scaling cancels), so the only
+    floating-point op is the final division. den = 0 (constant series)
+    reports acf = 0.
+
+    Scale shape: the series table is slice-dim × window-days; the lag
+    columns are one per-slice ordered window pass and the roll-up is
+    slice-dimension sized."""
+    from pyspark.sql.window import Window
+
+    filled = daily_count_series(df, slice_col, ts_col)
+    per = filled.groupBy("slice").agg(
+        F.count("*").alias("n"), F.sum("c").alias("total")
+    )
+    w = Window.partitionBy("slice").orderBy("d")
+    series = filled.join(F.broadcast(per), "slice")
+    for lag in range(1, max_lag + 1):
+        series = series.withColumn(f"lag{lag}", F.lag("c", lag).over(w))
+    dev = F.col("n") * F.col("c") - F.col("total")
+    aggs = [
+        F.count("*").alias("n_days"),
+        F.sum(dev * dev).alias("den"),
+    ]
+    for lag in range(1, max_lag + 1):
+        lag_dev = F.col("n") * F.col(f"lag{lag}") - F.col("total")
+        aggs.append(
+            F.sum(
+                F.when(F.col(f"lag{lag}").isNotNull(), dev * lag_dev).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"num{lag}")
+        )
+    agg = series.groupBy("slice").agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(lag).alias("lag"),
+                F.col(f"num{lag}").alias("num"),
+            )
+            for lag in range(1, max_lag + 1)
+        ]
+    )
+    return agg.select(
+        "slice", "n_days", "den", F.explode(rows).alias("r")
+    ).select(
+        "slice",
+        F.col("r.lag").alias("lag"),
+        "n_days",
+        F.when(
+            F.col("den") > 0, F.col("r.num") / F.col("den").cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("acf"),
     )

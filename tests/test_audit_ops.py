@@ -759,3 +759,45 @@ def test_rfm_segments_ansi_ntile_remainder(spark):
     for s, n in sizes:
         by_score[s] = by_score.get(s, 0) + n
     assert by_score == {1: 2, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_acf_daily_planted_period3(spark):
+    from datetime import datetime, timedelta
+
+    from raptor_spark.operators.profile import acf_daily
+
+    d0 = datetime(2024, 5, 1, 8, 0, 0)
+    # period-3 rate: counts cycle 1, 1, 7 across 21 days
+    cycle = [1, 1, 7]
+    counts = [cycle[i % 3] for i in range(21)]
+    rows = []
+    eid = 0
+    for day, cnt in enumerate(counts):
+        for j in range(cnt):
+            rows.append((eid, d0 + timedelta(days=day, minutes=j), "cyc"))
+            eid += 1
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    got = {r.lag: r.acf for r in acf_daily(ev, "event_type", "ts", max_lag=7).collect()}
+
+    x = np.array(counts, dtype=float)
+    mu = x.mean()
+    den = ((x - mu) ** 2).sum()
+    want = {
+        L: float(((x[L:] - mu) * (x[:-L] - mu)).sum() / den) for L in range(1, 8)
+    }
+    for L in range(1, 8):
+        assert math.isclose(got[L], want[L], rel_tol=1e-12), L
+    # the period shows: lag 3 and 6 strongly positive, lag 1 negative
+    assert got[3] > 0.7 and got[6] > 0.5 and got[1] < 0
+
+
+def test_acf_daily_constant_series_zero(spark):
+    from datetime import datetime, timedelta
+
+    from raptor_spark.operators.profile import acf_daily
+
+    d0 = datetime(2024, 5, 1)
+    rows = [(i, d0 + timedelta(days=i % 10, hours=1), "flat") for i in range(30)]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    out = acf_daily(ev, "event_type", "ts", max_lag=7).collect()
+    assert len(out) == 7 and all(r.acf == 0.0 for r in out)
