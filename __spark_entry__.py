@@ -3447,6 +3447,27 @@ def q_event_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "lag")
 
 
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency audit (profile.fd_strength) over
+    document metadata, both directions of (source, lang) — which columns
+    are derivable vs independent."""
+    from raptor_spark.operators.profile import fd_strength
+
+    docs = _t(spark, sf_dir, "documents")
+    r4 = lambda c: F.round(F.col(c), 4) + F.lit(0.0)
+    outs = []
+    for lhs, rhs in (("source", "lang"), ("lang", "source")):
+        one = fd_strength(docs, lhs, rhs).select(
+            F.lit(f"{lhs}->{rhs}").alias("fd"),
+            "n_rows",
+            "n_lhs",
+            "n_pairs",
+            r4("strength").alias("strength"),
+        )
+        outs.append(one)
+    return outs[0].unionByName(outs[1]).orderBy("fd")
+
+
 def q_lsh_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ER blocking-quality audit (dedup.lsh_blocking_audit): pair
     completeness / pairs quality / reduction ratio of 4×4 banded md5-lane
@@ -3622,6 +3643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_blocking_audit": q_lsh_blocking_audit,
         "rfm_segments": q_rfm_segments,
         "event_acf": q_event_acf,
+        "fd_audit": q_fd_audit,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -6767,6 +6789,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM ({acf_finals})
             ORDER BY event_type, lag
+        """,
+        "fd_audit": """
+            WITH p1 AS (
+              SELECT source AS lhs, lang AS rhs,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1, 2
+            ), a1 AS (
+              SELECT lhs, CAST(max(n) AS BIGINT) AS max_n,
+                     CAST(sum(n) AS BIGINT) AS tot_n,
+                     CAST(count(*) AS BIGINT) AS n_rhs
+              FROM p1 GROUP BY 1
+            ), r1 AS (
+              SELECT 'source->lang' AS fd,
+                     CAST(sum(tot_n) AS BIGINT) AS n_rows,
+                     CAST(count(*) AS BIGINT) AS n_lhs,
+                     CAST(sum(n_rhs) AS BIGINT) AS n_pairs,
+                     round(sum(max_n) / CAST(sum(tot_n) AS DOUBLE), 4) + 0.0
+                       AS strength
+              FROM a1
+            ), p2 AS (
+              SELECT lang AS lhs, source AS rhs,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1, 2
+            ), a2 AS (
+              SELECT lhs, CAST(max(n) AS BIGINT) AS max_n,
+                     CAST(sum(n) AS BIGINT) AS tot_n,
+                     CAST(count(*) AS BIGINT) AS n_rhs
+              FROM p2 GROUP BY 1
+            ), r2 AS (
+              SELECT 'lang->source' AS fd,
+                     CAST(sum(tot_n) AS BIGINT) AS n_rows,
+                     CAST(count(*) AS BIGINT) AS n_lhs,
+                     CAST(sum(n_rhs) AS BIGINT) AS n_pairs,
+                     round(sum(max_n) / CAST(sum(tot_n) AS DOUBLE), 4) + 0.0
+                       AS strength
+              FROM a2
+            )
+            SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+            ORDER BY fd
         """,
         "order_priority_check": """
             SELECT o_orderpriority, count(*) AS n_orders

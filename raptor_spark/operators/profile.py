@@ -857,3 +857,34 @@ def acf_daily(
         .otherwise(F.lit(0.0))
         .alias("acf"),
     )
+
+
+def fd_strength(
+    df: DataFrame,
+    lhs_col: str,
+    rhs_col: str,
+) -> DataFrame:
+    """One row: how close ``lhs_col → rhs_col`` is to a functional
+    dependency: strength = Σ_lhs max_rhs n(lhs, rhs) / N — the share of
+    rows kept by the majority mapping (1.0 = exact FD; the Tane/Metanome
+    g₃-style approximate-FD measure). The schema-discovery audit that
+    tells a pipeline which columns are derivable vs genuinely
+    independent.
+
+    Scale shape: one (lhs, rhs)-keyed corpus shuffle, then a lhs-keyed
+    re-aggregation of that pair-dimension table; all counters exact
+    BIGINT, one double ratio at the end."""
+    pairs = (
+        df.groupBy(F.col(lhs_col).alias("lhs"), F.col(rhs_col).alias("rhs"))
+        .agg(F.count("*").alias("n"))
+    )
+    per_lhs = pairs.groupBy("lhs").agg(
+        F.max("n").alias("max_n"), F.sum("n").alias("tot_n"),
+        F.count("*").alias("n_rhs"),
+    )
+    return per_lhs.agg(
+        F.sum("tot_n").alias("n_rows"),
+        F.count("*").alias("n_lhs"),
+        F.sum("n_rhs").alias("n_pairs"),
+        (F.sum("max_n") / F.sum("tot_n").cast("double")).alias("strength"),
+    )

@@ -801,3 +801,26 @@ def test_acf_daily_constant_series_zero(spark):
     ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
     out = acf_daily(ev, "event_type", "ts", max_lag=7).collect()
     assert len(out) == 7 and all(r.acf == 0.0 for r in out)
+
+
+def test_fd_strength_planted(spark):
+    from raptor_spark.operators.profile import fd_strength
+
+    rows = []
+    # a -> b exact FD: a=x always maps to 1, a=y always to 2
+    for i in range(10):
+        rows.append((i, "x", 1))
+    for i in range(10, 16):
+        rows.append((i, "y", 2))
+    df = spark.createDataFrame(rows, ["rid", "a", "b"])
+    r = fd_strength(df, "a", "b").collect()[0]
+    assert (r.n_rows, r.n_lhs, r.n_pairs) == (16, 2, 2)
+    assert math.isclose(r.strength, 1.0, rel_tol=1e-12)
+
+    # violated: a=x maps 7 rows -> 1 and 3 rows -> 2; a=y exact
+    rows2 = [(i, "x", 1) for i in range(7)] + [(i, "x", 2) for i in range(7, 10)]
+    rows2 += [(i, "y", 3) for i in range(10, 14)]
+    df2 = spark.createDataFrame(rows2, ["rid", "a", "b"])
+    r2 = fd_strength(df2, "a", "b").collect()[0]
+    assert (r2.n_rows, r2.n_lhs, r2.n_pairs) == (14, 2, 3)
+    assert math.isclose(r2.strength, (7 + 4) / 14.0, rel_tol=1e-12)
