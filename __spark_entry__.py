@@ -3468,6 +3468,24 @@ def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs[0].unionByName(outs[1]).orderBy("fd")
 
 
+def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate + predictability of the per-user event-type Markov
+    chain (profile.markov_entropy) — how scriptable the event stream is
+    (bot/replay ≈ 1, uniform noise ≈ 0)."""
+    from raptor_spark.operators.profile import markov_entropy
+
+    ev = _t(spark, sf_dir, "events")
+    out = markov_entropy(ev, ["user_id"], ["ts", "event_id"], "event_type")
+    r4 = lambda c: F.round(F.col(c), 4) + F.lit(0.0)
+    return out.select(
+        "n_transitions",
+        "n_states",
+        r4("entropy_bits").alias("entropy_bits"),
+        r4("max_entropy_bits").alias("max_entropy_bits"),
+        r4("predictability").alias("predictability"),
+    )
+
+
 def q_lsh_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ER blocking-quality audit (dedup.lsh_blocking_audit): pair
     completeness / pairs quality / reduction ratio of 4×4 banded md5-lane
@@ -3644,6 +3662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": q_rfm_segments,
         "event_acf": q_event_acf,
         "fd_audit": q_fd_audit,
+        "markov_entropy": q_markov_entropy,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -6828,6 +6847,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
             ORDER BY fd
+        """,
+        "markov_entropy": """
+            WITH seq AS (
+              SELECT event_type AS from_state,
+                     lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS to_state
+              FROM events
+            ), tc AS (
+              SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+              FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2
+            ), rn AS (
+              SELECT from_state, CAST(sum(n) AS BIGINT) AS row_n
+              FROM tc GROUP BY 1
+            ), j AS (
+              SELECT tc.from_state, n, n / CAST(row_n AS DOUBLE) AS p
+              FROM tc JOIN rn USING (from_state)
+            ), agg AS (
+              SELECT CAST(sum(n) AS BIGINT) AS n_transitions,
+                     CAST(count(DISTINCT from_state) AS BIGINT) AS n_states,
+                     -sum(n * log2(p)) / CAST(sum(n) AS DOUBLE)
+                       AS entropy_bits
+              FROM j
+            )
+            SELECT n_transitions, n_states,
+                   round(entropy_bits, 4) + 0.0 AS entropy_bits,
+                   round(log2(CAST(n_states AS DOUBLE)), 4) + 0.0
+                     AS max_entropy_bits,
+                   round(CASE WHEN n_states > 1
+                         THEN 1.0::DOUBLE
+                              - entropy_bits / log2(CAST(n_states AS DOUBLE))
+                         ELSE 1.0::DOUBLE END, 4) + 0.0 AS predictability
+            FROM agg
         """,
         "order_priority_check": """
             SELECT o_orderpriority, count(*) AS n_orders

@@ -888,3 +888,43 @@ def fd_strength(
         F.sum("n_rhs").alias("n_pairs"),
         (F.sum("max_n") / F.sum("tot_n").cast("double")).alias("strength"),
     )
+
+
+def markov_entropy(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """One row: entropy rate of the first-order Markov chain of
+    ``state_col`` transitions (transition_counts' summary statistic):
+    H = −Σ_s π(s) Σ_t p(t|s)·log2 p(t|s) with π the empirical
+    from-state mass, plus max_entropy = log2(n_states) and
+    predictability = 1 − H/Hmax — one number for "how scriptable is this
+    event stream" (bot/replay streams ≈ 1, uniform noise ≈ 0).
+
+    Scale shape: inherits transition_counts' one corpus-keyed window
+    shuffle; the entropy reduction runs over the state-alphabet-squared
+    table. H = −(1/N)·Σ n_st·log2(n_st/row_n): pure counts inside the
+    log, one double sum at the end."""
+    tc = transition_counts(df, key_cols, order_cols, state_col)
+    return tc.agg(
+        F.sum("n").alias("n_transitions"),
+        F.count_distinct("from_state").alias("n_states"),
+        (
+            -F.sum(F.col("n") * F.log2(F.col("p")))
+            / F.sum("n").cast("double")
+        ).alias("entropy_bits"),
+    ).select(
+        "n_transitions",
+        "n_states",
+        "entropy_bits",
+        F.log2(F.col("n_states").cast("double")).alias("max_entropy_bits"),
+        F.when(
+            F.col("n_states") > 1,
+            1.0
+            - F.col("entropy_bits") / F.log2(F.col("n_states").cast("double")),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("predictability"),
+    )

@@ -824,3 +824,36 @@ def test_fd_strength_planted(spark):
     r2 = fd_strength(df2, "a", "b").collect()[0]
     assert (r2.n_rows, r2.n_lhs, r2.n_pairs) == (14, 2, 3)
     assert math.isclose(r2.strength, (7 + 4) / 14.0, rel_tol=1e-12)
+
+
+def test_markov_entropy_planted_chains(spark):
+    from datetime import datetime, timedelta
+
+    from raptor_spark.operators.profile import markov_entropy
+
+    t0 = datetime(2024, 6, 1)
+    # user 1: deterministic cycle a->b->c->a... -> H = 0, predictability 1
+    seq = ["a", "b", "c"] * 5
+    rows = [(i, t0 + timedelta(seconds=i), 1, s) for i, s in enumerate(seq)]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    r = markov_entropy(ev, ["user_id"], ["ts", "event_id"], "event_type").collect()[0]
+    assert r.n_transitions == 14 and r.n_states == 3
+    assert math.isclose(r.entropy_bits, 0.0, abs_tol=1e-12)
+    assert math.isclose(r.predictability, 1.0, rel_tol=1e-12)
+
+    # mixed: transitions a->a x2, a->b x2 (H(a)=1 bit), b->a x3 (H(b)=0)
+    seq2 = ["a", "a", "b", "a", "b", "a", "a", "b", "a"]
+    # transitions: aa, ab, ba, ab, ba, aa, ab... recompute from pairs below
+    rows2 = [(i, t0 + timedelta(seconds=i), 7, s) for i, s in enumerate(seq2)]
+    ev2 = spark.createDataFrame(rows2, ["event_id", "ts", "user_id", "event_type"])
+    r2 = markov_entropy(ev2, ["user_id"], ["ts", "event_id"], "event_type").collect()[0]
+    pairs = list(zip(seq2, seq2[1:]))
+    from collections import Counter
+
+    c = Counter(pairs)
+    n = sum(c.values())
+    row = Counter(a for a, _ in pairs)
+    h = -sum(k * math.log2(k / row[a]) for (a, _), k in c.items()) / n
+    assert r2.n_transitions == n
+    assert math.isclose(r2.entropy_bits, h, rel_tol=1e-12)
+    assert math.isclose(r2.predictability, 1 - h / 1.0, rel_tol=1e-12)
