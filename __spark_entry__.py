@@ -3468,6 +3468,26 @@ def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs[0].unionByName(outs[1]).orderBy("fd")
 
 
+def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition diversity of each language's source mix
+    (profile.composition_diversity): Shannon bits, Simpson
+    concentration, effective source count — the training-mix audit
+    behind temperature-sampling decisions."""
+    from raptor_spark.operators.profile import composition_diversity
+
+    docs = _t(spark, sf_dir, "documents")
+    out = composition_diversity(docs, "lang", "source")
+    r4 = lambda c: F.round(F.col(c), 4) + F.lit(0.0)
+    return out.select(
+        F.col("grp").alias("lang"),
+        "n_rows",
+        "n_parts",
+        r4("entropy_bits").alias("entropy_bits"),
+        r4("simpson").alias("simpson"),
+        r4("effective_parts").alias("effective_parts"),
+    ).orderBy("lang")
+
+
 def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entropy rate + predictability of the per-user event-type Markov
     chain (profile.markov_entropy) — how scriptable the event stream is
@@ -3663,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_acf": q_event_acf,
         "fd_audit": q_fd_audit,
         "markov_entropy": q_markov_entropy,
+        "source_diversity": q_source_diversity,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -6880,6 +6901,31 @@ def oracle_sql() -> dict[str, str]:
                               - entropy_bits / log2(CAST(n_states AS DOUBLE))
                          ELSE 1.0::DOUBLE END, 4) + 0.0 AS predictability
             FROM agg
+        """,
+        "source_diversity": """
+            WITH c AS (
+              SELECT lang AS grp, source AS part,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1, 2
+            ), tot AS (
+              SELECT grp, CAST(sum(n) AS BIGINT) AS tot,
+                     CAST(count(*) AS BIGINT) AS n_parts
+              FROM c GROUP BY 1
+            ), j AS (
+              SELECT c.grp, tot, n_parts, n / CAST(tot AS DOUBLE) AS p
+              FROM c JOIN tot USING (grp)
+            ), agg AS (
+              SELECT grp, tot AS n_rows, n_parts,
+                     -sum(p * log2(p)) AS entropy_bits,
+                     sum(p * p) AS simpson
+              FROM j GROUP BY 1, 2, 3
+            )
+            SELECT grp AS lang, n_rows, n_parts,
+                   round(entropy_bits, 4) + 0.0 AS entropy_bits,
+                   round(simpson, 4) + 0.0 AS simpson,
+                   round(power(2.0::DOUBLE, entropy_bits), 4) + 0.0
+                     AS effective_parts
+            FROM agg ORDER BY lang
         """,
         "order_priority_check": """
             SELECT o_orderpriority, count(*) AS n_orders

@@ -928,3 +928,40 @@ def markov_entropy(
         .otherwise(F.lit(1.0))
         .alias("predictability"),
     )
+
+
+def composition_diversity(
+    df: DataFrame,
+    group_col: str,
+    part_col: str,
+) -> DataFrame:
+    """Per-group composition diversity over ``part_col`` shares: Shannon
+    entropy (bits), Simpson concentration Σp², and the effective number
+    of parts exp₂(H) — "how many sources is this language REALLY drawn
+    from" (a lang fed 99% by one source has effective count ≈ 1 no
+    matter how many nominal sources appear). The training-mix audit
+    behind temperature sampling decisions.
+
+    Scale shape: one (group, part)-keyed corpus shuffle; everything else
+    re-aggregates that composition-dimension table. Counts exact BIGINT;
+    the entropy/Simpson sums are doubles over exact integer ratios."""
+    c = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(part_col).alias("part")
+    ).agg(F.count("*").alias("n"))
+    tot = c.groupBy("grp").agg(
+        F.sum("n").alias("tot"), F.count("*").alias("n_parts")
+    )
+    j = c.join(tot, "grp").withColumn(
+        "p", F.col("n") / F.col("tot").cast("double")
+    )
+    return j.groupBy("grp", "tot", "n_parts").agg(
+        (-F.sum(F.col("p") * F.log2(F.col("p")))).alias("entropy_bits"),
+        F.sum(F.col("p") * F.col("p")).alias("simpson"),
+    ).select(
+        F.col("grp"),
+        F.col("tot").alias("n_rows"),
+        "n_parts",
+        "entropy_bits",
+        "simpson",
+        F.pow(F.lit(2.0), F.col("entropy_bits")).alias("effective_parts"),
+    )

@@ -857,3 +857,28 @@ def test_markov_entropy_planted_chains(spark):
     assert r2.n_transitions == n
     assert math.isclose(r2.entropy_bits, h, rel_tol=1e-12)
     assert math.isclose(r2.predictability, 1 - h / 1.0, rel_tol=1e-12)
+
+
+def test_composition_diversity_planted(spark):
+    from raptor_spark.operators.profile import composition_diversity
+
+    rows = []
+    # "uniform": 4 parts x 5 rows -> H = 2 bits, effective 4, simpson 0.25
+    for p in range(4):
+        for i in range(5):
+            rows.append((len(rows), "uniform", f"p{p}"))
+    # "skewed": 99% one part -> effective count near 1
+    for i in range(99):
+        rows.append((len(rows), "skewed", "big"))
+    rows.append((len(rows), "skewed", "tiny"))
+    df = spark.createDataFrame(rows, ["rid", "grp", "part"])
+    out = {r.grp: r for r in composition_diversity(df, "grp", "part").collect()}
+    u = out["uniform"]
+    assert (u.n_rows, u.n_parts) == (20, 4)
+    assert math.isclose(u.entropy_bits, 2.0, rel_tol=1e-12)
+    assert math.isclose(u.effective_parts, 4.0, rel_tol=1e-12)
+    assert math.isclose(u.simpson, 0.25, rel_tol=1e-12)
+    s = out["skewed"]
+    h = -(0.99 * math.log2(0.99) + 0.01 * math.log2(0.01))
+    assert math.isclose(s.entropy_bits, h, rel_tol=1e-12)
+    assert s.effective_parts < 1.1 and s.n_parts == 2
