@@ -3468,6 +3468,25 @@ def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs[0].unionByName(outs[1]).orderBy("fd")
 
 
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit over ingestion order
+    (ranking.heaps_fit): V ≈ k·N^β — the growth-curve twin of zipf_fit;
+    template floods and dedup bends β."""
+    from raptor_spark.operators.ranking import heaps_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    out = heaps_fit(docs, "doc_id", "text")
+    r4 = lambda c: F.round(F.col(c), 4) + F.lit(0.0)
+    return out.select(
+        "n_points",
+        "n_tokens",
+        "n_types",
+        r4("beta").alias("beta"),
+        r4("intercept").alias("intercept"),
+        r4("r2").alias("r2"),
+    )
+
+
 def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition diversity of each language's source mix
     (profile.composition_diversity): Shannon bits, Simpson
@@ -3684,6 +3703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_audit": q_fd_audit,
         "markov_entropy": q_markov_entropy,
         "source_diversity": q_source_diversity,
+        "heaps_fit": q_heaps_fit,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -6926,6 +6946,45 @@ def oracle_sql() -> dict[str, str]:
                    round(power(2.0::DOUBLE, entropy_bits), 4) + 0.0
                      AS effective_parts
             FROM agg ORDER BY lang
+        """,
+        "heaps_fit": r"""
+            WITH d1 AS MATERIALIZED (
+              SELECT doc_id AS id,
+                     list_filter(string_split_regex(lower(trim(text)),
+                                                    '\s+'), x -> x != '')
+                       AS ws
+              FROM documents
+            ), docs AS (
+              SELECT id, CAST(len(ws) AS BIGINT) AS dl FROM d1
+            ), firsts AS (
+              SELECT term, min(id) AS fd
+              FROM (SELECT id, unnest(list_distinct(ws)) AS term FROM d1)
+              GROUP BY 1
+            ), nt AS (
+              SELECT fd AS id, CAST(count(*) AS BIGINT) AS nt
+              FROM firsts GROUP BY 1
+            ), series AS (
+              SELECT id,
+                     CAST(sum(dl) OVER wo AS BIGINT) AS n_cum,
+                     CAST(sum(COALESCE(nt, 0)) OVER wo AS BIGINT) AS v_cum
+              FROM docs LEFT JOIN nt USING (id)
+              WINDOW wo AS (ORDER BY id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)
+            ), pts AS (
+              SELECT n_cum, v_cum,
+                     ln(CAST(n_cum AS DOUBLE)) AS x,
+                     ln(CAST(v_cum AS DOUBLE)) AS y
+              FROM series WHERE n_cum > 0 AND v_cum > 0
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_points,
+                   CAST(max(n_cum) AS BIGINT) AS n_tokens,
+                   CAST(max(v_cum) AS BIGINT) AS n_types,
+                   round(covar_pop(x, y) / var_pop(x), 4) + 0.0 AS beta,
+                   round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 4)
+                     + 0.0 AS intercept,
+                   round(corr(x, y) * corr(x, y), 4) + 0.0 AS r2
+            FROM pts
         """,
         "order_priority_check": """
             SELECT o_orderpriority, count(*) AS n_orders

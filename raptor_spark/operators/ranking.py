@@ -424,3 +424,53 @@ def lexical_diversity(
         (F.sum((F.col("c") == 1).cast("long")) / F.count("*")).alias("hapax_ratio"),
         (F.count("*") / F.sqrt(F.sum("c"))).alias("guiraud"),
     )
+
+
+def heaps_fit(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: OLS of ln(V) on ln(N) over the
+    cumulative (tokens seen, distinct types seen) curve in ingestion
+    order (ascending ``id_col``), returning one row (n_points, n_tokens,
+    n_types, beta, intercept, r2). Natural text grows V ≈ k·N^β with
+    β ≈ 0.4–0.6; template floods and de-duplicated corpora bend it — the
+    ingestion-order twin of zipf_fit's rank-frequency audit.
+
+    The cumulative distinct count V(i) comes from the first-occurrence
+    trick: V(i) = #terms whose MIN containing doc ≤ i — one term-keyed
+    shuffle, no distinct-counting window. The growth curve itself is a
+    doc-dimension global-order window (fine at the dimension tier;
+    at 10⁹ docs evaluate at K sampled boundaries instead — the OLS only
+    needs points, not every prefix)."""
+    d1 = df.select(F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("ws"))
+    docs = d1.select("id", F.size("ws").alias("dl"))
+    first = (
+        d1.select("id", F.explode(F.array_distinct("ws")).alias("term"))
+        .groupBy("term")
+        .agg(F.min("id").alias("fd"))
+    )
+    new_terms = first.groupBy(F.col("fd").alias("id")).agg(
+        F.count("*").alias("nt")
+    )
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    series = (
+        docs.join(new_terms, "id", "left")
+        .select("id", "dl", F.coalesce("nt", F.lit(0)).cast("long").alias("nt"))
+        .withColumn("n_cum", F.sum("dl").over(w))
+        .withColumn("v_cum", F.sum("nt").over(w))
+        .filter((F.col("n_cum") > 0) & (F.col("v_cum") > 0))
+        .select(
+            "n_cum",
+            "v_cum",
+            F.log(F.col("n_cum").cast("double")).alias("x"),
+            F.log(F.col("v_cum").cast("double")).alias("y"),
+        )
+    )
+    corr = F.corr("x", "y")
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return series.agg(
+        F.count("*").alias("n_points"),
+        F.max("n_cum").alias("n_tokens"),
+        F.max("v_cum").alias("n_types"),
+        slope.alias("beta"),
+        (F.avg("y") - slope * F.avg("x")).alias("intercept"),
+        (corr * corr).alias("r2"),
+    )

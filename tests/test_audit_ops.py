@@ -882,3 +882,44 @@ def test_composition_diversity_planted(spark):
     h = -(0.99 * math.log2(0.99) + 0.01 * math.log2(0.01))
     assert math.isclose(s.entropy_bits, h, rel_tol=1e-12)
     assert s.effective_parts < 1.1 and s.n_parts == 2
+
+
+def test_heaps_fit_matches_numpy_ols(spark):
+    from raptor_spark.operators.ranking import heaps_fit
+
+    texts = [
+        (0, "a b c a"),
+        (1, "a d e"),
+        (2, "f f g a b"),
+        (3, "h i"),
+        (4, "a b c"),  # no new terms: V flat while N grows
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+    r = heaps_fit(docs, "doc_id", "text").collect()[0]
+
+    # python replay of the cumulative curve
+    seen: set[str] = set()
+    n = v = 0
+    xs, ys = [], []
+    n_tokens = n_types = 0
+    for _, t in sorted(texts):
+        ws = t.split()
+        n += len(ws)
+        for wd in ws:
+            if wd not in seen:
+                seen.add(wd)
+        v = len(seen)
+        if n > 0 and v > 0:
+            xs.append(math.log(n))
+            ys.append(math.log(v))
+        n_tokens, n_types = n, v
+    x = np.array(xs)
+    y = np.array(ys)
+    beta = np.cov(x, y, bias=True)[0, 1] / x.var()
+    intercept = y.mean() - beta * x.mean()
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert (r.n_points, r.n_tokens, r.n_types) == (len(xs), n_tokens, n_types)
+    assert math.isclose(r.beta, beta, abs_tol=1e-9)
+    assert math.isclose(r.intercept, intercept, abs_tol=1e-9)
+    assert math.isclose(r.r2, r2, abs_tol=1e-9)
+    assert 0 < r.beta < 1  # sublinear vocabulary growth
