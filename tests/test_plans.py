@@ -412,3 +412,28 @@ def test_tpch_scalar_branches_reuse_or_cache(spark):
     df.collect()
     p = plan_str(df)
     assert "InMemoryTableScan" in p or "InMemoryRelation" in p, p
+
+
+def test_session3_audit_plans_stay_clean(spark):
+    """The third-session audit family stays JVM-side (zero Python in any
+    plan), never goes cartesian, and keeps its broadcast discipline:
+    keyness/divergence broadcast their slice-total tables; basket_lift
+    broadcasts the item marginals; the KS grid join and winnowing bucket
+    join stay equi-joins."""
+    names = (
+        "source_keyness", "source_divergence", "basket_lift",
+        "event_burstiness", "rate_changepoint", "source_ks_drift",
+        "lexical_diversity", "winnow_pairs", "graph_clustering",
+        "lsh_blocking_audit", "rfm_segments", "event_acf", "fd_audit",
+        "markov_entropy", "source_diversity", "heaps_fit",
+    )
+    for name in names:
+        p = plan_str(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in p, name
+        assert "PythonUDF" not in p, name
+        assert "CartesianProduct" not in p, name
+    # broadcast discipline spot-checks
+    p = plan_str(QUERIES["basket_lift"](spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") >= 2, p[:800]
+    p = plan_str(QUERIES["source_divergence"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p[:800]
