@@ -3507,6 +3507,33 @@ def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def q_session_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal co-occurrence lift between event types within a 30-min
+    user session (relational.session_ids ∘ basket_lift) — which event
+    types cluster in the same sitting beyond independence; the session
+    twin of basket_lift's order baskets and transition_counts' adjacency."""
+    from raptor_spark.operators.relational import basket_lift, session_ids
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.col("ts").cast("timestamp").cast("double")
+    )
+    sess = session_ids(ev, ["user_id"], "ts_sec", gap_s=1800.0)
+    facts = sess.select(
+        F.concat_ws("#", F.col("user_id"), F.col("_session")).alias("sk"),
+        "event_type",
+    )
+    out = basket_lift(facts, "sk", "event_type", min_support=5)
+    return out.select(
+        F.col("item_a").alias("type_a"),
+        F.col("item_b").alias("type_b"),
+        "n_co",
+        "n_a",
+        "n_b",
+        F.col("n_baskets").alias("n_sessions"),
+        (F.round(F.col("lift"), 4) + F.lit(0.0)).alias("lift"),
+    ).orderBy("type_a", "type_b")
+
+
 def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entropy rate + predictability of the per-user event-type Markov
     chain (profile.markov_entropy) — how scriptable the event stream is
@@ -3704,6 +3731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_entropy": q_markov_entropy,
         "source_diversity": q_source_diversity,
         "heaps_fit": q_heaps_fit,
+        "session_type_lift": q_session_type_lift,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -6888,6 +6916,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
             ORDER BY fd
+        """,
+        "session_type_lift": """
+            WITH e AS (
+              SELECT user_id, event_type, epoch(ts) AS t FROM events
+            ), l AS (
+              SELECT user_id, event_type, t,
+                     CASE WHEN lag(t) OVER w IS NULL
+                            OR t - lag(t) OVER w > 1800.0
+                          THEN 1 ELSE 0 END AS ns
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY t)
+            ), s AS (
+              SELECT user_id, event_type,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+              FROM l
+            ), b AS (
+              SELECT DISTINCT concat_ws('#', user_id, sid) AS basket,
+                     event_type AS item
+              FROM s
+            ), co AS (
+              SELECT x.item AS a, y.item AS b,
+                     CAST(count(*) AS BIGINT) AS n_co
+              FROM b x JOIN b y
+                ON x.basket = y.basket AND x.item < y.item
+              GROUP BY 1, 2
+            ), marg AS (
+              SELECT item, CAST(count(*) AS BIGINT) AS n_item
+              FROM b GROUP BY 1
+            ), tot AS (
+              SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_sessions
+              FROM b
+            )
+            SELECT a AS type_a, b AS type_b, n_co,
+                   ia.n_item AS n_a, ib.n_item AS n_b, n_sessions,
+                   round(n_co * CAST(n_sessions AS DOUBLE)
+                         / (ia.n_item * ib.n_item), 4) + 0.0 AS lift
+            FROM co
+            JOIN marg ia ON co.a = ia.item
+            JOIN marg ib ON co.b = ib.item
+            CROSS JOIN tot
+            WHERE n_co >= 5
+            ORDER BY type_a, type_b
         """,
         "markov_entropy": """
             WITH seq AS (

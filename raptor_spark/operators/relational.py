@@ -101,6 +101,30 @@ def hierarchical_rollup(
     return out
 
 
+def session_ids(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    gap_s: float = 1800.0,
+) -> DataFrame:
+    """``df`` + a ``_session`` column: per-key session index by the
+    gaps-and-islands rule (new session when the gap to the previous event
+    exceeds gap_s). Session MEMBERSHIP is stable under timestamp ties —
+    tied rows all get gap 0 and land in the same island — so downstream
+    keys built from (_session, key) are deterministic. One per-key window
+    pass (the shared builder of sessionize and session-scoped analytics
+    like session_type_lift)."""
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    gap = F.col(ts_col) - F.lag(ts_col).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    return df.withColumn(
+        "_session",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
 def sessionize(
     df: DataFrame,
     keys: list[str],
@@ -111,15 +135,7 @@ def sessionize(
     one session while inter-event gap ≤ gap_s. Batch twin of the stateful
     streaming operator (raptor_spark.streaming.sessionize_stream); one
     window pass + one groupBy."""
-    w = Window.partitionBy(*keys).orderBy(ts_col)
-    gap = F.col(ts_col) - F.lag(ts_col).over(w)
-    new_session = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
-    with_id = df.withColumn(
-        "_session",
-        F.sum(new_session).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    with_id = session_ids(df, keys, ts_col, gap_s)
     return (
         with_id.groupBy(*keys, "_session")
         .agg(

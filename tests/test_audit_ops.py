@@ -923,3 +923,34 @@ def test_heaps_fit_matches_numpy_ols(spark):
     assert math.isclose(r.intercept, intercept, abs_tol=1e-9)
     assert math.isclose(r.r2, r2, abs_tol=1e-9)
     assert 0 < r.beta < 1  # sublinear vocabulary growth
+
+
+def test_session_type_lift_respects_session_boundaries(spark):
+    from raptor_spark.operators.relational import basket_lift, session_ids
+
+    # user 1: session A = {x, y} at t=0..60; session B = {x, z} 2h later.
+    # (y, z) never share a session -> must not appear even at min_support 1.
+    rows = [
+        (1, 0.0, "x"), (1, 60.0, "y"),
+        (1, 7800.0, "x"), (1, 7860.0, "z"),
+        (2, 0.0, "x"), (2, 30.0, "y"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts_sec", "event_type"])
+    sess = session_ids(ev, ["user_id"], "ts_sec", gap_s=1800.0)
+    import pyspark.sql.functions as SF
+
+    facts = sess.select(
+        SF.concat_ws("#", SF.col("user_id"), SF.col("_session")).alias("sk"),
+        "event_type",
+    )
+    out = {
+        (r.item_a, r.item_b): r
+        for r in basket_lift(facts, "sk", "event_type", min_support=1).collect()
+    }
+    assert ("y", "z") not in out and ("x", "x") not in out
+    xy = out[("x", "y")]
+    # 3 sessions total; x in 3, y in 2, z in 1; co(x,y)=2, co(x,z)=1
+    assert (xy.n_co, xy.n_a, xy.n_b, xy.n_baskets) == (2, 3, 2, 3)
+    assert math.isclose(xy.lift, 2 * 3 / 6.0, rel_tol=1e-12)
+    xz = out[("x", "z")]
+    assert (xz.n_co, xz.n_a, xz.n_b) == (1, 3, 1)
