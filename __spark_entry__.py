@@ -3552,6 +3552,22 @@ def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-weighted (Ruzicka) Jaccard next to the set Jaccard for each
+    exact ≥ 0.5 candidate pair (dedup.weighted_jaccard_pairs) —
+    separates true rewrites from same-vocabulary-different-emphasis."""
+    from raptor_spark.operators.dedup import weighted_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    out = weighted_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    return out.select(
+        "a",
+        "b",
+        (F.round(F.col("j_set"), 4) + F.lit(0.0)).alias("j_set"),
+        (F.round(F.col("j_weighted"), 4) + F.lit(0.0)).alias("j_weighted"),
+    ).orderBy("a", "b")
+
+
 def q_lsh_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ER blocking-quality audit (dedup.lsh_blocking_audit): pair
     completeness / pairs quality / reduction ratio of 4×4 banded md5-lane
@@ -3732,6 +3748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_diversity": q_source_diversity,
         "heaps_fit": q_heaps_fit,
         "session_type_lift": q_session_type_lift,
+        "weighted_jaccard": q_weighted_jaccard,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -6916,6 +6933,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
             ORDER BY fd
+        """,
+        "weighted_jaccard": r"""
+            WITH w AS MATERIALIZED (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)),
+                                                      '\s+')) AS ws
+              FROM documents WHERE doc_id < 150
+            ), pairs AS MATERIALIZED (
+              SELECT a.doc_id AS a, b.doc_id AS b,
+                     len(list_filter(a.ws, x -> list_contains(b.ws, x)))
+                       * 1.0 /
+                     len(list_distinct(list_concat(a.ws, b.ws))) AS j_set
+              FROM w a JOIN w b ON a.doc_id < b.doc_id
+              WHERE len(list_filter(a.ws, x -> list_contains(b.ws, x)))
+                      * 1.0 /
+                    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.5
+            ), tfd AS MATERIALIZED (
+              SELECT doc_id AS id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM (
+                SELECT doc_id,
+                       unnest(list_filter(
+                         string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x != '')) AS term
+                FROM documents WHERE doc_id < 150
+              ) GROUP BY 1, 2
+            ), tot AS (
+              SELECT id, CAST(sum(tf) AS BIGINT) AS tot FROM tfd GROUP BY 1
+            ), smin AS (
+              SELECT p.a, p.b,
+                     CAST(sum(least(ta.tf, tb.tf)) AS BIGINT) AS smin
+              FROM pairs p
+              JOIN tfd ta ON ta.id = p.a
+              JOIN tfd tb ON tb.id = p.b AND tb.term = ta.term
+              GROUP BY 1, 2
+            )
+            SELECT p.a, p.b,
+                   round(j_set, 4) + 0.0 AS j_set,
+                   round(COALESCE(smin, 0)
+                         / CAST(xa.tot + xb.tot - COALESCE(smin, 0)
+                                AS DOUBLE), 4) + 0.0 AS j_weighted
+            FROM pairs p
+            LEFT JOIN smin USING (a, b)
+            JOIN tot xa ON p.a = xa.id
+            JOIN tot xb ON p.b = xb.id
+            ORDER BY a, b
         """,
         "session_type_lift": """
             WITH e AS (

@@ -944,3 +944,55 @@ def lsh_blocking_audit(
         )
     )
     return out
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(a, b, j_set, j_weighted): the TF-weighted (Ruzicka) Jaccard
+    Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b) next to the set Jaccard for
+    every exact candidate pair (set-J ≥ threshold via the lossless SSJoin
+    path). Separates true rewrites (both high) from "same vocabulary,
+    different emphasis" pairs (set-J high, weighted-J low) — the
+    repetition-aware refinement the set measure can't see.
+
+    Exact by construction: Σmax = tot_a + tot_b − Σmin (min over
+    non-shared terms is 0), so only COMMON terms are ever joined and all
+    sums are integer term frequencies; the one double op is the final
+    division. Scale shape: one (id, term, tf) corpus shuffle; the
+    common-term join fans out per (pair, shared term) — bounded by the
+    candidate pair set the threshold already pruned."""
+    from raptor_spark.operators.ranking import doc_terms
+
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, n=1, threshold=threshold
+    ).select("a", "b", F.col("jaccard").alias("j_set"))
+    tf = doc_terms(df, id_col, text_col).select("id", "term", "tf").persist()
+    tot = tf.groupBy("id").agg(F.sum("tf").alias("tot"))
+    ta = tf.select(F.col("id").alias("a"), "term", F.col("tf").alias("tf_a"))
+    tb = tf.select(F.col("id").alias("b"), "term", F.col("tf").alias("tf_b"))
+    smin = (
+        pairs.join(ta, "a")
+        .join(tb, ["b", "term"])
+        .groupBy("a", "b")
+        .agg(F.sum(F.least("tf_a", "tf_b")).alias("smin"))
+    )
+    return (
+        pairs.join(smin, ["a", "b"], "left")
+        .join(tot.select(F.col("id").alias("a"), F.col("tot").alias("tot_a")), "a")
+        .join(tot.select(F.col("id").alias("b"), F.col("tot").alias("tot_b")), "b")
+        .select(
+            "a",
+            "b",
+            "j_set",
+            (
+                F.coalesce("smin", F.lit(0))
+                / (
+                    F.col("tot_a") + F.col("tot_b") - F.coalesce("smin", F.lit(0))
+                ).cast("double")
+            ).alias("j_weighted"),
+        )
+    )

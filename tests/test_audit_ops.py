@@ -954,3 +954,30 @@ def test_session_type_lift_respects_session_boundaries(spark):
     assert math.isclose(xy.lift, 2 * 3 / 6.0, rel_tol=1e-12)
     xz = out[("x", "z")]
     assert (xz.n_co, xz.n_a, xz.n_b) == (1, 3, 1)
+
+
+def test_weighted_jaccard_separates_repetition(spark):
+    from raptor_spark.operators.dedup import weighted_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),          # exact dup: both = 1
+            (2, "alpha alpha alpha alpha beta gamma delta"),  # same vocab,
+            # heavy repetition: set-J(0,2) = 1, weighted-J < 1
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.a, r.b): r
+        for r in weighted_jaccard_pairs(docs, "doc_id", "text", 0.9).collect()
+    }
+    dup = out[(0, 1)]
+    assert math.isclose(dup.j_set, 1.0, rel_tol=1e-12)
+    assert math.isclose(dup.j_weighted, 1.0, rel_tol=1e-12)
+    rep = out[(0, 2)]
+    assert math.isclose(rep.j_set, 1.0, rel_tol=1e-12)
+    # smin = min over common: alpha 1, beta 1, gamma 1, delta 1 = 4;
+    # totals 4 and 7 -> jw = 4 / (4 + 7 - 4) = 4/7
+    assert math.isclose(rep.j_weighted, 4 / 7.0, rel_tol=1e-12)
+    assert rep.j_weighted < dup.j_weighted
