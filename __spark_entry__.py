@@ -3552,6 +3552,23 @@ def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_confusability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise label-centroid cosine matrix
+    (similarity.centroid_similarity) — which embedding labels are
+    confusable; the full-matrix refinement of embedding_silhouette."""
+    from raptor_spark.operators.similarity import centroid_similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = centroid_similarity(emb, "vec_id", "embedding", "label")
+    return out.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        (F.round(F.col("cos"), 4) + F.lit(0.0)).alias("cos"),
+    ).orderBy("label_a", "label_b")
+
+
 def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-weighted (Ruzicka) Jaccard next to the set Jaccard for each
     exact ≥ 0.5 candidate pair (dedup.weighted_jaccard_pairs) —
@@ -3749,6 +3766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_fit": q_heaps_fit,
         "session_type_lift": q_session_type_lift,
         "weighted_jaccard": q_weighted_jaccard,
+        "label_confusability": q_label_confusability,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -6933,6 +6951,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
             ORDER BY fd
+        """,
+        "label_confusability": """
+            WITH v AS (
+              SELECT label,
+                     generate_subscripts(embedding, 1) AS i,
+                     CAST(unnest(embedding) AS DOUBLE) AS x
+              FROM embeddings
+            ), cent AS (
+              SELECT label, i, avg(x) AS c FROM v GROUP BY 1, 2
+            ), sizes AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+              FROM embeddings GROUP BY 1
+            ), norms AS (
+              SELECT label, sqrt(sum(c * c)) AS nrm FROM cent GROUP BY 1
+            ), dots AS (
+              SELECT a.label AS la, b.label AS lb, sum(a.c * b.c) AS dot
+              FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+              GROUP BY 1, 2
+            )
+            SELECT la AS label_a, lb AS label_b,
+                   sa.n_vecs AS n_a, sb.n_vecs AS n_b,
+                   round(dot / (na.nrm * nb.nrm), 4) + 0.0 AS cos
+            FROM dots
+            JOIN norms na ON la = na.label
+            JOIN norms nb ON lb = nb.label
+            JOIN sizes sa ON la = sa.label
+            JOIN sizes sb ON lb = sb.label
+            ORDER BY label_a, label_b
         """,
         "weighted_jaccard": r"""
             WITH w AS MATERIALIZED (

@@ -635,3 +635,70 @@ def pca_power_scores(
             lambda acc, x: acc + x,
         ).alias("pc1"),
     )
+
+
+def centroid_similarity(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """(label_a, label_b, n_a, n_b, cos): pairwise cosine similarity
+    between label centroids — the full confusability matrix refining
+    label_centroid_audit's nearest-other summary (which label PAIRS are
+    near-duplicates of each other in embedding space; candidates for
+    merging or for targeted hard-negative mining).
+
+    Scale shape: one posexplode shuffle to (label, dim) means — the only
+    corpus-sized pass; centroids are L×d rows, norms L rows, and the
+    pair join is dim-keyed over those tiny tables (output C(L,2))."""
+    v = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    )
+    cent = v.groupBy("label", "i").agg(
+        F.avg(F.col("x").cast("double")).alias("c")
+    )
+    sizes = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("n_vecs")
+    )
+    norms = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    a = cent.select(
+        F.col("label").alias("la"), "i", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("lb"), "i", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "i")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    return (
+        dots.join(
+            F.broadcast(norms.select(F.col("label").alias("la"), F.col("nrm").alias("nrm_a"))),
+            "la",
+        )
+        .join(
+            F.broadcast(norms.select(F.col("label").alias("lb"), F.col("nrm").alias("nrm_b"))),
+            "lb",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("label").alias("la"), F.col("n_vecs").alias("n_a"))),
+            "la",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("label").alias("lb"), F.col("n_vecs").alias("n_b"))),
+            "lb",
+        )
+        .select(
+            F.col("la").alias("label_a"),
+            F.col("lb").alias("label_b"),
+            "n_a",
+            "n_b",
+            (F.col("dot") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cos"),
+        )
+    )

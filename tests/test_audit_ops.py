@@ -981,3 +981,33 @@ def test_weighted_jaccard_separates_repetition(spark):
     # totals 4 and 7 -> jw = 4 / (4 + 7 - 4) = 4/7
     assert math.isclose(rep.j_weighted, 4 / 7.0, rel_tol=1e-12)
     assert rep.j_weighted < dup.j_weighted
+
+
+def test_centroid_similarity_planted_geometry(spark):
+    from raptor_spark.operators.similarity import centroid_similarity
+
+    rng = np.random.default_rng(3)
+    rows, vid = [], 0
+    # labels 0/1: same direction (cos ~ 1); label 2: orthogonal (cos ~ 0)
+    base = np.array([1.0, 0, 0, 0])
+    orth = np.array([0, 1.0, 0, 0])
+    for label, d in ((0, base), (1, base), (2, orth)):
+        for _ in range(15):
+            v = 5.0 * d + rng.normal(0, 0.01, 4)
+            rows.append((vid, [float(x) for x in v], label))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {
+        (r.label_a, r.label_b): r
+        for r in centroid_similarity(emb, "vec_id", "embedding", "label").collect()
+    }
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}
+    assert all(r.n_a == 15 and r.n_b == 15 for r in out.values())
+    assert out[(0, 1)].cos > 0.999
+    assert abs(out[(0, 2)].cos) < 0.02 and abs(out[(1, 2)].cos) < 0.02
+
+    # numpy parity on one pair
+    m0 = np.array([r[1] for r in rows if r[2] == 0]).mean(axis=0)
+    m2 = np.array([r[1] for r in rows if r[2] == 2]).mean(axis=0)
+    want = float(m0 @ m2 / (np.linalg.norm(m0) * np.linalg.norm(m2)))
+    assert math.isclose(out[(0, 2)].cos, want, abs_tol=1e-9)
