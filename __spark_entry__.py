@@ -3552,6 +3552,21 @@ def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank (Spearman) trend of event value against time per type
+    (profile.spearman_by_slice) — the outlier-robust twin of
+    value_trends' OLS slope; exact-integer d² formula."""
+    from raptor_spark.operators.profile import spearman_by_slice
+
+    ev = _t(spark, sf_dir, "events")
+    out = spearman_by_slice(ev, "event_type", "ts", "value", "event_id")
+    return out.select(
+        F.col("slice").alias("event_type"),
+        "n",
+        (F.round(F.col("spearman"), 4) + F.lit(0.0)).alias("spearman"),
+    ).orderBy("event_type")
+
+
 def q_label_confusability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise label-centroid cosine matrix
     (similarity.centroid_similarity) — which embedding labels are
@@ -3767,6 +3782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_type_lift": q_session_type_lift,
         "weighted_jaccard": q_weighted_jaccard,
         "label_confusability": q_label_confusability,
+        "value_spearman": q_value_spearman,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -6951,6 +6967,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
             ORDER BY fd
+        """,
+        "value_spearman": """
+            WITH r AS (
+              SELECT event_type AS slice,
+                     CAST(row_number() OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                     ) AS BIGINT) AS rx,
+                     CAST(row_number() OVER (
+                       PARTITION BY event_type ORDER BY value, event_id
+                     ) AS BIGINT) AS ry
+              FROM events
+            ), agg AS (
+              SELECT slice, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+              FROM r GROUP BY 1
+            )
+            SELECT slice AS event_type, n,
+                   round(CASE WHEN n > 1
+                         THEN 1.0::DOUBLE - 6.0::DOUBLE * sum_d2
+                              / CAST(n * (n * n - 1) AS DOUBLE)
+                         ELSE 0.0::DOUBLE END, 4) + 0.0 AS spearman
+            FROM agg ORDER BY event_type
         """,
         "label_confusability": """
             WITH v AS (

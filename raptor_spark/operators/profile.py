@@ -965,3 +965,57 @@ def composition_diversity(
         "simpson",
         F.pow(F.lit(2.0), F.col("entropy_bits")).alias("effective_parts"),
     )
+
+
+def spearman_by_slice(
+    df: DataFrame,
+    slice_col: str,
+    x_col: str,
+    y_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """(slice, n, spearman): rank correlation of ``y_col`` against
+    ``x_col`` per slice — the outlier-robust twin of value_trends' OLS
+    slope (a single spike can flip a Pearson trend; it moves one rank
+    here). Ranks are row_numbers with a deterministic ``tiebreak_col``,
+    so ranks are distinct integers and the classic no-ties identity
+    ρ = 1 − 6·Σd² / (n·(n²−1)) is EXACT integer arithmetic until the
+    final division (for continuous data the tie-broken variant differs
+    from tie-averaged Spearman negligibly; for heavily tied columns use
+    a contingency measure instead).
+
+    Scale shape: two rank windows over the same slice partitioning (one
+    shuffle — the second window reuses the exchange), then a slice-dim
+    aggregation of exact BIGINT d²."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(slice_col).alias("slice"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+        F.col(tiebreak_col).alias("tb"),
+    )
+    wx = Window.partitionBy("slice").orderBy(F.col("x"), F.col("tb"))
+    wy = Window.partitionBy("slice").orderBy(F.col("y"), F.col("tb"))
+    ranked = base.select(
+        "slice",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    d = (F.col("rx") - F.col("ry")).cast("long")
+    agg = ranked.groupBy("slice").agg(
+        F.count("*").alias("n"), F.sum(d * d).alias("sum_d2")
+    )
+    return agg.select(
+        "slice",
+        "n",
+        F.when(
+            F.col("n") > 1,
+            1.0
+            - 6.0
+            * F.col("sum_d2")
+            / (F.col("n") * (F.col("n") * F.col("n") - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("spearman"),
+    )

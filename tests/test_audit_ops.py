@@ -1011,3 +1011,37 @@ def test_centroid_similarity_planted_geometry(spark):
     m2 = np.array([r[1] for r in rows if r[2] == 2]).mean(axis=0)
     want = float(m0 @ m2 / (np.linalg.norm(m0) * np.linalg.norm(m2)))
     assert math.isclose(out[(0, 2)].cos, want, abs_tol=1e-9)
+
+
+def test_spearman_by_slice_planted(spark):
+    from datetime import datetime, timedelta
+
+    from raptor_spark.operators.profile import spearman_by_slice
+
+    t0 = datetime(2024, 7, 1)
+    rows = []
+    # "up": strictly increasing -> rho = 1; "down": reversed -> rho = -1;
+    # "spiked": monotone except one huge outlier -> rho stays near 1
+    # (the robustness property vs an OLS slope)
+    for i in range(20):
+        rows.append((i, t0 + timedelta(minutes=i), "up", float(i)))
+        rows.append((100 + i, t0 + timedelta(minutes=i), "down", float(-i)))
+        v = 1e9 if i == 10 else float(i)
+        rows.append((200 + i, t0 + timedelta(minutes=i), "spiked", v))
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"])
+    out = {
+        r.slice: r
+        for r in spearman_by_slice(ev, "event_type", "ts", "value", "event_id").collect()
+    }
+    assert math.isclose(out["up"].spearman, 1.0, rel_tol=1e-12)
+    assert math.isclose(out["down"].spearman, -1.0, rel_tol=1e-12)
+    # outlier moves the spiked series' rho only slightly: exact value is
+    # 1 - 6*sum(d^2)/(n(n^2-1)) with ranks shifted by one position from
+    # index 10 onward -> python replay
+    xs = list(range(20))
+    ys = [1e9 if i == 10 else float(i) for i in xs]
+    ry = {i: r + 1 for r, i in enumerate(sorted(range(20), key=lambda i: (ys[i], i)))}
+    d2 = sum((i + 1 - ry[i]) ** 2 for i in range(20))
+    want = 1 - 6 * d2 / (20 * (400 - 1))
+    assert math.isclose(out["spiked"].spearman, want, rel_tol=1e-12)
+    assert out["spiked"].spearman > 0.85
