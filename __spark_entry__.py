@@ -3552,6 +3552,35 @@ def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denormalized-measure drift audit (profile.measure_consistency):
+    order header total vs the lineitem charge rollup, per priority —
+    the aggregate-consistency check fk_integrity's key audit can't see."""
+    from raptor_spark.operators.profile import measure_consistency
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rollup = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("li_total")
+    )
+    out = measure_consistency(
+        orders, rollup, "o_orderkey", "o_orderpriority", "o_totalprice",
+        "li_total", tol=0.05,
+    )
+    r4 = lambda c: F.round(F.col(c), 4) + F.lit(0.0)
+    return out.select(
+        F.col("grp").alias("o_orderpriority"),
+        "n_keys",
+        "n_consistent",
+        r4("median_ratio").alias("median_ratio"),
+        r4("mean_log10_ratio").alias("mean_log10_ratio"),
+    ).orderBy("o_orderpriority")
+
+
 def q_value_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank (Spearman) trend of event value against time per type
     (profile.spearman_by_slice) — the outlier-robust twin of
@@ -3783,6 +3812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_jaccard": q_weighted_jaccard,
         "label_confusability": q_label_confusability,
         "value_spearman": q_value_spearman,
+        "order_consistency": q_order_consistency,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -6967,6 +6997,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
             ORDER BY fd
+        """,
+        "order_consistency": """
+            WITH r AS (
+              SELECT l_orderkey AS k,
+                     sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                       AS cv
+              FROM lineitem GROUP BY 1
+            ), j AS (
+              SELECT o_orderpriority AS grp, o_totalprice / cv AS ratio
+              FROM orders JOIN r ON o_orderkey = k
+            )
+            SELECT grp AS o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(CASE WHEN ratio >= 0.95::DOUBLE
+                                  AND ratio <= 1.05::DOUBLE
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+                   round(quantile_cont(ratio, 0.5), 4) + 0.0
+                     AS median_ratio,
+                   round(avg(log10(ratio)), 4) + 0.0 AS mean_log10_ratio
+            FROM j GROUP BY 1 ORDER BY 1
         """,
         "value_spearman": """
             WITH r AS (

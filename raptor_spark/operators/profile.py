@@ -1019,3 +1019,49 @@ def spearman_by_slice(
         .otherwise(F.lit(0.0))
         .alias("spearman"),
     )
+
+
+def measure_consistency(
+    parent: DataFrame,
+    child_rollup: DataFrame,
+    key_col: str,
+    group_col: str,
+    parent_val: str,
+    child_val: str,
+    tol: float = 0.05,
+) -> DataFrame:
+    """Cross-table measure-consistency audit: does a parent table's
+    denormalized measure match the rollup of its child rows? Per
+    ``group_col``: row count, how many parents fall within ``tol``
+    relative agreement, the median parent/child ratio, and the mean
+    log10 ratio (symmetric for over/under-statement). The denormalized-
+    aggregate drift check (order header total vs line rollup, account
+    balance vs ledger sum) that key-level FK audits (fk_orphans) can't
+    see.
+
+    Scale shape: the child rollup is one key-keyed shuffle (done by the
+    caller — it knows the measure expression); the join is key-keyed;
+    the summary is group-dimension sized."""
+    j = parent.select(
+        F.col(key_col).alias("k"),
+        F.col(group_col).alias("grp"),
+        F.col(parent_val).alias("pv"),
+    ).join(
+        child_rollup.select(F.col(key_col).alias("k"), F.col(child_val).alias("cv")),
+        "k",
+    )
+    ratio = F.col("pv") / F.col("cv")
+    return (
+        j.select("grp", ratio.alias("ratio"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum(
+                (
+                    (F.col("ratio") >= 1.0 - tol) & (F.col("ratio") <= 1.0 + tol)
+                ).cast("long")
+            ).alias("n_consistent"),
+            F.expr("percentile(ratio, 0.5)").alias("median_ratio"),
+            F.avg(F.log10("ratio")).alias("mean_log10_ratio"),
+        )
+    )

@@ -1045,3 +1045,35 @@ def test_spearman_by_slice_planted(spark):
     want = 1 - 6 * d2 / (20 * (400 - 1))
     assert math.isclose(out["spiked"].spearman, want, rel_tol=1e-12)
     assert out["spiked"].spearman > 0.85
+
+
+def test_measure_consistency_planted(spark):
+    from raptor_spark.operators.profile import measure_consistency
+
+    parent = spark.createDataFrame(
+        [
+            (1, "g1", 100.0),   # child rollup 100 -> consistent
+            (2, "g1", 100.0),   # child rollup 50  -> ratio 2
+            (3, "g2", 10.0),    # child rollup 100 -> ratio 0.1
+            (4, "g2", 103.0),   # child rollup 100 -> within 5%
+        ],
+        ["k", "grp", "pv"],
+    )
+    child = spark.createDataFrame(
+        [(1, 100.0), (2, 50.0), (3, 100.0), (4, 100.0)], ["k", "cv"]
+    )
+    out = {
+        r.grp: r
+        for r in measure_consistency(
+            parent, child, "k", "grp", "pv", "cv", tol=0.05
+        ).collect()
+    }
+    g1 = out["g1"]
+    assert (g1.n_keys, g1.n_consistent) == (2, 1)
+    assert math.isclose(g1.median_ratio, 1.5, rel_tol=1e-12)  # (1+2)/2
+    assert math.isclose(
+        g1.mean_log10_ratio, (0 + math.log10(2)) / 2, rel_tol=1e-12
+    )
+    g2 = out["g2"]
+    assert (g2.n_keys, g2.n_consistent) == (2, 1)
+    assert math.isclose(g2.median_ratio, (0.1 + 1.03) / 2, rel_tol=1e-12)
