@@ -3552,6 +3552,24 @@ def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram window collocations (ranking.window_pmi): PMI of
+    unordered word pairs within 3 positions — the split-collocation
+    audit bigram_pmi's adjacency misses."""
+    from raptor_spark.operators.ranking import window_pmi
+
+    docs = _t(spark, sf_dir, "documents")
+    out = window_pmi(docs, "text", window=3, min_count=5)
+    return out.select(
+        "w1",
+        "w2",
+        "n_ab",
+        "n_a",
+        "n_b",
+        (F.round(F.col("pmi"), 4) + F.lit(0.0)).alias("pmi"),
+    ).orderBy("w1", "w2")
+
+
 def q_order_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Denormalized-measure drift audit (profile.measure_consistency):
     order header total vs the lineitem charge rollup, per priority —
@@ -3813,6 +3831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_confusability": q_label_confusability,
         "value_spearman": q_value_spearman,
         "order_consistency": q_order_consistency,
+        "window_pmi": q_window_pmi,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -6997,6 +7016,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
             ORDER BY fd
+        """,
+        "window_pmi": r"""
+            WITH w AS MATERIALIZED (
+              SELECT list_filter(string_split_regex(lower(trim(text)),
+                                                    '\s+'), x -> x != '')
+                       AS ws
+              FROM documents
+            ), pr AS MATERIALIZED (
+              SELECT unnest(flatten(list_transform(
+                       generate_series(1, len(ws)),
+                       i -> list_transform(
+                         ws[i+1:i+3],
+                         y -> concat_ws(chr(1), least(ws[i], y),
+                                        greatest(ws[i], y)))))) AS pr
+              FROM w
+            ), pairs AS (
+              SELECT pr, CAST(count(*) AS BIGINT) AS n_ab
+              FROM pr GROUP BY 1 HAVING count(*) >= 5
+            ), uni AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS n_w
+              FROM (SELECT unnest(ws) AS term FROM w) GROUP BY 1
+            ), tot AS (
+              SELECT (SELECT CAST(sum(len(ws)) AS BIGINT) FROM w)
+                       AS n_words,
+                     (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_pairs
+            )
+            SELECT string_split(pr, chr(1))[1] AS w1,
+                   string_split(pr, chr(1))[2] AS w2,
+                   n_ab, ua.n_w AS n_a, ub.n_w AS n_b,
+                   round(ln((n_ab / CAST(n_pairs AS DOUBLE))
+                         / ((ua.n_w / CAST(n_words AS DOUBLE))
+                            * (ub.n_w / CAST(n_words AS DOUBLE)))), 4)
+                     + 0.0 AS pmi
+            FROM pairs
+            JOIN uni ua ON string_split(pr, chr(1))[1] = ua.term
+            JOIN uni ub ON string_split(pr, chr(1))[2] = ub.term
+            CROSS JOIN tot
+            ORDER BY w1, w2
         """,
         "order_consistency": """
             WITH r AS (

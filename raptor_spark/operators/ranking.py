@@ -474,3 +474,89 @@ def heaps_fit(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         (F.avg("y") - slope * F.avg("x")).alias("intercept"),
         (corr * corr).alias("r2"),
     )
+
+
+def window_pmi(
+    df: DataFrame,
+    text_col: str,
+    window: int = 3,
+    min_count: int = 5,
+) -> DataFrame:
+    """Skip-gram window collocations: PMI of unordered word pairs
+    co-occurring within ``window`` positions (the word2vec-style context
+    window) — catches "non-adjacent but bound" pairs that bigram_pmi's
+    adjacency misses (verb…object, split collocations). Pairs are
+    canonicalized (least, greatest); pmi = ln( (n_ab/N_pairs) /
+    ((n_a/N_w)·(n_b/N_w)) ).
+
+    Scale shape: pair generation is map-side (a bound transform over
+    start offsets × a ≤window-element slice, same discipline as
+    shingling — no UDF, never materialized outside the partial-aggregated
+    groupBy); unigram counts and the two totals are vocabulary-sized and
+    broadcast back."""
+    from raptor_spark.functions import bind_col
+
+    def _pairs(ws: Column) -> Column:
+        return F.flatten(
+            F.transform(
+                ws,
+                lambda x, i: F.transform(
+                    F.slice(ws, i + 2, window),
+                    lambda y: F.concat_ws(
+                        "\x01", F.least(x, y), F.greatest(x, y)
+                    ),
+                ),
+            )
+        )
+
+    words = df.select(words_col(F.col(text_col)).alias("ws"))
+    pairs = (
+        words.select(F.explode(bind_col(F.col("ws"), _pairs)).alias("pr"))
+        .groupBy("pr")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+        .select(
+            F.split_part(F.col("pr"), F.lit("\x01"), F.lit(1)).alias("w1"),
+            F.split_part(F.col("pr"), F.lit("\x01"), F.lit(2)).alias("w2"),
+            "n_ab",
+        )
+    )
+    unigrams = (
+        words.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    # per doc of length L: sum over positions of min(window, remaining)
+    n_pairs_doc = F.aggregate(
+        F.transform(
+            F.col("ws"),
+            lambda x, i: F.least(F.lit(window), F.size("ws") - i - 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    totals = words.select(
+        F.sum(F.size("ws")).alias("n_words"),
+        F.sum(n_pairs_doc).alias("n_pairs"),
+    )
+    u1 = unigrams.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
+    u2 = unigrams.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
+    return (
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.log(
+                (F.col("n_ab") / F.col("n_pairs"))
+                / (
+                    (F.col("n_a") / F.col("n_words"))
+                    * (F.col("n_b") / F.col("n_words"))
+                )
+            ).alias("pmi"),
+        )
+    )

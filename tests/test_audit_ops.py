@@ -1077,3 +1077,38 @@ def test_measure_consistency_planted(spark):
     g2 = out["g2"]
     assert (g2.n_keys, g2.n_consistent) == (2, 1)
     assert math.isclose(g2.median_ratio, (0.1 + 1.03) / 2, rel_tol=1e-12)
+
+
+def test_window_pmi_manual_counts(spark):
+    from raptor_spark.operators.ranking import window_pmi
+
+    # "x z y": (x,z) and (x,y) and (y,z) all within window 3 of one doc;
+    # repeated docs push counts over min_count
+    docs = spark.createDataFrame(
+        [(i, "x z y") for i in range(6)], ["doc_id", "text"]
+    )
+    out = {
+        (r.w1, r.w2): r
+        for r in window_pmi(docs, "text", window=3, min_count=5).collect()
+    }
+    # per doc pairs: (x,z), (x,y), (y,z) canonicalized -> each n_ab = 6
+    assert set(out) == {("x", "z"), ("x", "y"), ("y", "z")}
+    n_words, n_pairs = 18, 18  # 3 words/doc, 3 pairs/doc, 6 docs
+    for pair, r in out.items():
+        assert r.n_ab == 6 and r.n_a == 6 and r.n_b == 6
+        want = math.log((6 / n_pairs) / ((6 / n_words) * (6 / n_words)))
+        assert math.isclose(r.pmi, want, rel_tol=1e-12), pair
+
+
+def test_window_pmi_catches_split_collocation(spark):
+    from raptor_spark.operators.ranking import window_pmi
+
+    # "strong black coffee": (strong, coffee) at distance 2 is invisible
+    # to adjacent bigrams but inside window 3
+    docs = spark.createDataFrame(
+        [(i, f"strong black coffee filler{i % 7} mild") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    out = window_pmi(docs, "text", window=3, min_count=5)
+    pairs = {(r.w1, r.w2) for r in out.collect()}
+    assert ("coffee", "strong") in pairs
