@@ -3552,6 +3552,22 @@ def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources
+    (ranking.burrows_delta) — LOW delta = same "voice" behind two
+    sources even when content vocabulary (source_divergence) differs."""
+    from raptor_spark.operators.ranking import burrows_delta
+
+    docs = _t(spark, sf_dir, "documents")
+    out = burrows_delta(docs, "text", "source", top_m=30)
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_words",
+        (F.round(F.col("delta"), 4) + F.lit(0.0)).alias("delta"),
+    ).orderBy("source_a", "source_b")
+
+
 def q_window_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram window collocations (ranking.window_pmi): PMI of
     unordered word pairs within 3 positions — the split-collocation
@@ -3832,6 +3848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_spearman": q_value_spearman,
         "order_consistency": q_order_consistency,
         "window_pmi": q_window_pmi,
+        "source_stylometry": q_source_stylometry,
         "minhash_calibration": q_minhash_calibration,
         "order_priority_check": q_order_priority_check,
         "customer_order_distribution": q_customer_order_distribution,
@@ -7016,6 +7033,45 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
             ORDER BY fd
+        """,
+        "source_stylometry": r"""
+            WITH w AS (
+              SELECT source AS s,
+                     unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x != '')) AS term
+              FROM documents
+            ), a AS MATERIALIZED (
+              SELECT s, term, CAST(count(*) AS BIGINT) AS c
+              FROM w GROUP BY 1, 2
+            ), n1 AS (
+              SELECT s, CAST(sum(c) AS BIGINT) AS n FROM a GROUP BY 1
+            ), top AS (
+              SELECT term FROM (
+                SELECT term, sum(c) AS t FROM a GROUP BY 1
+                ORDER BY t DESC, term ASC LIMIT 30
+              )
+            ), grid AS (
+              SELECT s, n, term FROM n1 CROSS JOIN top
+            ), f AS MATERIALIZED (
+              SELECT grid.s, grid.term,
+                     COALESCE(c, 0) / CAST(n AS DOUBLE) AS f
+              FROM grid LEFT JOIN a
+                ON grid.s = a.s AND grid.term = a.term
+            ), stats AS (
+              SELECT term, avg(f) AS mu, stddev_pop(f) AS sd
+              FROM f GROUP BY 1
+            ), z AS MATERIALIZED (
+              SELECT s, f.term,
+                     CASE WHEN sd > 0 THEN (f - mu) / sd
+                          ELSE 0.0::DOUBLE END AS z
+              FROM f JOIN stats USING (term)
+            )
+            SELECT x.s AS source_a, y.s AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   round(avg(abs(x.z - y.z)), 4) + 0.0 AS delta
+            FROM z x JOIN z y ON x.term = y.term AND x.s < y.s
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "window_pmi": r"""
             WITH w AS MATERIALIZED (

@@ -1112,3 +1112,33 @@ def test_window_pmi_catches_split_collocation(spark):
     out = window_pmi(docs, "text", window=3, min_count=5)
     pairs = {(r.w1, r.w2) for r in out.collect()}
     assert ("coffee", "strong") in pairs
+
+
+def test_burrows_delta_planted_styles(spark):
+    from raptor_spark.operators.ranking import burrows_delta
+
+    rows = []
+    rid = 0
+    # styles A and A2: heavy "the/of"; style B: heavy "a/to".
+    # Content words differ between A and A2 but are below top_m rank by
+    # count, so delta(A, A2) << delta(A, B).
+    for src, fws, content in (
+        ("a1", "the of the of the of", "astronomy"),
+        ("a2", "the of the of the of", "botany"),
+        ("b1", "a to a to a to", "astronomy"),
+    ):
+        for i in range(10):
+            rows.append((rid, f"{fws} {content}{i}", src))
+            rid += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "src"])
+    out = {
+        (r.source_a, r.source_b): r
+        for r in burrows_delta(docs, "text", "src", top_m=4).collect()
+    }
+    assert set(out) == {("a1", "a2"), ("a1", "b1"), ("a2", "b1")}
+    assert all(r.n_words == 4 for r in out.values())
+    # top 4 words are the function words the/of/a/to; a1 and a2 share
+    # identical function-word profiles -> delta 0
+    assert math.isclose(out[("a1", "a2")].delta, 0.0, abs_tol=1e-9)
+    assert out[("a1", "b1")].delta > 1.0
+    assert out[("a2", "b1")].delta > 1.0
