@@ -426,6 +426,9 @@ def test_session3_audit_plans_stay_clean(spark):
         "lexical_diversity", "winnow_pairs", "graph_clustering",
         "lsh_blocking_audit", "rfm_segments", "event_acf", "fd_audit",
         "markov_entropy", "source_diversity", "heaps_fit",
+        "session_type_lift", "weighted_jaccard", "label_confusability",
+        "value_spearman", "order_consistency", "window_pmi",
+        "source_stylometry",
     )
     for name in names:
         p = plan_str(QUERIES[name](spark, SF_DIR))
