@@ -890,6 +890,8 @@ def lsh_blocking_audit(
     map-side; the candidate join is bucket-keyed (same discipline as the
     production minhash path — only (id, band_key) rows cross it); the
     audit output is ONE row of counters."""
+    if n_hashes % bands:
+        raise ValueError(f"bands={bands} must divide n_hashes={n_hashes}")
     r = n_hashes // bands
     sig = minhash_signature_md5(df, id_col, text_col, n=n, n_hashes=n_hashes)
     band_structs = [
