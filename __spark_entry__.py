@@ -3685,6 +3685,64 @@ def q_lsh_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Box predicate for the z-order skipping audit, in the SCALED u16 domain so
+# it is scale-factor independent: the left half of the customer axis crossed
+# with the middle fifth of the date axis (u16 26214..39321 = [0.4, 0.6)).
+_ZBOX = (0, 32767, 26214, 39321)
+_ZORDER_BUCKETS = 64
+
+
+def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs single-column layout file-skipping audit
+    (operators/layout.py — Morton-interleaved clustering key, the Delta
+    OPTIMIZE ZORDER analog of the reference's payload-index sort order).
+    For a 2-D box predicate on (customer, order date), per-bucket zone maps
+    under the z-order layout prune both axes; the single-column layout can
+    only prune one. Output: per layout, buckets hit + rows a zone-mapped
+    scan reads vs rows actually matching — all-integer, exact oracle."""
+    from raptor_spark.operators.layout import (
+        layout_buckets,
+        morton_key,
+        scale_to_u16,
+        skipping_audit,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").alias("xi"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("yi"),
+    )
+    ext = o.agg(
+        F.min("xi").alias("xlo"),
+        F.max("xi").alias("xhi"),
+        F.min("yi").alias("ylo"),
+        F.max("yi").alias("yhi"),
+    )
+    scaled = (
+        o.crossJoin(F.broadcast(ext))
+        .select(
+            "id",
+            scale_to_u16(F.col("xi"), F.col("xlo"), F.col("xhi")).alias("x16"),
+            scale_to_u16(F.col("yi"), F.col("ylo"), F.col("yhi")).alias("y16"),
+        )
+        .withColumn("z", morton_key(F.col("x16"), F.col("y16")))
+        .persist()
+    )
+    x_lo, x_hi, y_lo, y_hi = _ZBOX
+    lin = layout_buckets(scaled, F.col("x16"), "id", _ZORDER_BUCKETS)
+    zo = layout_buckets(scaled, F.col("z"), "id", _ZORDER_BUCKETS)
+    out = (
+        skipping_audit(lin, "linear", "x16", "y16", x_lo, x_hi, y_lo, y_hi)
+        .unionByName(
+            skipping_audit(zo, "zorder", "x16", "y16", x_lo, x_hi, y_lo, y_hi)
+        )
+        .orderBy("layout")
+    )
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -3864,6 +3922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": q_small_quantity_revenue,
         "dominant_part_suppliers": q_dominant_part_suppliers,
         "suppliers_kept_waiting": q_suppliers_kept_waiting,
+        "zorder_skipping": q_zorder_skipping,
     }
 
 
@@ -7575,6 +7634,99 @@ def oracle_sql() -> dict[str, str]:
                                 AND l3.l_shipdate > o3.o_orderdate
                                     + INTERVAL 60 DAY)
             GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        # Z-order layout audit: replay the exact integer pipeline —
+        # u16 rescale, 4-step magic-mask bit spread (operators/layout.py
+        # SPREAD_STEPS), Morton interleave, row_number buckets, zone-map
+        # pruning — bit-for-bit. All integers; no floats anywhere.
+        "zorder_skipping": f"""
+            WITH base AS (
+              SELECT o_orderkey AS id, o_custkey AS xi,
+                     date_diff('day', DATE '1992-01-01',
+                               o_orderdate::DATE) AS yi
+              FROM orders
+            ), ext AS (
+              SELECT min(xi) AS xlo, max(xi) AS xhi,
+                     min(yi) AS ylo, max(yi) AS yhi,
+                     count(*) AS n
+              FROM base
+            ), scaled AS (
+              SELECT id, n,
+                CASE WHEN xhi - xlo <= 0 THEN 0
+                     ELSE ((xi - xlo) * 65535) // (xhi - xlo) END AS x16,
+                CASE WHEN yhi - ylo <= 0 THEN 0
+                     ELSE ((yi - ylo) * 65535) // (yhi - ylo) END AS y16
+              FROM base, ext
+            ), sp1 AS (
+              SELECT id, n, x16, y16,
+                     ((x16 | (x16 << 8)) & 16711935) AS xs1,
+                     ((y16 | (y16 << 8)) & 16711935) AS ys1
+              FROM scaled
+            ), sp2 AS (
+              SELECT id, n, x16, y16,
+                     ((xs1 | (xs1 << 4)) & 252645135) AS xs2,
+                     ((ys1 | (ys1 << 4)) & 252645135) AS ys2
+              FROM sp1
+            ), sp3 AS (
+              SELECT id, n, x16, y16,
+                     ((xs2 | (xs2 << 2)) & 858993459) AS xs3,
+                     ((ys2 | (ys2 << 2)) & 858993459) AS ys3
+              FROM sp2
+            ), keyed AS (
+              SELECT id, n, x16, y16,
+                     (((xs3 | (xs3 << 1)) & 1431655765)
+                      | (((ys3 | (ys3 << 1)) & 1431655765) << 1)) AS z
+              FROM sp3
+            ), lin AS (
+              SELECT x16, y16, n,
+                     (((row_number() OVER (ORDER BY x16, id) - 1)
+                       * {_ZORDER_BUCKETS}) // n) AS bucket
+              FROM keyed
+            ), zo AS (
+              SELECT x16, y16, n,
+                     (((row_number() OVER (ORDER BY z, id) - 1)
+                       * {_ZORDER_BUCKETS}) // n) AS bucket
+              FROM keyed
+            ), lb AS (
+              SELECT bucket, min(x16) AS xmin, max(x16) AS xmax,
+                     min(y16) AS ymin, max(y16) AS ymax,
+                     count(*) AS n_rows,
+                     sum(CASE WHEN x16 BETWEEN {_ZBOX[0]} AND {_ZBOX[1]}
+                               AND y16 BETWEEN {_ZBOX[2]} AND {_ZBOX[3]}
+                              THEN 1 ELSE 0 END) AS n_match
+              FROM lin GROUP BY bucket
+            ), zb AS (
+              SELECT bucket, min(x16) AS xmin, max(x16) AS xmax,
+                     min(y16) AS ymin, max(y16) AS ymax,
+                     count(*) AS n_rows,
+                     sum(CASE WHEN x16 BETWEEN {_ZBOX[0]} AND {_ZBOX[1]}
+                               AND y16 BETWEEN {_ZBOX[2]} AND {_ZBOX[3]}
+                              THEN 1 ELSE 0 END) AS n_match
+              FROM zo GROUP BY bucket
+            ), la AS (
+              SELECT 'linear' AS layout,
+                     CAST(count(*) AS BIGINT) AS n_buckets,
+                     CAST(sum(CASE WHEN xmin <= {_ZBOX[1]} AND xmax >= {_ZBOX[0]}
+                               AND ymin <= {_ZBOX[3]} AND ymax >= {_ZBOX[2]}
+                              THEN 1 ELSE 0 END) AS BIGINT) AS buckets_hit,
+                     CAST(sum(CASE WHEN xmin <= {_ZBOX[1]} AND xmax >= {_ZBOX[0]}
+                               AND ymin <= {_ZBOX[3]} AND ymax >= {_ZBOX[2]}
+                              THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+                     CAST(sum(n_match) AS BIGINT) AS rows_matching
+              FROM lb
+            ), za AS (
+              SELECT 'zorder' AS layout,
+                     CAST(count(*) AS BIGINT) AS n_buckets,
+                     CAST(sum(CASE WHEN xmin <= {_ZBOX[1]} AND xmax >= {_ZBOX[0]}
+                               AND ymin <= {_ZBOX[3]} AND ymax >= {_ZBOX[2]}
+                              THEN 1 ELSE 0 END) AS BIGINT) AS buckets_hit,
+                     CAST(sum(CASE WHEN xmin <= {_ZBOX[1]} AND xmax >= {_ZBOX[0]}
+                               AND ymin <= {_ZBOX[3]} AND ymax >= {_ZBOX[2]}
+                              THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+                     CAST(sum(n_match) AS BIGINT) AS rows_matching
+              FROM zb
+            )
+            SELECT * FROM la UNION ALL SELECT * FROM za ORDER BY layout
         """,
     }
 
