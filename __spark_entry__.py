@@ -3743,6 +3743,31 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution golden-record merge (dedup.survivorship_merge):
+    fuse each transitive near-dup cluster (same exact-Jaccard edge set as
+    jaccard_clusters) into one merged record via field-wise survivorship —
+    modal lang/source (ties to smallest value), max n_chars — including
+    singletons, so the output is one golden record per entity. The MDM
+    completion of cluster_representatives' keep-best election."""
+    from raptor_spark.operators.dedup import near_dup_clusters, survivorship_merge
+
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir)
+    clusters = near_dup_clusters(pairs)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+    return survivorship_merge(
+        docs,
+        clusters,
+        id_col="doc_id",
+        mode_cols=("lang", "source"),
+        max_cols=("n_chars",),
+    ).orderBy("cluster")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -3923,6 +3948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_part_suppliers": q_dominant_part_suppliers,
         "suppliers_kept_waiting": q_suppliers_kept_waiting,
         "zorder_skipping": q_zorder_skipping,
+        "golden_record": q_golden_record,
     }
 
 
@@ -7727,6 +7753,62 @@ def oracle_sql() -> dict[str, str]:
               FROM zb
             )
             SELECT * FROM la UNION ALL SELECT * FROM za ORDER BY layout
+        """,
+        # Golden-record survivorship: same transitive-closure cluster CTE as
+        # jaccard_clusters, then field-wise merge — modal lang/source with
+        # deterministic ties (count DESC, value ASC), max n_chars, singleton
+        # completion via the LEFT JOIN coalesce.
+        "golden_record": r"""
+            WITH RECURSIVE w AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
+              FROM documents WHERE doc_id < 150
+            ), p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM w a JOIN w b ON a.doc_id < b.doc_id
+              WHERE len(list_filter(a.ws, x -> list_contains(b.ws, x))) * 1.0 /
+                    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+            ), e AS (
+              SELECT a AS s, b AS d FROM p UNION SELECT b AS s, a AS d FROM p
+            ), r AS (
+              SELECT s, d FROM e
+              UNION
+              SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
+            ), c AS (
+              SELECT s AS id, least(s, min(d)) AS cluster
+              FROM r GROUP BY s
+            ), m AS (
+              SELECT doc_id, lang, source, n_chars
+              FROM documents WHERE doc_id < 150
+            ), asg AS (
+              SELECT m.doc_id, coalesce(c.cluster, m.doc_id) AS cluster,
+                     m.lang, m.source, m.n_chars
+              FROM m LEFT JOIN c ON c.id = m.doc_id
+            ), agg AS (
+              SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+                     CAST(max(n_chars) AS BIGINT) AS max_n_chars
+              FROM asg GROUP BY cluster
+            ), lc AS (
+              SELECT cluster, lang, count(*) AS c FROM asg GROUP BY 1, 2
+            ), lm AS (
+              SELECT cluster, lang AS merged_lang FROM (
+                SELECT cluster, lang,
+                       row_number() OVER (PARTITION BY cluster
+                                          ORDER BY c DESC, lang) AS rn
+                FROM lc) WHERE rn = 1
+            ), sc AS (
+              SELECT cluster, source, count(*) AS c FROM asg GROUP BY 1, 2
+            ), sm AS (
+              SELECT cluster, source AS merged_source FROM (
+                SELECT cluster, source,
+                       row_number() OVER (PARTITION BY cluster
+                                          ORDER BY c DESC, source) AS rn
+                FROM sc) WHERE rn = 1
+            )
+            SELECT agg.cluster, agg.n_members, agg.max_n_chars,
+                   lm.merged_lang, sm.merged_source
+            FROM agg JOIN lm USING (cluster) JOIN sm USING (cluster)
+            ORDER BY cluster
         """,
     }
 

@@ -514,6 +514,54 @@ def cluster_representatives(
     )
 
 
+def survivorship_merge(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "id",
+    mode_cols: tuple[str, ...] = (),
+    max_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Field-wise golden-record merge — the entity-resolution step AFTER
+    keep-best: instead of electing one row, fuse each duplicate group into
+    a merged record using per-field survivorship rules (the classic MDM
+    "golden record"): categorical fields take the cluster mode (ties to the
+    lexicographically smallest value, deterministic), numeric fields take
+    the cluster max. Docs absent from ``clusters`` are singletons
+    (cluster = own id), so the output covers the whole corpus — one golden
+    record per entity. Complements cluster_representatives the way the
+    reference's payload re-upsert merges metadata onto the kept point
+    (qdrant_search_docker/api_insert.py:130-165).
+
+    Scale shape: one groupBy(cluster) for counts + max fields, plus one
+    (cluster, value) aggregation per mode field — all map-side combinable
+    and keyed on cluster, so nothing exceeds one shuffle of (cluster,
+    value) pairs per field; the corpus never self-joins. The per-cluster
+    mode argmax windows run over value-count rows (≤ distinct values per
+    cluster), never raw members."""
+    from pyspark.sql import Window
+
+    base = docs.join(
+        clusters.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn("cluster", F.coalesce(F.col("cluster"), F.col(id_col)))
+    out = base.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        *[F.max(c).alias(f"max_{c}") for c in max_cols],
+    )
+    for c in mode_cols:
+        w = Window.partitionBy("cluster").orderBy(
+            F.col("_cnt").desc(), F.col(c).asc()
+        )
+        mode = (
+            base.groupBy("cluster", c)
+            .agg(F.count("*").alias("_cnt"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("cluster", F.col(c).alias(f"merged_{c}"))
+        )
+        out = out.join(mode, "cluster")
+    return out
+
+
 def embedding_near_dup(
     df: DataFrame,
     id_col: str,

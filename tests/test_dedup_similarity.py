@@ -567,3 +567,51 @@ def test_containment_pairs_detects_subsumption_jaccard_misses(spark):
     assert got[(1, 2)] == 1.0
     jac = ngram_jaccard_pairs(df, "doc_id", "text", n=1, threshold=0.5).collect()
     assert not jac                        # symmetric Jaccard misses it
+
+
+def test_survivorship_merge_planted(spark):
+    # Cluster 1 = {1,2,3}: modal lang ties en/fr 1-1 with de 1... actually
+    # en appears twice -> mode en; source ties s1/s2 1-1 plus s1 again ->
+    # mode s1; n_chars max = 30. Doc 9 is a singleton (absent from
+    # clusters): its golden record is itself.
+    from raptor_spark.operators.dedup import survivorship_merge
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "s1", 10),
+            (2, "en", "s2", 30),
+            (3, "fr", "s1", 20),
+            (9, "de", "s9", 5),
+        ],
+        ["doc_id", "lang", "source", "n_chars"],
+    )
+    clusters = spark.createDataFrame([(1, 1), (2, 1), (3, 1)], ["id", "cluster"])
+    out = {
+        r["cluster"]: r
+        for r in survivorship_merge(
+            docs, clusters, id_col="doc_id",
+            mode_cols=("lang", "source"), max_cols=("n_chars",),
+        ).collect()
+    }
+    assert set(out) == {1, 9}
+    g = out[1]
+    assert g["n_members"] == 3
+    assert g["merged_lang"] == "en"          # 2-1 majority
+    assert g["merged_source"] == "s1"        # 2-1 majority
+    assert g["max_n_chars"] == 30
+    s = out[9]
+    assert (s["n_members"], s["merged_lang"], s["merged_source"], s["max_n_chars"]) == (1, "de", "s9", 5)
+
+
+def test_survivorship_merge_tie_breaks_deterministically(spark):
+    from raptor_spark.operators.dedup import survivorship_merge
+
+    docs = spark.createDataFrame(
+        [(1, "fr", 1), (2, "en", 2)], ["doc_id", "lang", "n_chars"]
+    )
+    clusters = spark.createDataFrame([(1, 1), (2, 1)], ["id", "cluster"])
+    g = survivorship_merge(
+        docs, clusters, id_col="doc_id", mode_cols=("lang",), max_cols=("n_chars",)
+    ).collect()[0]
+    # 1-1 tie -> lexicographically smallest value wins
+    assert g["merged_lang"] == "en"
