@@ -3768,6 +3768,38 @@ def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster")
 
 
+def q_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve with right censoring
+    (profile.km_survival): per user, duration = whole days from first event
+    to first purchase; users who never purchase are censored at their last
+    observed event. Output per event-day: risk set, events, censorings,
+    hazard d/n, and the product-limit survival estimate — the
+    censoring-aware completion of conversion_latency's observed-only
+    quantiles."""
+    from raptor_spark.operators.profile import km_survival
+
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "purch_ts"
+        ),
+    )
+    subjects = u.select(
+        F.datediff(
+            F.coalesce(F.col("purch_ts"), F.col("last_ts")).cast("date"),
+            F.col("first_ts").cast("date"),
+        ).alias("duration"),
+        F.col("purch_ts").isNotNull().cast("int").alias("is_event"),
+    )
+    return (
+        km_survival(subjects)
+        .filter(F.col("d_events") > 0)
+        .orderBy("t_day")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -3949,6 +3981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suppliers_kept_waiting": q_suppliers_kept_waiting,
         "zorder_skipping": q_zorder_skipping,
         "golden_record": q_golden_record,
+        "conversion_survival": q_conversion_survival,
     }
 
 
@@ -7809,6 +7842,54 @@ def oracle_sql() -> dict[str, str]:
                    lm.merged_lang, sm.merged_source
             FROM agg JOIN lm USING (cluster) JOIN sm USING (cluster)
             ORDER BY cluster
+        """,
+        # Kaplan-Meier replay: identical per-duration table, identical
+        # exp(cumsum(ln)) survival product, identical n==d zero pin.
+        # CAST AS DOUBLE everywhere (decimal-literal pitfall); windows run
+        # on the per-day aggregate only.
+        "conversion_survival": r"""
+            WITH u AS (
+              SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS purch_ts
+              FROM events GROUP BY user_id
+            ), s AS (
+              SELECT date_diff('day', first_ts::DATE,
+                               coalesce(purch_ts, last_ts)::DATE) AS t_day,
+                     CASE WHEN purch_ts IS NOT NULL THEN 1 ELSE 0 END AS ev
+              FROM u
+            ), day AS (
+              SELECT t_day, CAST(sum(ev) AS BIGINT) AS d_events,
+                     CAST(sum(1 - ev) AS BIGINT) AS c_censored
+              FROM s GROUP BY t_day
+            ), k AS (
+              SELECT t_day, d_events, c_censored,
+                     CAST(sum(d_events + c_censored) OVER () AS BIGINT)
+                     - CAST(coalesce(sum(d_events + c_censored) OVER
+                         (ORDER BY t_day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS n_risk
+              FROM day
+            ), sv AS (
+              SELECT t_day, d_events, c_censored, n_risk,
+                     sum(CASE WHEN n_risk > d_events
+                              THEN ln(CAST(n_risk - d_events AS DOUBLE)
+                                      / n_risk)
+                              ELSE CAST(0 AS DOUBLE) END)
+                       OVER (ORDER BY t_day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS lnsum,
+                     max(CASE WHEN n_risk <= d_events THEN 1 ELSE 0 END)
+                       OVER (ORDER BY t_day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS hit_zero
+              FROM k
+            )
+            SELECT t_day, n_risk, d_events, c_censored,
+                   round(CAST(d_events AS DOUBLE) / n_risk, 6) AS hazard,
+                   round(CASE WHEN hit_zero = 1 THEN CAST(0 AS DOUBLE)
+                              ELSE exp(lnsum) END, 6) AS survival
+            FROM sv WHERE d_events > 0 ORDER BY t_day
         """,
     }
 

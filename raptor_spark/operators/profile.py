@@ -1065,3 +1065,71 @@ def measure_consistency(
             F.avg(F.log10("ratio")).alias("mean_log10_ratio"),
         )
     )
+
+
+def km_survival(
+    subjects: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "is_event",
+) -> DataFrame:
+    """Kaplan-Meier survival table with right censoring: one subject row in
+    (integer duration, event flag 1=observed / 0=censored) yields, per
+    distinct duration t, the risk set n_risk (subjects still under
+    observation at t), events d_events, censorings c_censored, the hazard
+    d/n, and the product-limit survival estimate
+    S(t) = prod_{s<=t} (1 - d_s/n_s).
+
+    Determinism: durations and counts are exact integers; hazard is one
+    exact-int-to-double division; the survival product is computed as
+    exp(cumsum(ln((n-d)/n))) over the per-duration table — both engines
+    feed libm the identical doubles, and round(6) absorbs ulp drift. A
+    duration where the risk set empties (n == d) pins survival to exactly
+    0.0 from that row on (no ln(0)).
+
+    Scale shape: one groupBy(duration) shuffle of the subject table; every
+    window below runs on the per-duration aggregate (<= max duration rows),
+    never on subjects. Subjects themselves are typically the output of a
+    groupBy(user) — the caller owns that shuffle."""
+    from pyspark.sql import Window
+
+    ev = F.col(event_col).cast("long")
+    day = subjects.groupBy(F.col(duration_col).alias("t_day")).agg(
+        F.sum(ev).alias("d_events"),
+        F.sum(F.lit(1) - ev).alias("c_censored"),
+    )
+    full = Window.orderBy("t_day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    before = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, -1)
+    upto = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, 0)
+    k = day.withColumn(
+        "n_risk",
+        F.sum(F.col("d_events") + F.col("c_censored")).over(full)
+        - F.coalesce(
+            F.sum(F.col("d_events") + F.col("c_censored")).over(before), F.lit(0)
+        ),
+    )
+    ln_term = F.when(
+        F.col("n_risk") > F.col("d_events"),
+        F.log(
+            (F.col("n_risk") - F.col("d_events")).cast("double") / F.col("n_risk")
+        ),
+    ).otherwise(F.lit(0.0))
+    hit_zero = F.max(
+        (F.col("n_risk") <= F.col("d_events")).cast("int")
+    ).over(upto)
+    return k.select(
+        "t_day",
+        "n_risk",
+        "d_events",
+        "c_censored",
+        F.round(F.col("d_events").cast("double") / F.col("n_risk"), 6).alias(
+            "hazard"
+        ),
+        F.round(
+            F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum(ln_term).over(upto))
+            ),
+            6,
+        ).alias("survival"),
+    )

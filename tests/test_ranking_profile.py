@@ -449,3 +449,28 @@ def test_rrf_fuse_exact_scores(spark):
     assert got[10] == (1.0 / 61 + 1.0 / 61, 2)
     assert got[20] == (1.0 / 62, 1)
     assert got[30] == (1.0 / 62, 1)
+
+
+def test_km_survival_textbook_fixture(spark):
+    # Hand-computed product-limit estimate on the classic 6-subject fixture
+    # (durations, event flag): censored subjects leave the risk set without
+    # an event; the final duration empties the risk set -> survival pinned 0.
+    from raptor_spark.operators.profile import km_survival
+
+    subjects = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 0), (3, 1), (4, 0), (5, 1)],
+        ["duration", "is_event"],
+    )
+    rows = {r["t_day"]: r for r in km_survival(subjects).collect()}
+    assert rows[1]["n_risk"] == 6 and rows[1]["d_events"] == 1
+    assert abs(rows[1]["survival"] - 5 / 6) < 1e-6
+    assert rows[2]["n_risk"] == 5 and rows[2]["c_censored"] == 1
+    assert abs(rows[2]["survival"] - (5 / 6) * (4 / 5)) < 1e-6
+    assert rows[3]["n_risk"] == 3
+    assert abs(rows[3]["survival"] - (2 / 3) * (2 / 3)) < 1e-6
+    # censoring-only day: hazard 0, survival carries through unchanged
+    assert rows[4]["d_events"] == 0 and rows[4]["hazard"] == 0.0
+    assert abs(rows[4]["survival"] - rows[3]["survival"]) < 1e-9
+    # risk set empties: hazard 1, survival exactly 0
+    assert rows[5]["n_risk"] == 1 and rows[5]["hazard"] == 1.0
+    assert rows[5]["survival"] == 0.0
