@@ -3800,6 +3800,23 @@ def q_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau): fixed-5-iteration
+    PageRank over the same bounded term co-occurrence graph as
+    term_cooccurrence (top-40-df vocabulary, >= 5 shared docs per edge) —
+    graph centrality as keyword importance instead of raw frequency. Pure
+    composition of graph.cooccurrence_edges + graph.pagerank; the oracle
+    chains the co-occurrence CTE into the unrolled PageRank replay."""
+    from raptor_spark.operators.graph import cooccurrence_edges, pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = cooccurrence_edges(docs, "doc_id", "text", vocab_size=40, min_docs=5)
+    pr = pagerank(edges.select("a", "b"), n_iter=5, damping=0.85)
+    return pr.select(
+        F.col("id").alias("term"), F.round("rank", 6).alias("rank")
+    ).orderBy("term")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -3982,6 +3999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_skipping": q_zorder_skipping,
         "golden_record": q_golden_record,
         "conversion_survival": q_conversion_survival,
+        "textrank_keywords": q_textrank_keywords,
     }
 
 
@@ -7890,6 +7908,47 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN hit_zero = 1 THEN CAST(0 AS DOUBLE)
                               ELSE exp(lnsum) END, 6) AS survival
             FROM sv WHERE d_events > 0 ORDER BY t_day
+        """,
+        # TextRank: the term_cooccurrence edge CTE (same vocab/threshold)
+        # symmetrized, then the exact 5-iteration PageRank unroll used by
+        # graph_pagerank, with terms as vertex ids.
+        "textrank_keywords": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x != '')) AS ws
+              FROM documents
+            ), t AS (
+              SELECT doc_id, unnest(ws) AS term FROM w
+            ), v AS (
+              SELECT term FROM (
+                SELECT term, count(*) AS df FROM t GROUP BY term
+              ) ORDER BY df DESC, term ASC LIMIT 40
+            ), i AS (
+              SELECT t.doc_id, t.term FROM t JOIN v USING (term)
+            ), p AS (
+              SELECT x.term AS a, y.term AS b
+              FROM i x JOIN i y ON x.doc_id = y.doc_id AND x.term < y.term
+              GROUP BY a, b HAVING count(*) >= 5
+            ), e AS (
+              SELECT a AS s, b AS d FROM p
+              UNION ALL SELECT b AS s, a AS d FROM p
+            ),
+            deg AS (SELECT s, count(*) AS odeg FROM e GROUP BY s),
+            nn AS (SELECT count(*) AS n FROM deg),
+            r0 AS (SELECT s AS id, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+            {", ".join(
+                f'''r{i} AS (
+                  SELECT e.d AS id,
+                         (1.0 - 0.85) / (SELECT n FROM nn)
+                         + 0.85 * sum(r{i - 1}.rank / deg.odeg) AS rank
+                  FROM e JOIN r{i - 1} ON e.s = r{i - 1}.id
+                         JOIN deg ON e.s = deg.s
+                  GROUP BY e.d
+                )''' for i in range(1, 6)
+            )}
+            SELECT id AS term, round(rank, 6) AS "rank" FROM r5 ORDER BY term
         """,
     }
 

@@ -443,3 +443,21 @@ def test_local_clustering_partition_invariance(spark):
     b = local_clustering(e.repartition(11, "a"))
     key = lambda r: (r.id, r.degree, r.n_tri, round(r.lcc, 10))
     assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_textrank_hub_outranks_isolated_frequent_term(spark):
+    # "hub" co-occurs with every other vocab word; "loner" is frequent but
+    # only ever co-occurs with one word. Centrality must rank hub first
+    # even though loner's raw document frequency matches it.
+    from raptor_spark.operators.graph import cooccurrence_edges, pagerank
+
+    import pyspark.sql.functions as F
+
+    docs = [(i, f"hub w{i % 4} x{i % 3}") for i in range(24)]
+    docs += [(100 + i, "loner mate") for i in range(24)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    edges = cooccurrence_edges(df, "doc_id", "text", vocab_size=12, min_docs=2)
+    pr = pagerank(edges.select("a", "b"), n_iter=5, damping=0.85)
+    ranks = {r["id"]: r["rank"] for r in pr.collect()}
+    assert ranks["hub"] > ranks["loner"]
+    assert ranks["hub"] == max(ranks.values())
