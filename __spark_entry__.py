@@ -3817,6 +3817,29 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("term")
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding corpus
+    (similarity.pq_quantize): 4 subspaces × 4 L2 centroids (lowest-id
+    seeds + one Lloyd step per subspace), emitting each vector's 4-byte
+    code tuple and total squared reconstruction error — the
+    codebook-compression face of vector storage beside embedding_quantize's
+    scalar int8 path. The oracle replays all four codebooks in SQL."""
+    from raptor_spark.operators.similarity import pq_quantize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pq_quantize(
+        emb, id_col="vec_id", vec_col="embedding", m_sub=4, k=4, iters=1, dim=64
+    )
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "code_0",
+        "code_1",
+        "code_2",
+        "code_3",
+        F.round("recon_err", 4).alias("recon_err"),
+    ).orderBy("vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -4000,6 +4023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_record": q_golden_record,
         "conversion_survival": q_conversion_survival,
         "textrank_keywords": q_textrank_keywords,
+        "pq_codes": q_pq_codes,
     }
 
 
@@ -7949,6 +7973,55 @@ def oracle_sql() -> dict[str, str]:
                 )''' for i in range(1, 6)
             )}
             SELECT id AS term, round(rank, 6) AS "rank" FROM r5 ORDER BY term
+        """,
+        # Product quantization replay: per subspace m, the identical
+        # lowest-id seeds, one Lloyd step (assign -> per-(code,pos) mean,
+        # empty codes keep seeds), final argmin by (err ASC, code ASC).
+        # err exprs live in subqueries so each window orders by a column.
+        "pq_codes": "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+        " FROM embeddings), "
+        + ", ".join(
+            f"""
+            s{m} AS (SELECT vec_id, v[{m * 16 + 1}:{(m + 1) * 16}] AS v FROM e),
+            d{m} AS (SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS code
+                     FROM (SELECT * FROM s{m} ORDER BY vec_id LIMIT 4)),
+            a{m} AS (SELECT vec_id, v, code FROM (
+               SELECT vec_id, v, code,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY err ASC, code ASC) AS rn
+               FROM (SELECT s.vec_id, s.v, d.code,
+                            list_dot_product(
+                              list_transform(range(1, 17), i -> s.v[i] - d.v[i]),
+                              list_transform(range(1, 17), i -> s.v[i] - d.v[i])
+                            ) AS err
+                     FROM s{m} s, d{m} d) q) WHERE rn = 1),
+            m{m} AS (SELECT code, pos, avg(x) AS mx FROM (
+                       SELECT code, unnest(v) AS x,
+                              generate_subscripts(v, 1) AS pos FROM a{m})
+                     GROUP BY code, pos),
+            n{m} AS (SELECT code, list(mx ORDER BY pos) AS mv
+                     FROM m{m} GROUP BY code),
+            c{m} AS (SELECT d{m}.code, COALESCE(n{m}.mv, d{m}.v) AS c
+                     FROM d{m} LEFT JOIN n{m} USING (code)),
+            f{m} AS (SELECT vec_id, code, err FROM (
+               SELECT vec_id, code, err,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY err ASC, code ASC) AS rn
+               FROM (SELECT s.vec_id, c.code,
+                            list_dot_product(
+                              list_transform(range(1, 17), i -> s.v[i] - c.c[i]),
+                              list_transform(range(1, 17), i -> s.v[i] - c.c[i])
+                            ) AS err
+                     FROM s{m} s, c{m} c) q) WHERE rn = 1)"""
+            for m in range(4)
+        )
+        + """
+            SELECT e.vec_id, f0.code AS code_0, f1.code AS code_1,
+                   f2.code AS code_2, f3.code AS code_3,
+                   round(f0.err + f1.err + f2.err + f3.err, 4) AS recon_err
+            FROM e JOIN f0 USING (vec_id) JOIN f1 USING (vec_id)
+                   JOIN f2 USING (vec_id) JOIN f3 USING (vec_id)
+            ORDER BY e.vec_id
         """,
     }
 

@@ -702,3 +702,106 @@ def centroid_similarity(
             (F.col("dot") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cos"),
         )
     )
+
+
+def _l2_scored_codes(
+    vec: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """array<struct<e, cid>> of squared-L2 distance per centroid, sorted so
+    element 0 is the nearest code (ties → SMALLER cid; SQL oracles mirror
+    as ORDER BY err ASC, code ASC). Same single-literal-matrix shape as
+    _scored_cells — one transform lambda, not a per-centroid expression
+    tree (that made Catalyst analysis the dominant Lloyd cost)."""
+    cmat = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("c"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    scored = F.transform(
+        cmat,
+        lambda s: F.struct(
+            F.aggregate(
+                F.zip_with(vec, s.c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("e"),
+            s.cid.alias("cid"),
+        ),
+    )
+    return F.array_sort(scored)
+
+
+def _l2_centroids(
+    df: DataFrame, k: int, iters: int
+) -> list[tuple[int, list[float]]]:
+    """Deterministic unnormalized Lloyd's codebook on (id, v): seed with the
+    k lowest-id vectors (the SQL-replicable seed order), then ``iters``
+    distributed assign → per-(code, pos) mean steps. Only k × sub_dim
+    floats reach the driver; empty codes keep their previous centroid."""
+    seeds = df.orderBy("id").limit(k).collect()
+    cents = [(i, [float(x) for x in r.v]) for i, r in enumerate(seeds)]
+    for _ in range(iters):
+        best = _l2_scored_codes(F.col("v"), cents)[0]
+        assigned = df.select("v", best["cid"].alias("cell"))
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("mv")
+            )
+            .collect()
+        )
+        new = {r.cell: [float(x) for x in r.mv] for r in means}
+        cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
+    return cents
+
+
+def pq_quantize(
+    corpus: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    m_sub: int = 4,
+    k: int = 4,
+    iters: int = 1,
+    dim: int = 64,
+) -> DataFrame:
+    """Product quantization (Jégou et al.): split each vector into ``m_sub``
+    contiguous subvectors, train an independent k-centroid L2 codebook per
+    subspace (deterministic lowest-id seeds + Lloyd steps), and emit each
+    vector's code tuple plus its total squared reconstruction error — the
+    compressed-vector representation ANN indexes store instead of raw
+    floats (k^m_sub virtual cells from m_sub tiny codebooks; here 4^4 = 256
+    cells from 16 centroids of 16 floats).
+
+    Complements the scalar int8 path (curation.embedding_quantize): PQ is
+    the codebook-compression face — m_sub bytes per vector instead of dim.
+
+    Scale shape: training collects only m_sub × k × (dim/m_sub) floats =
+    dim × k total; final coding is ONE map-only pass with every codebook
+    inlined as literals (no joins, no shuffle at assignment time)."""
+    sub_len = dim // m_sub
+    vecd = F.col(vec_col).cast("array<double>")
+    books: list[list[tuple[int, list[float]]]] = []
+    for m in range(m_sub):
+        df_m = corpus.select(
+            F.col(id_col).alias("id"),
+            F.slice(vecd, m * sub_len + 1, sub_len).alias("v"),
+        )
+        books.append(_l2_centroids(df_m, k, iters))
+    cols = [F.col(id_col).alias("id")]
+    err_total = None
+    for m, cents in enumerate(books):
+        sub = F.slice(vecd, m * sub_len + 1, sub_len)
+        best = _l2_scored_codes(sub, cents)[0]
+        cols.append(best["cid"].alias(f"code_{m}"))
+        err_total = best["e"] if err_total is None else err_total + best["e"]
+    return corpus.select(*cols, err_total.alias("recon_err"))

@@ -615,3 +615,46 @@ def test_survivorship_merge_tie_breaks_deterministically(spark):
     ).collect()[0]
     # 1-1 tie -> lexicographically smallest value wins
     assert g["merged_lang"] == "en"
+
+
+def test_pq_quantize_matches_numpy_replica(spark):
+    # Full-algorithm parity on a small deterministic cloud: lowest-id seeds,
+    # one Lloyd step per subspace, argmin assignment (ties -> smaller code),
+    # summed squared reconstruction error.
+    import numpy as np
+
+    from raptor_spark.operators.similarity import pq_quantize
+
+    rng = np.random.RandomState(7)
+    n, dim, m_sub, k = 40, 8, 2, 3
+    X = rng.randn(n, dim).round(3)  # round so float32->float64 is exact
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)], ["id", "vec"]
+    )
+    out = {
+        r["id"]: r
+        for r in pq_quantize(
+            df, id_col="id", vec_col="vec", m_sub=m_sub, k=k, iters=1, dim=dim
+        ).collect()
+    }
+
+    sub_len = dim // m_sub
+    exp_codes = np.zeros((n, m_sub), dtype=int)
+    exp_err = np.zeros(n)
+    for m in range(m_sub):
+        S = X[:, m * sub_len : (m + 1) * sub_len]
+        cents = S[:k].copy()  # ids 0..k-1 are the lowest ids
+        d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin takes first (smallest code) tie
+        new = np.array(
+            [S[assign == c].mean(axis=0) if (assign == c).any() else cents[c]
+             for c in range(k)]
+        )
+        d2 = ((S[:, None, :] - new[None, :, :]) ** 2).sum(axis=2)
+        exp_codes[:, m] = d2.argmin(axis=1)
+        exp_err += d2.min(axis=1)
+    for i in range(n):
+        got = out[i]
+        for m in range(m_sub):
+            assert got[f"code_{m}"] == exp_codes[i, m], (i, m)
+        assert abs(got["recon_err"] - exp_err[i]) < 1e-9
