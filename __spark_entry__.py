@@ -3840,6 +3840,23 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs over REAL decoded pixels
+    (multimodal.rasterize_text_media → image_dhash → dedup.
+    hamming_near_pairs): documents are rasterized into genuine BMP
+    payloads, decoded back through the real pixel path, dHashed, and
+    blocked by the 16-bit pigeonhole join at Hamming ≤ 3 — the image face
+    of simhash_near_dups. Rows-only (DuckDB cannot decode pixels); the
+    planted-variant recall gate lives in test_multimodal_decode."""
+    from raptor_spark.operators.dedup import hamming_near_pairs
+    from raptor_spark.operators.multimodal import image_dhash, rasterize_text_media
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = rasterize_text_media(docs, "doc_id", "text")
+    fps = image_dhash(media)
+    return hamming_near_pairs(fps, max_distance=3).orderBy("a", "b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -4024,6 +4041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_survival": q_conversion_survival,
         "textrank_keywords": q_textrank_keywords,
         "pq_codes": q_pq_codes,
+        "media_near_dups": q_media_near_dups,
     }
 
 

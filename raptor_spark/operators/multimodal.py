@@ -904,3 +904,123 @@ def synthesize_media_from_text(df: DataFrame, id_col: str, text_col: str) -> Dat
         F.lit("application/octet-stream").alias("mime"),
         F.encode(F.col(text_col), "utf-8").alias("data"),
     )
+
+
+def encode_bmp_gray(lum: "np.ndarray") -> bytes:
+    """Minimal 24-bit BMP writer for an H×W uint8 luminance matrix (each
+    value replicated to BGR, rows bottom-up, 4-byte-padded) — the render
+    sink mirroring _bmp_pixels, so matrix→image→matrix roundtrips through
+    the REAL decode path without any codec library."""
+    import struct
+
+    h, w = lum.shape
+    row_len = (w * 3 + 3) & ~3
+    body = bytearray()
+    for r in range(h - 1, -1, -1):
+        row = bytearray()
+        for c in range(w):
+            v = int(lum[r, c]) & 0xFF
+            row += bytes((v, v, v))
+        row += b"\x00" * (row_len - len(row))
+        body += row
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(hdr + dib + body)
+
+
+def text_raster(text: str, size: int = 16) -> "np.ndarray":
+    """Deterministic shingle-histogram raster: pixel (r, c) brightens with
+    the number of distinct word-3-grams md5-hashing into bucket r·size+c —
+    a smooth, content-derived map from shingle sets to images, so texts
+    that share most of their shingles rasterize to near-identical pictures
+    while unrelated texts land ~32 dHash bits apart (word-level buckets
+    were measured too correlated: shared common vocabulary made every doc
+    pair look close). The fixture generator for the perceptual-dedup path
+    in a container with no real image corpus; production inputs are real
+    image bytes."""
+    buckets = np.zeros(size * size, dtype=np.int64)
+    ws = text.lower().split()
+    shingles = (
+        {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        if len(ws) >= 3
+        else {" ".join(ws)}
+    )
+    for sh in shingles:
+        b = int.from_bytes(hashlib.md5(sh.encode()).digest()[:4], "big") % (
+            size * size
+        )
+        buckets[b] += 1
+    return np.minimum(buckets * 32, 255).astype(np.uint8).reshape(size, size)
+
+
+def dhash64(px) -> int:
+    """64-bit perceptual difference hash of a decoded pixel array:
+    luminance → 8×9 block-mean resample → horizontal gradient sign bits.
+    Robust to brightness scaling and small local edits (the classic dHash;
+    the perceptual analog of simhash64 for text). Returned as a SIGNED
+    64-bit int so it fits a Spark long."""
+    lum = _luminance(px)
+    h, w = lum.shape
+    if h < 8:
+        lum = np.repeat(lum, -(-8 // h), axis=0)
+    if w < 9:
+        lum = np.repeat(lum, -(-9 // w), axis=1)
+    rows = np.array_split(np.arange(lum.shape[0]), 8)
+    cols = np.array_split(np.arange(lum.shape[1]), 9)
+    g = np.array([[lum[np.ix_(r, c)].mean() for c in cols] for r in rows])
+    v = 0
+    for b in (g[:, 1:] > g[:, :-1]).ravel():
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def rasterize_text_media(
+    df: DataFrame, id_col: str, text_col: str, size: int = 16
+) -> DataFrame:
+    """(id, data): text rows → REAL BMP image payloads via text_raster +
+    encode_bmp_gray in one Arrow batch pass — the synthetic-image corpus
+    builder (ids stay long so downstream blocking joins stay numeric)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "data": [
+                        encode_bmp_gray(text_raster(t or "", size))
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema="id long, data binary")
+
+
+def image_dhash(media: DataFrame, id_col: str = "id", data_col: str = "data") -> DataFrame:
+    """(id, simhash): perceptual 64-bit dHash per DECODABLE image — decode
+    runs the real PNG/BMP/GIF/baseline-JPEG pixel path (decode_image_pixels);
+    undecodable payloads are dropped (progressive JPEG etc. need codec
+    libraries — the honest subset, same REAL_DECODERS_AVAILABLE caveat as
+    sample_frames). Column named ``simhash`` so the output plugs straight
+    into dedup.hamming_near_pairs' pigeonhole blocking.
+
+    Scale shape: one Arrow map-only pass (id, bytes in / id, long out);
+    the downstream Hamming block join only ever sees 16-byte rows."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, data in zip(pdf[id_col], pdf[data_col]):
+                px = decode_image_pixels(bytes(data)) if data is not None else None
+                if px is None:
+                    continue
+                ids.append(int(i))
+                hashes.append(dhash64(px))
+            yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
+                                "simhash": pd.Series(hashes, dtype="int64")})
+
+    return media.select(id_col, data_col).mapInPandas(
+        gen, schema="id long, simhash long"
+    )

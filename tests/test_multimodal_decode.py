@@ -613,3 +613,57 @@ def test_jpeg_features_from_real_pixels():
     lum = 0.2126 * px[:, :, 0] + 0.7152 * px[:, :, 1] + 0.0722 * px[:, :, 2]
     assert abs(feats[0] - lum.mean() / 255.0) < 0.02
     assert feats[4] == 0.5  # square aspect
+
+
+def test_encode_bmp_gray_roundtrips_through_real_decoder():
+    from raptor_spark.operators.multimodal import (
+        decode_image_pixels,
+        encode_bmp_gray,
+    )
+
+    lum = (np.arange(16 * 16, dtype=np.int64) * 7 % 256).astype(np.uint8)
+    lum = lum.reshape(16, 16)
+    px = decode_image_pixels(encode_bmp_gray(lum))
+    assert px is not None and px.shape == (16, 16, 3)
+    for c in range(3):
+        assert (px[:, :, c] == lum).all()
+
+
+def test_dhash_invariant_to_brightness_scaling():
+    from raptor_spark.operators.multimodal import dhash64
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 200, size=(32, 32, 3)).astype(np.uint8)
+    brighter = np.clip(base.astype(np.int64) + 40, 0, 255).astype(np.uint8)
+    # +constant preserves every gradient sign -> identical hash
+    assert dhash64(base) == dhash64(brighter)
+
+
+def test_image_dhash_planted_near_dup_recall(spark):
+    # Planted variants: small word edits on a base text must land within
+    # Hamming 3 of the original; unrelated texts must not. End-to-end
+    # through REAL BMP bytes and the REAL pixel decoder.
+    from raptor_spark.operators.dedup import hamming_near_pairs
+    from raptor_spark.operators.multimodal import image_dhash, rasterize_text_media
+
+    base_words = [f"tok{i}" for i in range(300)]
+    base = " ".join(base_words)
+    edited = base_words.copy()
+    edited[17] = "changed"
+    edited[190] = "words"
+    near = " ".join(edited)
+    rng = np.random.RandomState(9)
+    unrelated = [
+        " ".join(f"w{rng.randint(0, 99999)}" for _ in range(300)) for _ in range(6)
+    ]
+    rows = [(0, base), (1, near)] + [(10 + i, t) for i, t in enumerate(unrelated)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    media = rasterize_text_media(docs, "doc_id", "text")
+    pairs = {
+        (r["a"], r["b"])
+        for r in hamming_near_pairs(image_dhash(media), max_distance=3).collect()
+    }
+    assert (0, 1) in pairs          # the planted near-dup is recalled
+    assert all(a < 10 or b < 10 for a, b in pairs) or pairs == {(0, 1)}
+    # precision: no unrelated-unrelated pair sneaks in
+    assert not any(a >= 10 and b >= 10 for a, b in pairs)
