@@ -3857,6 +3857,37 @@ def q_media_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_near_pairs(fps, max_distance=3).orderBy("a", "b")
 
 
+def q_audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs over REAL decoded samples (multimodal.
+    synthesize_audio_media → audio_dhash → dedup.hamming_near_pairs):
+    documents synthesize genuine PCM16 WAV payloads, decode back through
+    the real sample path, fingerprint by energy-envelope gradient bits,
+    and block by the same 16-bit pigeonhole join at Hamming ≤ 3 — the
+    audio face of media_near_dups. Rows-only (DuckDB cannot decode WAV);
+    planted gates in test_multimodal_decode."""
+    from raptor_spark.operators.dedup import hamming_near_pairs
+    from raptor_spark.operators.multimodal import audio_dhash, synthesize_audio_media
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    media = synthesize_audio_media(docs, "doc_id", "text")
+    fps = audio_dhash(media)
+    return hamming_near_pairs(fps, max_distance=3).orderBy("a", "b")
+
+
+def q_lm_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy bigram-LM decoding per source (text.greedy_bigram_generate):
+    seed each source with its modal unigram, then 8 argmax continuation
+    steps with integer counts and lexicographic ties — the generation face
+    of lm_perplexity's scoring, replayed exactly by an unrolled SQL
+    oracle."""
+    from raptor_spark.operators.text import greedy_bigram_generate
+
+    docs = _t(spark, sf_dir, "documents")
+    return greedy_bigram_generate(docs, "source", "text", steps=8).orderBy(
+        "source", "step"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -4042,6 +4073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,
         "pq_codes": q_pq_codes,
         "media_near_dups": q_media_near_dups,
+        "audio_near_dups": q_audio_near_dups,
+        "lm_generate": q_lm_generate,
     }
 
 
@@ -8040,6 +8073,54 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN f0 USING (vec_id) JOIN f1 USING (vec_id)
                    JOIN f2 USING (vec_id) JOIN f3 USING (vec_id)
             ORDER BY e.vec_id
+        """,
+        # Greedy bigram decoding replay: modal-unigram seed, then 8 unrolled
+        # argmax steps over the MATERIALIZED bigram count table (referenced
+        # 8x — inlining would square the plan per round). Integer counts +
+        # lexicographic ties = exact walk replay.
+        "lm_generate": "WITH t AS (SELECT source AS grp,"
+        r" list_filter(string_split_regex(lower(trim(text)), '\s+'),"
+        " x -> x != '') AS ws FROM documents), "
+        """
+            uc AS (
+              SELECT grp, w, count(*) AS c FROM (
+                SELECT grp, unnest(ws) AS w FROM t) GROUP BY grp, w
+            ),
+            big AS MATERIALIZED (
+              SELECT grp, ws[i] AS w1, ws[i + 1] AS w2, count(*) AS c FROM (
+                SELECT grp, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                FROM t WHERE len(ws) >= 2)
+              GROUP BY 1, 2, 3
+            ),
+            s0 AS (
+              SELECT grp, w AS token FROM (
+                SELECT grp, w, row_number() OVER (
+                  PARTITION BY grp ORDER BY c DESC, w ASC) AS rn
+                FROM uc) WHERE rn = 1
+            ), """
+        + ", ".join(
+            f"""
+            g{i} AS (
+              SELECT grp, token FROM (
+                SELECT p.grp, b.w2 AS token,
+                       row_number() OVER (PARTITION BY p.grp
+                                          ORDER BY b.c DESC, b.w2 ASC) AS rn
+                FROM {"s0" if i == 1 else f"g{i - 1}"} p
+                JOIN big b ON b.grp = p.grp AND b.w1 = p.token
+                          AND b.w2 <> b.w1) WHERE rn = 1
+            )"""
+            for i in range(1, 9)
+        )
+        + """
+            SELECT grp AS source, step, token FROM (
+              SELECT grp, 0 AS step, token FROM s0
+            """
+        + "".join(
+            f" UNION ALL SELECT grp, {i} AS step, token FROM g{i}"
+            for i in range(1, 9)
+        )
+        + """
+            ) ORDER BY source, step
         """,
     }
 

@@ -1024,3 +1024,106 @@ def image_dhash(media: DataFrame, id_col: str = "id", data_col: str = "data") ->
     return media.select(id_col, data_col).mapInPandas(
         gen, schema="id long, simhash long"
     )
+
+
+def encode_wav_pcm16(samples: "np.ndarray", rate: int = 8000) -> bytes:
+    """Minimal mono PCM16 WAV writer for float samples in [-1, 1] — the
+    audio render sink mirroring decode_audio_samples, so waveform→bytes→
+    waveform roundtrips through the REAL decode path."""
+    import struct
+
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(pcm)) + pcm
+
+
+def text_waveform(text: str, frames: int = 65, frame_len: int = 64) -> "np.ndarray":
+    """Deterministic shingle-envelope waveform: frame f's amplitude grows
+    with the number of distinct word-3-grams md5-hashing into bucket f, the
+    audio analog of text_raster (near-duplicate texts synthesize
+    near-identical energy envelopes). Square-wave frames so each frame's
+    RMS equals its amplitude exactly."""
+    buckets = np.zeros(frames, dtype=np.int64)
+    ws = text.lower().split()
+    shingles = (
+        {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        if len(ws) >= 3
+        else {" ".join(ws)}
+    )
+    for sh in shingles:
+        b = int.from_bytes(hashlib.md5(sh.encode()).digest()[:4], "big") % frames
+        buckets[b] += 1
+    amp = np.minimum(buckets.astype(np.float64) * 0.125, 1.0)
+    wave = np.repeat(amp, frame_len)
+    wave[1::2] *= -1.0  # alternate sign: zero-mean, RMS == amplitude
+    return wave
+
+
+def audio_fingerprint64(samples: "np.ndarray", frames: int = 65) -> int:
+    """64-bit energy-envelope fingerprint of decoded audio: split the
+    (mono-averaged) samples into ``frames`` equal windows, take per-window
+    RMS, emit the 64 consecutive-frame gradient sign bits — dHash for
+    sound (gain-scaling invariant, robust to small local edits). Signed
+    64-bit so it fits a Spark long."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 2:
+        s = s.mean(axis=1)
+    if s.size < frames:
+        s = np.repeat(s, -(-frames // max(s.size, 1)))
+    rms = np.array(
+        [float(np.sqrt((c * c).mean())) if c.size else 0.0
+         for c in np.array_split(s, frames)]
+    )
+    v = 0
+    for b in rms[1:] > rms[:-1]:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def synthesize_audio_media(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, data): text rows → REAL mono PCM16 WAV payloads via
+    text_waveform + encode_wav_pcm16 in one Arrow batch pass — the audio
+    twin of rasterize_text_media."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "data": [
+                        encode_wav_pcm16(text_waveform(t or ""))
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema="id long, data binary")
+
+
+def audio_dhash(media: DataFrame, id_col: str = "id", data_col: str = "data") -> DataFrame:
+    """(id, simhash): energy-envelope fingerprint per DECODABLE audio
+    payload — decode runs the real WAV path (decode_audio_samples);
+    non-WAV payloads are dropped (MP3/AAC need codec libraries). Column
+    named ``simhash`` so the output plugs straight into
+    dedup.hamming_near_pairs, same as image_dhash."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, data in zip(pdf[id_col], pdf[data_col]):
+                dec = decode_audio_samples(bytes(data)) if data is not None else None
+                if dec is None:
+                    continue
+                samples, _rate = dec
+                ids.append(int(i))
+                hashes.append(audio_fingerprint64(samples))
+            yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
+                                "simhash": pd.Series(hashes, dtype="int64")})
+
+    return media.select(id_col, data_col).mapInPandas(
+        gen, schema="id long, simhash long"
+    )

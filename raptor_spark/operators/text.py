@@ -532,3 +532,81 @@ def bpe_compression(
         ).alias("compression"),
     )
     return out
+
+
+def greedy_bigram_generate(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    steps: int = 8,
+) -> DataFrame:
+    """Deterministic greedy decoding from the corpus bigram model — the
+    generation face of curation.lm_perplexity's scoring: per group, seed
+    with the group's most frequent unigram, then repeatedly emit
+    argmax_c count(prev, ·) for ``steps`` steps (ties break to the
+    lexicographically smallest token on BOTH engines, counts are exact
+    integers, so an unrolled SQL oracle replays the walk exactly).
+    Immediate self-repetition (w → w) is excluded — the standard no-repeat
+    decode constraint; without it greedy walks collapse onto one-token
+    loops. A group whose walk hits a token with no observed continuation
+    simply stops early. Output: (source, step, token), step 0 = the seed.
+
+    Scale shape: the bigram count table is the only corpus-sized artifact
+    (one explode + map-side-combinable groupBy, persisted once); each of
+    the ``steps`` generation joins BROADCASTS the current frontier (one
+    row per group) against it, so decoding costs ``steps`` map-only
+    passes over the count table and no corpus re-scan."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(group_col).alias("grp"), words_col(F.col(text_col)).alias("ws")
+    )
+    uni = (
+        toks.select("grp", F.explode("ws").alias("w"))
+        .groupBy("grp", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    big = (
+        toks.filter(F.size("ws") >= 2)
+        .select(
+            "grp",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ws"), i + 1).alias("w1"),
+                        F.element_at(F.col("ws"), i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("grp", "bg.w1", "bg.w2")
+        .groupBy("grp", "w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    w_seed = Window.partitionBy("grp").orderBy(F.desc("c"), F.asc("w"))
+    seed = (
+        uni.withColumn("rn", F.row_number().over(w_seed))
+        .filter(F.col("rn") == 1)
+        .select("grp", F.col("w").alias("token"), F.lit(0).alias("step"))
+    )
+    w_next = Window.partitionBy("grp").orderBy(F.desc("c"), F.asc("w2"))
+    frames = [seed]
+    cur = seed
+    for i in range(1, steps + 1):
+        cur = (
+            big.join(
+                F.broadcast(cur.select("grp", F.col("token").alias("w1"))),
+                ["grp", "w1"],
+            )
+            .filter(F.col("w2") != F.col("w1"))
+            .withColumn("rn", F.row_number().over(w_next))
+            .filter(F.col("rn") == 1)
+            .select("grp", F.col("w2").alias("token"), F.lit(i).alias("step"))
+        )
+        frames.append(cur)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select(F.col("grp").alias("source"), "step", "token")

@@ -147,3 +147,31 @@ def test_doc_repetition_query_nonvacuous(spark):
     out = entry_mod.q_doc_repetition(spark, SF_DIR)
     counts = {r.keep: r.n for r in out.groupBy("keep").count().withColumnRenamed("count", "n").collect()}
     assert counts.get(0, 0) > 0 and counts.get(1, 0) > 0
+
+
+def test_greedy_bigram_generate_hand_walk(spark):
+    # corpus: "a b" x3, "a c" x1, "b a" x2  -> seed = modal unigram 'a'
+    # (a:6 > b:5); then a->b (3 > c:1), b->a (2), a->b, ...
+    from raptor_spark.operators.text import greedy_bigram_generate
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a b"), (3, "a c"), (4, "b a"), (5, "b a")],
+        ["doc_id", "text"],
+    ).withColumn("source", F.lit("s"))
+    out = greedy_bigram_generate(docs, "source", "text", steps=4).collect()
+    walk = [r["token"] for r in sorted(out, key=lambda r: r["step"])]
+    assert walk == ["a", "b", "a", "b", "a"]
+
+
+def test_greedy_bigram_generate_stops_at_dead_end(spark):
+    from raptor_spark.operators.text import greedy_bigram_generate
+
+    docs = spark.createDataFrame([(0, "x y z")], ["doc_id", "text"]).withColumn(
+        "source", F.lit("s")
+    )
+    out = sorted(
+        greedy_bigram_generate(docs, "source", "text", steps=6).collect(),
+        key=lambda r: r["step"],
+    )
+    # x (seed, modal tie->lexicographic) -> y -> z -> no continuation
+    assert [r["token"] for r in out] == ["x", "y", "z"]

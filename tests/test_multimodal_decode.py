@@ -667,3 +667,54 @@ def test_image_dhash_planted_near_dup_recall(spark):
     assert all(a < 10 or b < 10 for a, b in pairs) or pairs == {(0, 1)}
     # precision: no unrelated-unrelated pair sneaks in
     assert not any(a >= 10 and b >= 10 for a, b in pairs)
+
+
+def test_encode_wav_pcm16_roundtrips_through_real_decoder():
+    from raptor_spark.operators.multimodal import (
+        decode_audio_samples,
+        encode_wav_pcm16,
+    )
+
+    wave = np.sin(np.linspace(0, 20, 4000)) * 0.5
+    dec = decode_audio_samples(encode_wav_pcm16(wave, rate=8000))
+    assert dec is not None
+    samples, rate = dec
+    assert rate == 8000
+    got = samples[:, 0] if samples.ndim == 2 else samples
+    assert got.shape[0] == 4000
+    assert np.abs(got - wave).max() < 2e-4  # 16-bit quantization bound
+
+
+def test_audio_fingerprint_gain_invariant():
+    from raptor_spark.operators.multimodal import audio_fingerprint64
+
+    rng = np.random.RandomState(5)
+    wave = rng.randn(65 * 64) * 0.2
+    assert audio_fingerprint64(wave) == audio_fingerprint64(wave * 0.5)
+
+
+def test_audio_dhash_planted_near_dup_recall(spark):
+    from raptor_spark.operators.dedup import hamming_near_pairs
+    from raptor_spark.operators.multimodal import (
+        audio_dhash,
+        synthesize_audio_media,
+    )
+
+    base_words = [f"tok{i}" for i in range(300)]
+    base = " ".join(base_words)
+    edited = base_words.copy()
+    edited[42] = "swap"
+    near = " ".join(edited)
+    rng = np.random.RandomState(11)
+    unrelated = [
+        " ".join(f"w{rng.randint(0, 99999)}" for _ in range(300)) for _ in range(6)
+    ]
+    rows = [(0, base), (1, near)] + [(10 + i, t) for i, t in enumerate(unrelated)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    media = synthesize_audio_media(docs, "doc_id", "text")
+    pairs = {
+        (r["a"], r["b"])
+        for r in hamming_near_pairs(audio_dhash(media), max_distance=3).collect()
+    }
+    assert (0, 1) in pairs
+    assert not any(a >= 10 and b >= 10 for a, b in pairs)
