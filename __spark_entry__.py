@@ -3888,6 +3888,38 @@ def q_lm_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (relational.pareto_frontier): parts
+    not dominated on (cheaper, larger) — the dominance-query family
+    (BNL/sort-first skyline) beside plain top-k ranking. Prices go through
+    the integer-cents convention so the two-window sweep rule replays
+    bit-for-bit in the oracle."""
+    from raptor_spark.operators.relational import pareto_frontier
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        "p_size",
+    )
+    return pareto_frontier(p, "price_cents", "p_size", "p_partkey").orderBy(
+        "p_partkey"
+    )
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf cosine top-3 neighbors per document through the
+    inverted index (ranking.sparse_more_like_this, doc_id < 100, stop-terms
+    df > 30 pruned) — posting-list self-join similarity, the IR sibling of
+    embedding_topk: no dense vectors, fan-out bounded by C(max_df, 2) per
+    term."""
+    from raptor_spark.operators.ranking import sparse_more_like_this
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return sparse_more_like_this(docs, "doc_id", "text", k=3, max_df=30).orderBy(
+        "id", "rk"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -4075,6 +4107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_near_dups": q_media_near_dups,
         "audio_near_dups": q_audio_near_dups,
         "lm_generate": q_lm_generate,
+        "pareto_parts": q_pareto_parts,
+        "more_like_this": q_more_like_this,
     }
 
 
@@ -8121,6 +8155,72 @@ def oracle_sql() -> dict[str, str]:
         )
         + """
             ) ORDER BY source, step
+        """,
+        # Skyline replay: identical two-window sweep — dominated iff a
+        # strictly-cheaper part is at least as large, or an
+        # at-most-as-cheap part is strictly larger.
+        "pareto_parts": r"""
+            WITH p AS (
+              SELECT p_partkey,
+                     CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+                     p_size
+              FROM part
+            ), k AS (
+              SELECT p_partkey, price_cents, p_size,
+                     max(p_size) OVER (ORDER BY price_cents
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+                     max(p_size) OVER (ORDER BY price_cents
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m2
+              FROM p
+            )
+            SELECT p_partkey, price_cents, p_size FROM k
+            WHERE (m1 IS NULL OR m1 < p_size) AND m2 <= p_size
+            ORDER BY p_partkey
+        """,
+        # Sparse MLT replay: identical posting-list dot, BM25+ idf, df<=30
+        # stop-term pruning, rank over the ROUNDED cosine with id ties.
+        "more_like_this": r"""
+            WITH d AS (
+              SELECT doc_id AS id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x != '') AS ws
+              FROM documents WHERE doc_id < 100
+            ), t AS (
+              SELECT id, unnest(ws) AS term FROM d
+            ), tf AS (
+              SELECT id, term, count(*) AS tf FROM t GROUP BY 1, 2
+            ), st AS (
+              SELECT term, count(DISTINCT id) AS df FROM t GROUP BY term
+            ), nn AS (
+              SELECT count(*) AS n_docs FROM d
+            ), idf AS (
+              SELECT term,
+                     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+              FROM st, nn WHERE df <= 30
+            ), w AS (
+              SELECT tf.id, tf.term, tf.tf * idf.idf AS w
+              FROM tf JOIN idf USING (term)
+            ), nrm AS (
+              SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id
+            ), dots AS (
+              SELECT x.id AS a, y.id AS b, sum(x.w * y.w) AS dot
+              FROM w x JOIN w y ON x.term = y.term AND x.id < y.id
+              GROUP BY 1, 2
+            ), sym AS (
+              SELECT a, b, dot FROM dots
+              UNION ALL SELECT b AS a, a AS b, dot FROM dots
+            ), cos AS (
+              SELECT sym.a, sym.b,
+                     round(sym.dot / (na.nrm * nb.nrm), 6) AS cos
+              FROM sym JOIN nrm na ON na.id = sym.a
+                       JOIN nrm nb ON nb.id = sym.b
+            )
+            SELECT a AS id, b AS neighbor, cos, rk FROM (
+              SELECT a, b, cos,
+                     row_number() OVER (PARTITION BY a
+                                        ORDER BY cos DESC, b ASC) AS rk
+              FROM cos) WHERE rk <= 3
+            ORDER BY id, rk
         """,
     }
 

@@ -233,3 +233,48 @@ class Catalog:
         d = self._dir(table)
         if os.path.exists(d):
             shutil.rmtree(d)
+
+
+def diff_snapshots(
+    catalog: Catalog,
+    table: str,
+    key_cols: list[str],
+    old_snapshot: int | None,
+    new_snapshot: int | None = None,
+) -> DataFrame:
+    """Change-data-capture between two retained snapshots of a table: one
+    row per changed key with op in {insert, delete, update} — the
+    read-side completion of the keyed ``Catalog.merge`` upsert (what
+    changed between the commit I processed last and now), the lakeFS
+    two-commit diff analog.
+
+    update detection hashes ALL non-key columns (sha2 of a null-tagged
+    concat) on each side, so the diff needs only (key, row_hash) from both
+    snapshots — a full outer join on key-sized rows, never a wide-payload
+    shuffle; payloads stay in the parquet files they live in."""
+    from pyspark.sql import functions as F
+
+    def keyed(df: DataFrame) -> DataFrame:
+        payload = [c for c in df.columns if c not in key_cols]
+        tagged = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in sorted(payload)
+        ]
+        return df.select(
+            *key_cols,
+            F.sha2(F.concat_ws("\x01", *tagged), 256).alias("_row_hash"),
+        )
+
+    old = keyed(catalog.read(table, old_snapshot)).alias("o")
+    new = keyed(catalog.read(table, new_snapshot)).alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols]
+    j = old.join(new, cond, "full_outer")
+    op = (
+        F.when(F.col("o._row_hash").isNull(), F.lit("insert"))
+        .when(F.col("n._row_hash").isNull(), F.lit("delete"))
+        .when(F.col("o._row_hash") != F.col("n._row_hash"), F.lit("update"))
+    )
+    keys = [
+        F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in key_cols
+    ]
+    return j.select(*keys, op.alias("op")).filter(F.col("op").isNotNull())

@@ -154,6 +154,7 @@ def pagerank(
     n_iter: int = 5,
     damping: float = 0.85,
     init_ranks: DataFrame | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """(id, rank): fixed-iteration PageRank over the SYMMETRIZED edge list —
     the hub-importance score of the canonicalized symbol graph. On a
@@ -195,21 +196,26 @@ def pagerank(
             .select("id", F.coalesce("__init", "rank").alias("rank"))
             .localCheckpoint()
         )
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contribs = links.join(ranks, links["src"] == ranks["id"]).select(
             F.col("dst").alias("id"), (F.col("rank") / F.col("odeg")).alias("c")
         )
-        ranks = (
-            contribs.groupBy("id")
-            .agg(F.sum("c").alias("in_sum"))
-            .select(
-                "id",
-                (F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("in_sum")).alias(
-                    "rank"
-                ),
-            )
-            .localCheckpoint()
+        ranks = contribs.groupBy("id").agg(F.sum("c").alias("in_sum")).select(
+            "id",
+            (F.lit((1.0 - damping) / n) + F.lit(damping) * F.col("in_sum")).alias(
+                "rank"
+            ),
         )
+        # checkpoint_every=1 (default) keeps the plan flat at any K — the
+        # arbitrary-K contract — and is also the FAST setting: an
+        # interleaved A/B (5 rounds, 116k-edge doc-word graph, local[8])
+        # measured lazy composition (0) at 3.8-4.2 s vs 2.2-2.9 s
+        # checkpointed — the deep 5-round plan costs more in optimizer +
+        # stage-recompute than the per-round job it saves. Values are
+        # identical either way (diff count 0); the knob exists for
+        # experiments, not as a recommended setting.
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
     links.unpersist()
     return ranks
 

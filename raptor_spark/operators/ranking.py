@@ -633,3 +633,67 @@ def burrows_delta(
             "delta",
         )
     )
+
+
+def sparse_more_like_this(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    max_df: int = 30,
+) -> DataFrame:
+    """Top-k most-similar documents per document by tf-idf cosine computed
+    THROUGH the inverted index — the sparse-vector "more like this" read
+    path: the dot product is a posting-list self-join on term (never a
+    dense vector, never all-pairs on docs), the IR-side sibling of the
+    embedding ANN family.
+
+    ``max_df`` drops stop-terms from the index before the self-join — the
+    standard MLT pruning, and the scale guard: a term in f docs expands to
+    C(f, 2) pairs, so the join fan-out is bounded by C(max_df, 2) per term
+    regardless of corpus size. Weights use the BM25+ idf (term_stats), so
+    every pruned posting keeps a positive weight.
+
+    Ranking windows order by the ROUNDED cosine (6 dp) with id tie-breaks,
+    so both engines rank identical values identically."""
+    from pyspark.sql import Window
+
+    posts = doc_terms(df, id_col, text_col)
+    stats = term_stats(df, id_col, text_col).filter(F.col("df") <= max_df)
+    w = (
+        posts.join(F.broadcast(stats.select("term", "idf")), "term")
+        .select("id", "term", (F.col("tf") * F.col("idf")).alias("w"))
+        .persist()
+    )
+    norms = w.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    dots = (
+        w.alias("x")
+        .join(w.alias("y"), "term")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.sum(F.col("x.w") * F.col("y.w")).alias("dot"))
+    )
+    sym = dots.unionByName(
+        dots.select(
+            F.col("b").alias("a"), F.col("a").alias("b"), "dot"
+        )
+    )
+    cos = (
+        sym.join(
+            norms.select(F.col("id").alias("a"), F.col("nrm").alias("na")), "a"
+        )
+        .join(norms.select(F.col("id").alias("b"), F.col("nrm").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+    )
+    wnd = Window.partitionBy("a").orderBy(F.desc("cos"), F.asc("b"))
+    return (
+        cos.withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= k)
+        .select(F.col("a").alias("id"), F.col("b").alias("neighbor"), "cos", "rk")
+    )

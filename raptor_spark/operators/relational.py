@@ -543,3 +543,54 @@ def rfm_segments(
         F.count("*").alias("n_entities"),
         F.avg("m_val").alias("avg_monetary"),
     )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier): rows not dominated on (minimize x,
+    maximize y). Row A dominates B iff x_A <= x_B AND y_A >= y_B with at
+    least one strict; equal (x, y) pairs do not dominate each other, so
+    exact duplicates both survive. Inputs should be exact integers (cents,
+    days) so the two-window rule replays bit-for-bit in SQL.
+
+    The sweep rule per row: dominated iff max(y) over STRICTLY smaller x
+    >= y, or max(y) over x <= current > y — two RANGE-frame window maxes
+    over one sort by x.
+
+    Scale shape: two-phase. Phase 1 prunes locally per partition after a
+    repartitionByRange on x (dominance is transitive, so any row dominated
+    within ANY subset is dominated globally — local pruning is sound and
+    typically leaves O(skyline) survivors per partition). Phase 2 runs the
+    exact rule over survivors in one small global window. The result is
+    partition-count invariant; only the survivor set between phases
+    varies."""
+    from pyspark.sql import Window
+
+    x, y = F.col(x_col), F.col(y_col)
+
+    def keep_rule(w_base: Window) -> Column:
+        strictly_less = w_base.rangeBetween(Window.unboundedPreceding, -1)
+        up_to = w_base.rangeBetween(Window.unboundedPreceding, 0)
+        m1 = F.max(y).over(strictly_less)
+        m2 = F.max(y).over(up_to)
+        return (m1.isNull() | (m1 < y)) & (m2 <= y)
+
+    local = df.repartitionByRange(x).withColumn("_pid", F.spark_partition_id())
+    survivors = (
+        local.withColumn(
+            "_keep", keep_rule(Window.partitionBy("_pid").orderBy(x))
+        )
+        .filter("_keep")
+        .drop("_pid", "_keep")
+    )
+    # survivors are skyline-sized: the exact global pass coalesces them
+    return (
+        survivors.coalesce(1)
+        .withColumn("_keep", keep_rule(Window.orderBy(x)))
+        .filter("_keep")
+        .select(id_col, x_col, y_col)
+    )

@@ -189,3 +189,40 @@ def test_cohort_retention_hand_fixture(spark):
         ("2024-01-01", 2): (2, 2, 1.0),
         ("2024-01-02", 0): (1, 1, 1.0),
     }
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from raptor_spark.operators.relational import pareto_frontier
+
+    rng = random.Random(13)
+    rows = [(i, rng.randint(0, 40), rng.randint(0, 40)) for i in range(200)]
+    rows += [(1000, 5, 30), (1001, 5, 30)]  # exact duplicates: both survive
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    got = {
+        r["id"]
+        for r in pareto_frontier(df, "x", "y", "id").collect()
+    }
+
+    def dominated(a, b):  # b dominates a (min x, max y)
+        return (b[1] <= a[1] and b[2] >= a[2]) and (b[1] < a[1] or b[2] > a[2])
+
+    want = {
+        a[0]
+        for a in rows
+        if not any(dominated(a, b) for b in rows if b is not a)
+    }
+    assert got == want
+    assert {1000, 1001} & got == ({1000, 1001} if (1000 in want) else set())
+
+
+def test_pareto_frontier_partition_invariant(spark):
+    from raptor_spark.operators.relational import pareto_frontier
+
+    rows = [(i, (i * 7) % 50, (i * 13) % 50) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    a = {r["id"] for r in pareto_frontier(df.repartition(1), "x", "y", "id").collect()}
+    b = {r["id"] for r in pareto_frontier(df.repartition(17), "x", "y", "id").collect()}
+    assert a == b and a

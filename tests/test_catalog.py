@@ -99,3 +99,35 @@ def test_append_then_write_preserves_history(spark, tmp_path):
     cat.write("log", spark.range(1))
     assert cat.read("log").count() == 1
     assert cat.read("log", snapshot=0).count() == 5
+
+
+def test_diff_snapshots_reports_insert_delete_update(spark, tmp_path):
+    from raptor_spark.catalog import Catalog, diff_snapshots
+
+    cat = Catalog(spark, str(tmp_path), keep_snapshots=3)
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "s", "v"]
+    )
+    cat.write("t", v1)
+    s1 = cat.manifest("t")["snapshot_id"]
+    v2 = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 99), (4, "d", 40)], ["k", "s", "v"]
+    )
+    cat.write("t", v2)
+
+    got = {
+        r["k"]: r["op"]
+        for r in diff_snapshots(cat, "t", ["k"], old_snapshot=s1).collect()
+    }
+    assert got == {1: "delete", 3: "update", 4: "insert"}
+
+
+def test_diff_snapshots_identical_is_empty(spark, tmp_path):
+    from raptor_spark.catalog import Catalog, diff_snapshots
+
+    cat = Catalog(spark, str(tmp_path), keep_snapshots=3)
+    df = spark.createDataFrame([(1, "a"), (2, None)], ["k", "s"])
+    cat.write("t", df)
+    s1 = cat.manifest("t")["snapshot_id"]
+    cat.write("t", spark.createDataFrame([(2, None), (1, "a")], ["k", "s"]))
+    assert diff_snapshots(cat, "t", ["k"], old_snapshot=s1).count() == 0

@@ -474,3 +474,31 @@ def test_km_survival_textbook_fixture(spark):
     # risk set empties: hazard 1, survival exactly 0
     assert rows[5]["n_risk"] == 1 and rows[5]["hazard"] == 1.0
     assert rows[5]["survival"] == 0.0
+
+
+def test_sparse_more_like_this_planted_neighbors(spark):
+    # Two documents sharing rare terms must pick each other as rank-1;
+    # the stop-term (in every doc) must contribute nothing: with max_df
+    # pruning it, the unrelated doc pair has NO shared term -> no pair row.
+    from raptor_spark.operators.ranking import sparse_more_like_this
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the zebra quagga zebra"),
+            (2, "the zebra quagga"),
+            (3, "the xylophone marimba"),
+            (4, "the xylophone marimba marimba"),
+            (5, "the onlyword"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["id"], r["rk"]): r["neighbor"]
+        for r in sparse_more_like_this(docs, "doc_id", "text", k=2, max_df=4).collect()
+    }
+    assert got[(1, 1)] == 2 and got[(2, 1)] == 1
+    assert got[(3, 1)] == 4 and got[(4, 1)] == 3
+    # doc 5 shares only the pruned stop-term: no neighbors at all
+    assert not any(i == 5 for (i, _) in got)
+    # cross-cluster pairs share nothing after pruning either
+    assert (1, 2) not in got and (3, 2) not in got
