@@ -3920,6 +3920,85 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_length_bias_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of document length predicting language (profile.signal_auc)
+    — the curation-signal bias audit: before a length gate ships, measure
+    whether it would skew the language mix (AUC far from 0.5 = a raw
+    length cutoff is a covert language filter). Rank-sum identity with
+    exact BIGINT tie midpoints; the only float op is the final division."""
+    from raptor_spark.operators.profile import signal_auc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").cast("long").alias("is_en")
+    )
+    return signal_auc(docs, "n_chars", "is_en")
+
+
+def q_filter_rule_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between two keep-rules (profile.cohen_kappa):
+    rule A keeps docs with n_chars >= 300, rule B keeps docs with >= 50
+    whitespace tokens — the filter-governance audit that percent-agreement
+    overstates under skewed base rates. Exact integer rational, one
+    single-row aggregate."""
+    from raptor_spark.operators.profile import cohen_kappa
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+    )
+    flagged = docs.select(
+        (F.col("n_chars") >= 300).cast("long").alias("rule_a"),
+        (toks >= 50).cast("long").alias("rule_b"),
+    )
+    return cohen_kappa(flagged, "rule_a", "rule_b")
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l = 3, sensitive attribute = source) over the
+    quasi-identifier tuple (lang, length-bucket) — the companion gate to
+    k_anonymity: a class can be k-large yet expose its members' source if
+    every row shares one sensitive value. One class-sized groupBy with an
+    exact count_distinct, then a single-row rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    classes = docs.groupBy(
+        "lang", F.floor(F.col("n_chars") / 100).alias("len_bucket")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.count_distinct("source").alias("l_val"),
+    )
+    return classes.agg(
+        F.count("*").alias("n_classes"),
+        F.sum((F.col("l_val") < 3).cast("long")).alias("n_low_diversity"),
+        F.min("l_val").alias("min_l"),
+        F.sum(F.when(F.col("l_val") < 3, F.col("cnt")).otherwise(0)).alias(
+            "rows_at_risk"
+        ),
+    )
+
+
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-5-iteration PERSONALIZED PageRank on the near-dup graph with
+    seed set {vertices with id % 10 == 0} (graph.personalized_pagerank) —
+    seed-relative relevance: teleport mass lands on the seeds only, so
+    rank decays with random-walk distance from them (the "entities most
+    related to this cluster" KG read path). The oracle unrolls the same
+    five full-outer rounds; with seeds = all vertices the operator
+    degenerates to pagerank exactly (pytest-gated)."""
+    from raptor_spark.operators.graph import personalized_pagerank
+
+    edges = _jaccard_edge_set(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("a").alias("id"))
+        .union(edges.select(F.col("b").alias("id")))
+        .filter(F.col("id") % 10 == 0)
+        .distinct()
+    )
+    out = personalized_pagerank(edges, seeds, n_iter=5, damping=0.85)
+    return out.select(
+        F.col("id").cast("long").alias("id"), F.round("rank", 6).alias("rank")
+    ).orderBy("id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -4109,6 +4188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_generate": q_lm_generate,
         "pareto_parts": q_pareto_parts,
         "more_like_this": q_more_like_this,
+        "length_bias_auc": q_length_bias_auc,
+        "filter_rule_kappa": q_filter_rule_kappa,
+        "l_diversity": q_l_diversity,
+        "graph_ppr": q_graph_ppr,
     }
 
 
@@ -8221,6 +8304,106 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY cos DESC, b ASC) AS rk
               FROM cos) WHERE rk <= 3
             ORDER BY id, rk
+        """,
+        # Rank-sum AUC replay: identical doubled tie-midpoint arithmetic,
+        # all BIGINT until the single final division (window sum of
+        # integers is HUGEINT in DuckDB — cast before it reaches output).
+        "length_bias_auc": """
+            WITH d AS (
+              SELECT n_chars AS score,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              FROM documents
+            ), g AS (
+              SELECT score, count(*) AS cnt, sum(pos) AS pos
+              FROM d GROUP BY score
+            ), r AS (
+              SELECT cnt, pos,
+                     coalesce(sum(cnt) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_before
+              FROM g
+            ), a AS (
+              SELECT sum(pos * (2 * cum_before + cnt + 1)) AS two_r_pos,
+                     sum(pos) AS n_pos, sum(cnt) AS n
+              FROM r
+            )
+            SELECT CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST(n - n_pos AS BIGINT) AS n_neg,
+                   round(CAST(two_r_pos - n_pos * (n_pos + 1) AS DOUBLE)
+                         / CAST(2 * n_pos * (n - n_pos) AS DOUBLE), 6) AS auc
+            FROM a
+        """,
+        # Kappa replay: one exact integer rational, divided once.
+        "filter_rule_kappa": r"""
+            WITH f AS (
+              SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+                     CASE WHEN len(list_filter(
+                            string_split_regex(trim(text), '\s+'),
+                            x -> x != '')) >= 50
+                          THEN 1 ELSE 0 END AS b
+              FROM documents
+            ), agg AS (
+              SELECT count(*) AS n, sum(a) AS a1, sum(b) AS b1,
+                     sum(a * b) AS n11, sum((1 - a) * (1 - b)) AS n00
+              FROM f
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(n11 AS BIGINT) AS n_both,
+                   CAST(n00 AS BIGINT) AS n_neither,
+                   CAST(a1 - n11 AS BIGINT) AS n_a_only,
+                   CAST(b1 - n11 AS BIGINT) AS n_b_only,
+                   round(CAST(2 * n11 AS DOUBLE)
+                         / CAST(a1 + b1 AS DOUBLE), 6) AS dice_overlap,
+                   round(
+                     CAST(n * (n00 + n11)
+                          - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE)
+                     / CAST(n * n
+                          - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE),
+                     6) AS kappa
+            FROM agg
+        """,
+        "l_diversity": """
+            WITH classes AS (
+              SELECT lang,
+                     CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+                     count(*) AS cnt,
+                     count(DISTINCT source) AS l_val
+              FROM documents GROUP BY 1, 2
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(sum(CASE WHEN l_val < 3 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_low_diversity,
+                   CAST(min(l_val) AS BIGINT) AS min_l,
+                   CAST(sum(CASE WHEN l_val < 3 THEN cnt ELSE 0 END)
+                        AS BIGINT) AS rows_at_risk
+            FROM classes
+        """,
+        # PPR replay: same reset mass (1.0/|seeds| division, (1.0 - 0.85)
+        # literal arithmetic as the Spark lits), same full-outer domain
+        # {seeds} ∪ {reached} per round. e/sd MATERIALIZED: e is referenced
+        # every round and sd twice per round (CLAUDE.md CTE-inlining rule).
+        "graph_ppr": f"""
+            WITH {GRAPH_EDGE_CTE.replace("e AS (", "e AS MATERIALIZED (")},
+            deg AS MATERIALIZED (SELECT s, count(*) AS odeg FROM e GROUP BY s),
+            sd AS MATERIALIZED (
+              SELECT DISTINCT s AS id FROM e WHERE s % 10 = 0),
+            ns AS (SELECT count(*) AS n FROM sd),
+            r0 AS (SELECT id, 1.0 / (SELECT n FROM ns) AS rank FROM sd),
+            {", ".join(
+                f'''r{i} AS MATERIALIZED (
+                  SELECT coalesce(c.id, sd.id) AS id,
+                         (1.0 - 0.85) * (CASE WHEN sd.id IS NOT NULL
+                            THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END)
+                         + 0.85 * coalesce(c.in_sum, 0.0) AS rank
+                  FROM (SELECT e.d AS id,
+                               sum(r{i - 1}.rank / deg.odeg) AS in_sum
+                        FROM e JOIN r{i - 1} ON e.s = r{i - 1}.id
+                               JOIN deg ON e.s = deg.s
+                        GROUP BY e.d) c
+                  FULL OUTER JOIN sd ON c.id = sd.id
+                )''' for i in range(1, 6)
+            )}
+            SELECT id, round(rank, 6) AS "rank" FROM r5 ORDER BY id
         """,
     }
 

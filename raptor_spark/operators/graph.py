@@ -220,6 +220,62 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(id, rank): fixed-iteration PERSONALIZED PageRank over the
+    symmetrized edge list — relevance RELATIVE TO A SEED SET rather than
+    global importance: the teleport mass lands uniformly on ``seeds``
+    (a DataFrame with an ``id`` column) instead of on every vertex, so
+    ranks decay with random-walk distance from the seeds. The KG read
+    path this serves: "entities most related to THIS document / THIS
+    symbol family" (seed = its cluster), the seed-expansion sibling of
+    ``pagerank``'s global hub score.
+
+    Seeds are intersected with the graph's vertex set first (an absent
+    seed would hold reset mass forever without propagating — and the
+    exact-replay oracle enumerates seeds from the edge list). Per round:
+    the same contribs join + vertex groupBy as ``pagerank``, then a
+    full-outer join against the seed-sized reset frame (full outer keeps
+    never-reached seeds alive; Spark runs it as a shuffled join — the
+    broadcast hint below is advisory and correctly ignored there), so
+    the output domain is exactly {seeds} ∪ {vertices reached so far} —
+    the growing BFS ball, identical on both engines. With
+    seeds = ALL vertices the recurrence degenerates to ``pagerank``
+    exactly (pytest-gated equivalence)."""
+    sym = symmetrize(edges)
+    out_deg = sym.groupBy("src").agg(F.count("*").alias("odeg"))
+    links = sym.join(out_deg, "src").repartition("src").persist()
+    vertices = links.select(F.col("src").alias("id")).distinct()
+    seed_ids = seeds.select("id").distinct().join(vertices, "id", "semi")
+    n_seeds = seed_ids.count()
+    reset = F.broadcast(
+        seed_ids.withColumn("reset", F.lit(1.0 / n_seeds)).localCheckpoint()
+    )
+    ranks = reset.select("id", F.col("reset").alias("rank"))
+    for _ in range(n_iter):
+        contribs = links.join(ranks, links["src"] == ranks["id"]).select(
+            F.col("dst").alias("id"), (F.col("rank") / F.col("odeg")).alias("c")
+        )
+        in_sums = contribs.groupBy("id").agg(F.sum("c").alias("in_sum"))
+        ranks = (
+            in_sums.join(reset, "id", "full_outer")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping) * F.coalesce("reset", F.lit(0.0))
+                    + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    links.unpersist()
+    return ranks
+
+
 def hits(edges: DataFrame, n_iter: int = 4) -> DataFrame:
     """(id, hub, auth): fixed-iteration HITS (Kleinberg) over the DIRECTED
     edge list (a → b) — here the id-ordered near-dup orientation, so a hub

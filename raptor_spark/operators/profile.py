@@ -1133,3 +1133,97 @@ def km_survival(
             6,
         ).alias("survival"),
     )
+
+
+def signal_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """ROC AUC of an INTEGER-valued score predicting a binary label, by the
+    rank-sum (Mann-Whitney U) identity with exact tie handling — the
+    curation-signal evaluation step: before a quality/length/perplexity
+    gate ships, measure how well the signal actually separates the class
+    it claims to predict. AUC = P(score_pos > score_neg) + P(equal)/2.
+
+    Exactness contract (CLAUDE.md cross-engine rule): ranks, tie midpoints
+    and the U numerator stay in BIGINT end to end — average tie rank is
+    kept DOUBLED (2*cum_before + cnt + 1, always integer), so
+    2*R_pos - n_pos*(n_pos+1) is one exact integer and the only float op
+    is the final division. A double cumulative rank sum would flip tail
+    bits across engines; this never rounds until the last step.
+
+    Scale shape: one groupBy(score) shuffle (partial-aggregated), then the
+    window + final aggregate run over DISTINCT SCORES only — bounded by
+    the score's cardinality, not the row count.
+    """
+    from pyspark.sql import Window
+
+    g = df.groupBy(F.col(score_col).alias("score")).agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col(label_col).cast("long")).alias("pos"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("pos") * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        ).alias("two_r_pos"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("cnt").alias("n"),
+    )
+    n_pos, n = F.col("n_pos"), F.col("n")
+    n_neg = n - n_pos
+    u2 = F.col("two_r_pos") - n_pos * (n_pos + 1)  # = 2 * U, exact BIGINT
+    return agg.select(
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        F.round(u2.cast("double") / (2 * n_pos * n_neg).cast("double"), 6).alias(
+            "auc"
+        ),
+    )
+
+
+def cohen_kappa(
+    df: DataFrame,
+    rule_a_col: str,
+    rule_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa chance-corrected agreement between two binary
+    labeling rules — the filter-governance audit: when two quality gates
+    (or an old and a re-tuned rule) are supposed to capture the same
+    notion, raw percent-agreement overstates it whenever the base rates
+    are skewed; kappa is the standard correction.
+
+    kappa = (po - pe) / (1 - pe) is computed as ONE exact integer
+    rational: (n*(n00+n11) - (a1*b1 + a0*b0)) / (n*n - (a1*b1 + a0*b0)),
+    divided once at the end — no intermediate proportions, so both
+    engines see identical arithmetic. One single-row aggregate job."""
+    a = F.col(rule_a_col).cast("long")
+    b = F.col(rule_b_col).cast("long")
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.sum(a).alias("a1"),
+        F.sum(b).alias("b1"),
+        F.sum(a * b).alias("n11"),
+        F.sum((1 - a) * (1 - b)).alias("n00"),
+    )
+    n = F.col("n")
+    chance = F.col("a1") * F.col("b1") + (n - F.col("a1")) * (n - F.col("b1"))
+    num = n * (F.col("n00") + F.col("n11")) - chance
+    den = n * n - chance
+    return agg.select(
+        "n",
+        F.col("n11").alias("n_both"),
+        F.col("n00").alias("n_neither"),
+        (F.col("a1") - F.col("n11")).alias("n_a_only"),
+        (F.col("b1") - F.col("n11")).alias("n_b_only"),
+        F.round(
+            F.col("n11").cast("double") * 2
+            / (F.col("a1") + F.col("b1")).cast("double"),
+            6,
+        ).alias("dice_overlap"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("kappa"),
+    )

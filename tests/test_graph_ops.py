@@ -461,3 +461,51 @@ def test_textrank_hub_outranks_isolated_frequent_term(spark):
     ranks = {r["id"]: r["rank"] for r in pr.collect()}
     assert ranks["hub"] > ranks["loner"]
     assert ranks["hub"] == max(ranks.values())
+
+
+def test_personalized_pagerank_hand_fixture(spark):
+    # Path graph 1-2-3, seed {1}, two rounds, d=0.85 — hand-computed:
+    # r1 = {1: 0.15, 2: 0.85}; r2 = {1: 0.51125, 2: 0.1275, 3: 0.36125}.
+    from raptor_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["a", "b"])
+    seeds = spark.createDataFrame([(1,)], ["id"])
+    got = {
+        r["id"]: r["rank"]
+        for r in personalized_pagerank(edges, seeds, n_iter=2).collect()
+    }
+    assert abs(got[1] - 0.51125) < 1e-12
+    assert abs(got[2] - 0.1275) < 1e-12
+    assert abs(got[3] - 0.36125) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+
+
+def test_personalized_pagerank_all_seeds_equals_pagerank(spark):
+    # Teleporting uniformly to EVERY vertex is exactly global PageRank.
+    from raptor_spark.operators.graph import pagerank, personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1)], ["a", "b"]
+    )
+    seeds = spark.createDataFrame([(i,) for i in range(1, 6)], ["id"])
+    pr = {r["id"]: r["rank"] for r in pagerank(edges, n_iter=4).collect()}
+    ppr = {
+        r["id"]: r["rank"]
+        for r in personalized_pagerank(edges, seeds, n_iter=4).collect()
+    }
+    assert set(pr) == set(ppr)
+    assert all(abs(pr[k] - ppr[k]) < 1e-12 for k in pr)
+
+
+def test_personalized_pagerank_stays_in_seed_component(spark):
+    # Disconnected component {10, 11} never receives mass from seed 1;
+    # output domain is the seed's reachable ball only.
+    from raptor_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame([(1, 2), (10, 11)], ["a", "b"])
+    seeds = spark.createDataFrame([(1,)], ["id"])
+    got = {
+        r["id"]
+        for r in personalized_pagerank(edges, seeds, n_iter=3).collect()
+    }
+    assert got == {1, 2}

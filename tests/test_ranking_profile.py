@@ -502,3 +502,46 @@ def test_sparse_more_like_this_planted_neighbors(spark):
     assert not any(i == 5 for (i, _) in got)
     # cross-cluster pairs share nothing after pruning either
     assert (1, 2) not in got and (3, 2) not in got
+
+
+def test_signal_auc_hand_fixture(spark):
+    # scores: pos at {3, 2}, neg at {1, 2, 2}. Pairs: 2*3=6.
+    # pos=3 beats all 3 negs; pos=2 beats neg=1, ties the two neg=2s.
+    # AUC = (3 + 1 + 0.5 + 0.5) / 6 = 5/6.
+    from raptor_spark.operators.profile import signal_auc
+
+    df = spark.createDataFrame(
+        [(3, 1), (2, 1), (1, 0), (2, 0), (2, 0)], ["score", "label"]
+    )
+    row = signal_auc(df, "score", "label").collect()[0]
+    assert (row["n_pos"], row["n_neg"]) == (2, 3)
+    assert abs(row["auc"] - 5 / 6) < 1e-6
+
+
+def test_signal_auc_perfect_and_inverted(spark):
+    from raptor_spark.operators.profile import signal_auc
+
+    perfect = spark.createDataFrame(
+        [(10, 1), (11, 1), (1, 0), (2, 0)], ["score", "label"]
+    )
+    assert signal_auc(perfect, "score", "label").collect()[0]["auc"] == 1.0
+    inverted = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 0), (11, 0)], ["score", "label"]
+    )
+    assert signal_auc(inverted, "score", "label").collect()[0]["auc"] == 0.0
+
+
+def test_cohen_kappa_hand_fixture(spark):
+    # Classic 2x2: n=100, n11=40, n00=30, a-only=20, b-only=10.
+    # po=0.70, a1=60, b1=50, pe=(60*50 + 40*50)/10000=0.50 -> kappa=0.4.
+    from raptor_spark.operators.profile import cohen_kappa
+
+    rows = (
+        [(1, 1)] * 40 + [(0, 0)] * 30 + [(1, 0)] * 20 + [(0, 1)] * 10
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = cohen_kappa(df, "a", "b").collect()[0]
+    assert got["n"] == 100 and got["n_both"] == 40 and got["n_neither"] == 30
+    assert got["n_a_only"] == 20 and got["n_b_only"] == 10
+    assert abs(got["kappa"] - 0.4) < 1e-9
+    assert abs(got["dice_overlap"] - 80 / 110) < 1e-6
