@@ -440,3 +440,30 @@ def test_session3_audit_plans_stay_clean(spark):
     assert p.count("BroadcastHashJoin") >= 2, p[:800]
     p = plan_str(QUERIES["source_divergence"](spark, SF_DIR))
     assert "BroadcastHashJoin" in p, p[:800]
+
+
+def test_session5_6_addition_plans_stay_clean(spark):
+    """Sessions 5-6 additions: zero Python anywhere, no cartesians;
+    more_like_this broadcasts the pruned idf table into the posting join;
+    pareto_parts carries the two-phase shape (a range exchange for the
+    local prune, then a single-partition exact pass); graph_ppr keeps the
+    per-round join + vertex agg shape with no cartesian."""
+    names = (
+        "pareto_parts", "more_like_this", "length_bias_auc",
+        "filter_rule_kappa", "l_diversity", "graph_ppr", "lm_generate",
+        "conversion_survival", "golden_record", "zorder_skipping",
+        "pq_codes", "textrank_keywords",
+    )
+    for name in names:
+        p = plan_str(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in p, name
+        assert "PythonUDF" not in p, name
+        assert "CartesianProduct" not in p, name
+    p = plan_str(QUERIES["more_like_this"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p[:800]
+    p = plan_str(QUERIES["pareto_parts"](spark, SF_DIR))
+    assert "rangepartitioning" in p.lower(), p[:800]
+    # the exact pass runs on the coalesced survivor set — Coalesce(1)
+    # already satisfies the global window's SinglePartition requirement,
+    # so no extra exchange is (or should be) planned
+    assert "Coalesce" in p, p[:800]
