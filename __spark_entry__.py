@@ -3999,6 +3999,23 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style walk corpus over the near-dup graph
+    (graph.deterministic_walks, length 4): one fixed-length walk per
+    vertex, next hop = argmin of an integer LCG key over the neighbors
+    (ties to smaller dst) — the graph-to-training-corpus sampling stage,
+    content-derived determinism instead of rand() so the oracle replays
+    every hop bit-for-bit in BIGINT arithmetic."""
+    from raptor_spark.operators.graph import deterministic_walks
+
+    out = deterministic_walks(_jaccard_edge_set(spark, sf_dir), walk_len=4)
+    return out.select(
+        F.col("walk_id").cast("long").alias("walk_id"),
+        F.col("step").cast("long").alias("step"),
+        F.col("node").cast("long").alias("node"),
+    ).orderBy("walk_id", "step")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "interval_argmax": q_interval_argmax,
@@ -4192,6 +4209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_rule_kappa": q_filter_rule_kappa,
         "l_diversity": q_l_diversity,
         "graph_ppr": q_graph_ppr,
+        "graph_walks": q_graph_walks,
     }
 
 
@@ -8404,6 +8422,32 @@ def oracle_sql() -> dict[str, str]:
                 )''' for i in range(1, 6)
             )}
             SELECT id, round(rank, 6) AS "rank" FROM r5 ORDER BY id
+        """,
+        # Walk replay: identical BIGINT LCG argmin per hop (row_number
+        # ordered by key then dst = min(struct(key, dst)) on the Spark
+        # side); every w{i} is MATERIALIZED (referenced by w{i+1} and the
+        # final union — CLAUDE.md CTE-inlining rule).
+        "graph_walks": f"""
+            WITH {GRAPH_EDGE_CTE.replace("e AS (", "e AS MATERIALIZED (")},
+            w0 AS MATERIALIZED (SELECT DISTINCT s AS walk_id, s AS node FROM e),
+            {", ".join(
+                f'''w{i} AS MATERIALIZED (
+                  SELECT walk_id, node FROM (
+                    SELECT w.walk_id, e.d AS node,
+                           row_number() OVER (PARTITION BY w.walk_id
+                             ORDER BY (1103515245 * e.d + 12345 * {i}
+                                       + 31 * w.walk_id) % 2147483647,
+                                      e.d) AS rn
+                    FROM w{i - 1} w JOIN e ON w.node = e.s
+                  ) WHERE rn = 1
+                )''' for i in range(1, 5)
+            )}
+            SELECT walk_id, CAST(step AS BIGINT) AS step, node FROM (
+              {" UNION ALL ".join(
+                f"SELECT walk_id, {i} AS step, node FROM w{i}"
+                for i in range(0, 5)
+              )}
+            ) ORDER BY walk_id, step
         """,
     }
 

@@ -641,3 +641,52 @@ def local_clustering(edges: DataFrame) -> DataFrame:
         )
     )
     return out
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+) -> DataFrame:
+    """(walk_id, step, node): one fixed-length random walk per vertex over
+    the symmetrized edge list — the DeepWalk/node2vec sampling stage that
+    turns a graph into a training corpus (walks feed a skip-gram embedder
+    exactly like sentences do). Long format: step 0 is the start vertex.
+
+    Determinism contract (CLAUDE.md: content-derived only, no rand()):
+    the next hop is the argmin of an integer LCG key
+    ``(1103515245*dst + 12345*step + 31*walk_id) % 2147483647`` over the
+    current vertex's neighbors, ties to the smaller dst — pure BIGINT
+    arithmetic both engines compute bit-identically (a seeded-rand()
+    chooser would be engine-private; xxhash64 has no DuckDB twin). The
+    walk never dies: on a symmetrized graph every vertex keeps degree
+    >= 1.
+
+    Scale shape: the edge list is repartitioned by src once and
+    persisted; each of the K steps is one equi-join on the current
+    vertex plus a walk-keyed min(struct) aggregate (map-side combined,
+    walk-cardinality shuffle). K is small and fixed — the frontier stays
+    at |V| rows forever, unlike BFS whose frontier grows."""
+    sym = symmetrize(edges)
+    links = sym.repartition("src").persist()
+    cur = links.select(F.col("src").alias("walk_id")).distinct().select(
+        "walk_id", F.col("walk_id").alias("node")
+    )
+    out = cur.select("walk_id", F.lit(0).alias("step"), "node")
+    for step in range(1, walk_len + 1):
+        key = (
+            F.lit(1103515245) * F.col("dst")
+            + F.lit(12345) * F.lit(step)
+            + F.lit(31) * F.col("walk_id")
+        ) % F.lit(2147483647)
+        cur = (
+            cur.join(links, cur["node"] == links["src"])
+            .groupBy("walk_id")
+            .agg(F.min(F.struct(key.alias("k"), F.col("dst"))).alias("m"))
+            .select("walk_id", F.col("m.dst").alias("node"))
+            .localCheckpoint()
+        )
+        out = out.unionByName(
+            cur.select("walk_id", F.lit(step).alias("step"), "node")
+        )
+    links.unpersist()
+    return out

@@ -509,3 +509,55 @@ def test_personalized_pagerank_stays_in_seed_component(spark):
         for r in personalized_pagerank(edges, seeds, n_iter=3).collect()
     }
     assert got == {1, 2}
+
+
+def test_deterministic_walks_are_valid_and_reproducible(spark):
+    from raptor_spark.operators.graph import deterministic_walks, symmetrize
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1)], ["a", "b"]
+    )
+    rows = deterministic_walks(edges, walk_len=3).collect()
+    walks: dict[int, dict[int, int]] = {}
+    for r in rows:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    # one walk per vertex, each with steps 0..3, starting at its vertex
+    assert set(walks) == {1, 2, 3, 4, 5}
+    for wid, path in walks.items():
+        assert sorted(path) == [0, 1, 2, 3]
+        assert path[0] == wid
+    # every hop is a real edge of the symmetrized graph
+    sym = {(r["src"], r["dst"]) for r in symmetrize(edges).collect()}
+    for path in walks.values():
+        for s in range(3):
+            assert (path[s], path[s + 1]) in sym
+    # reproducible: a second run is byte-identical
+    again = deterministic_walks(edges, walk_len=3).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_deterministic_walks_match_python_lcg(spark):
+    # Replay the LCG argmin rule in plain Python on a hand graph.
+    from raptor_spark.operators.graph import deterministic_walks
+
+    edge_list = [(1, 2), (2, 3), (1, 3)]
+    nbrs = {1: [2, 3], 2: [1, 3], 3: [1, 2]}
+    want = {}
+    for start in (1, 2, 3):
+        cur = start
+        want[(start, 0)] = cur
+        for step in (1, 2):
+            cur = min(
+                nbrs[cur],
+                key=lambda d: (
+                    (1103515245 * d + 12345 * step + 31 * start) % 2147483647,
+                    d,
+                ),
+            )
+            want[(start, step)] = cur
+    edges = spark.createDataFrame(edge_list, ["a", "b"])
+    got = {
+        (r["walk_id"], r["step"]): r["node"]
+        for r in deterministic_walks(edges, walk_len=2).collect()
+    }
+    assert got == want

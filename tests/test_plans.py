@@ -450,7 +450,8 @@ def test_session5_6_addition_plans_stay_clean(spark):
     per-round join + vertex agg shape with no cartesian."""
     names = (
         "pareto_parts", "more_like_this", "length_bias_auc",
-        "filter_rule_kappa", "l_diversity", "graph_ppr", "lm_generate",
+        "filter_rule_kappa", "l_diversity", "graph_ppr", "graph_walks",
+        "lm_generate",
         "conversion_survival", "golden_record", "zorder_skipping",
         "pq_codes", "textrank_keywords",
     )
