@@ -430,6 +430,27 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k (similarity.ivfpq_topk — Jégou et al.'s
+    IVFADC): coarse cells route queries to n_probe partitions, residual PQ
+    codes are scored by asymmetric-distance LUT lookups, and the top ADC
+    candidates are exactly re-ranked against raw vectors (rows-only;
+    planted-neighbor recall + determinism gates in
+    tests/test_dedup_similarity.py — the billion-scale ANN layout where raw
+    vectors are too wide to scan, ≙ the reference's Qdrant read path,
+    api_document_search_with_cache.py:157-237)."""
+    from raptor_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("vec")
+    )
+    return ivfpq_topk(corpus, queries, k=5, rerank=20).select(
+        "qid", "id", F.round("cosine", 4).alias("cosine"), "rank"
+    ).orderBy("qid", "rank")
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + token counting (document_summary.py:20-27 estimator)."""
     docs = _t(spark, sf_dir, "documents")
@@ -4039,6 +4060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_exact": q_embedding_near_dup_exact,
         "embedding_ann_topk": q_embedding_ann_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "doc_quality": q_doc_quality,
         "langid": q_langid,
         "doc_fingerprint": q_doc_fingerprint,

@@ -416,6 +416,149 @@ def ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "id",
+    query_id: str = "qid",
+    vec: str = "vec",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    dim: int = 64,
+    kmeans_iters: int = 1,
+    pq_iters: int = 1,
+    rerank: int = 0,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al.'s IVFADC — the standard
+    billion-scale ANN layout): a coarse IVF codebook routes each vector to a
+    Voronoi cell, the RESIDUAL (vector − cell centroid) is product-quantized
+    to ``m_sub`` codes, and a query scores candidates in its ``n_probe``
+    nearest cells by Asymmetric Distance Computation — one table lookup per
+    subspace into a per-(query, cell) LUT of exact query-residual-to-centroid
+    distances — never touching the raw corpus vectors. Returns
+    (qid, id, adc, rank) with rank ascending by approximate squared L2;
+    ``rerank=R`` (R ≥ k) re-scores the top-R ADC candidates per query with
+    exact cosine against the raw vectors and returns (qid, id, cosine, rank).
+
+    The composition of this module's two halves (ivf_topk's partition
+    pruning + pq_quantize's codebook compression), ≙ the reference's Qdrant
+    ANN read path (api_document_search_with_cache.py:157-237) at the scale
+    where raw-vector scans stop being affordable.
+
+    Scale shape: the codes table is m_sub small ints + a cell id per vector
+    (bytes, not dim floats) and at scale is written PARTITIONED BY cell
+    (ivf_write_index's pattern) so a probe is a partition-pruned scan of
+    n_probe/n_cells of it; LUTs are built with ONE literal-codebook
+    expression on the (tiny, broadcast) probe side — k_codes × m_sub floats
+    per probe row; scoring is map-side zip_with lookups on the cell
+    equi-join; the only corpus-wide shuffles are codebook training
+    ((cell, pos) means — sub_dim-wide rows) and the final ≤ |probes|·|cell|
+    candidate window. Raw vectors are joined back only for the ≤ R·|queries|
+    re-rank survivors. Everything is deterministic: lowest-hash IVF seeds,
+    lowest-id PQ seeds, fixed Lloyd rounds."""
+    sub_len = dim // m_sub
+    assert sub_len * m_sub == dim, "dim must divide evenly into m_sub subspaces"
+    cents = ivf_centroids(corpus, n_cells, corpus_id, vec, kmeans_iters)
+    # literal centroid matrix indexed by cell id (+1 for element_at)
+    cmat = F.array(
+        *[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in cents]
+    )
+    vecd = F.col(vec).cast("array<double>")
+    resid = corpus.select(
+        F.col(corpus_id).alias("id"),
+        _nearest_cells(F.col(vec), cents, 1)[0].alias("cell"),
+        vecd.alias("v_raw"),
+    ).select(
+        "id",
+        "cell",
+        "v_raw",
+        F.zip_with(
+            "v_raw", F.element_at(cmat, F.col("cell") + 1), lambda x, c: x - c
+        ).alias("res"),
+    )
+    resid = resid.persist()  # m_sub training passes + coding read it
+    books: list[list[tuple[int, list[float]]]] = []
+    for m in range(m_sub):
+        df_m = resid.select(
+            "id", F.slice("res", m * sub_len + 1, sub_len).alias("v")
+        )
+        books.append(_l2_centroids(df_m, k_codes, pq_iters))
+    code_cols = []
+    for m, book in enumerate(books):
+        sub = F.slice("res", m * sub_len + 1, sub_len)
+        code_cols.append(_l2_scored_codes(sub, book)[0]["cid"])
+    coded = resid.select("id", "cell", F.array(*code_cols).alias("codes"))
+
+    # probe side: n_probe cells per query, per-(qid, cell) residual LUTs
+    bmats = [
+        F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in book])
+        for book in books
+    ]
+    qvecd = F.col(vec).cast("array<double>")
+    probes = queries.select(
+        F.col(query_id).alias("qid"),
+        qvecd.alias("qv"),
+        F.explode(_nearest_cells(F.col(vec), cents, n_probe)).alias("cell"),
+    ).select(
+        "qid",
+        "cell",
+        "qv",
+        F.zip_with(
+            "qv", F.element_at(cmat, F.col("cell") + 1), lambda x, c: x - c
+        ).alias("qres"),
+    )
+    def _lut_over(bmat, qsub):
+        # one-arg closure: a default-arg lambda would become Spark's
+        # (element, index) two-arg form and shadow qsub with the index
+        return F.transform(
+            bmat,
+            lambda c: F.aggregate(
+                F.zip_with(qsub, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+
+    luts = [
+        _lut_over(bmat, F.slice("qres", m * sub_len + 1, sub_len))
+        for m, bmat in enumerate(bmats)
+    ]
+    probes = probes.select("qid", "cell", F.array(*luts).alias("lut"))
+
+    scored = coded.join(F.broadcast(probes), "cell").select(
+        "qid",
+        "id",
+        F.aggregate(
+            F.zip_with(
+                "codes", "lut", lambda c, row: F.element_at(row, c + 1)
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ).alias("adc"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("id"))
+    topped = scored.withColumn("rank", F.row_number().over(w))
+    if not rerank:
+        return topped.filter(F.col("rank") <= k)
+    cand = topped.filter(F.col("rank") <= max(rerank, k)).select("qid", "id")
+    raw = resid.select("id", "v_raw")
+    qraw = F.broadcast(
+        queries.select(F.col(query_id).alias("qid"), qvecd.alias("qv"))
+    )
+    exact = (
+        cand.join(raw, "id")
+        .join(qraw, "qid")
+        .select("qid", "id", cosine_col(F.col("v_raw"), F.col("qv")).alias("cosine"))
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return exact.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
+
+
 def semdedup_prune(
     corpus: DataFrame,
     n_cells: int,

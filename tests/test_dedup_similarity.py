@@ -371,6 +371,40 @@ def test_ann_topk_finds_planted_neighbors(spark, emb):
     assert bad == 0
 
 
+def test_ivfpq_topk_recall_rerank_and_partition_invariance(spark, emb):
+    """IVF-PQ ADC (similarity.ivfpq_topk) must rank each perturbed query's
+    planted source vector in its top-k: 10/10 with the exact re-rank pass
+    (rerank=20 candidates), ≥8/10 on raw asymmetric-distance ranks alone
+    (16 coarse cells / 4-probe / 4×16 residual codebooks quantize lossily
+    by design). ADC distances are squared-L2 lookups, so non-negative; the
+    whole operator is content-seeded + fixed-round, so the output must be
+    byte-identical under a different input partitioning."""
+    from raptor_spark.operators.similarity import ivfpq_topk
+
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.transform(
+            "embedding", lambda x, i: x + 0.05 * F.sin(F.col("vec_id") * 7 + i)
+        ).alias("vec"),
+    )
+    rer = ivfpq_topk(corpus, queries, k=5, rerank=20).collect()
+    got = {(r.qid, r.id) for r in rer}
+    assert len(rer) == 50
+    assert all((q, q) in got for q in range(10)), sorted(got)
+
+    adc_rows = ivfpq_topk(corpus, queries, k=5).collect()
+    adc_got = {(r.qid, r.id) for r in adc_rows}
+    found = sum(1 for q in range(10) if (q, q) in adc_got)
+    assert found >= 8, f"ADC ranks surfaced the planted source for {found}/10"
+    assert all(r.adc >= 0.0 for r in adc_rows)
+
+    again = ivfpq_topk(corpus.repartition(13), queries, k=5).collect()
+    assert {(r.qid, r.id, r.rank, round(r.adc, 9)) for r in again} == {
+        (r.qid, r.id, r.rank, round(r.adc, 9)) for r in adc_rows
+    }
+
+
 def test_component_census_surfaces_over_merge(spark):
     """A crafted over-merged component (one cluster swallowing 30 ids) must
     show up as its own census row with inspectable sample members, next to
