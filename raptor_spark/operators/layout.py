@@ -92,6 +92,48 @@ def layout_buckets(
     )
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    path: str,
+    n_buckets: int,
+    keys: list[str],
+    sort_keys: list[str] | None = None,
+) -> DataFrame:
+    """Persist ``df`` as a hash-BUCKETED (and per-bucket sorted) parquet
+    table registered in the session catalog, and return the re-read frame.
+
+    Why it exists: two tables bucketed by the same key with the same bucket
+    count join WITHOUT either side shuffling — the scan's output
+    partitioning already satisfies the join's distribution requirement —
+    and a groupBy on the bucket key aggregates exchange-free too
+    (tests/test_plans.py pins both: zero Exchange operators in the physical
+    plan). At 100 TB this is the difference between re-shuffling the big
+    fact table on EVERY join of a recurring pipeline and paying the
+    layout's single shuffle once at write time — the co-located-join twin
+    of ivf_write_index's partition pruning. ≙ the reference's per-collection
+    payload-index layout (qdrant_search_docker/indexer/payload_index.py),
+    generalized to any equi-join key.
+
+    The frame is repartitioned onto the bucket key with exactly
+    ``n_buckets`` partitions first: Spark's repartition hash and its bucket
+    hash are the same Murmur3-pmod, so each task owns exactly one bucket
+    and each bucket lands in ONE file — the layout under which readers can
+    also trust the per-bucket ``sort_keys`` order."""
+    spark = df.sparkSession
+    w = (
+        df.repartition(n_buckets, *[F.col(k) for k in keys])
+        .write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, *keys)
+    )
+    if sort_keys:
+        w = w.sortBy(*sort_keys)
+    w.saveAsTable(name)
+    return spark.table(name)
+
+
 def skipping_audit(
     bucketed: DataFrame,
     layout_name: str,

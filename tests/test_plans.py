@@ -468,3 +468,48 @@ def test_session5_6_addition_plans_stay_clean(spark):
     # already satisfies the global window's SinglePartition requirement,
     # so no extra exchange is (or should be) planned
     assert "Coalesce" in p, p[:800]
+
+
+def test_bucketed_tables_join_and_aggregate_without_exchange(spark, tmp_path_factory):
+    """write_bucketed_table's whole point, pinned at the plan level: two
+    tables bucketed by the same key/count sort-merge-join with ZERO Exchange
+    operators (each scan's output partitioning already satisfies the join),
+    and a groupBy on the bucket key aggregates exchange-free too. Broadcast
+    is disabled so the test exercises the big×big path the layout exists
+    for; each bucket must land in exactly one file (the repartition-aligned
+    write) so readers may also trust per-bucket sort order."""
+    import os
+
+    from raptor_spark.operators.layout import write_bucketed_table
+
+    root = tmp_path_factory.mktemp("bucketed")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    a = write_bucketed_table(
+        orders.select("o_custkey", "o_totalprice"),
+        "bk_orders_t", str(root / "a"), 8, ["o_custkey"], ["o_custkey"],
+    )
+    b = write_bucketed_table(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_name"),
+        "bk_cust_t", str(root / "b"), 8, ["o_custkey"], ["o_custkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(b, "o_custkey")
+        p = plan_str(j)
+        assert "Exchange" not in p, p[:1200]
+        assert "SortMergeJoin" in p, p[:1200]
+        agg = a.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+        pa = plan_str(agg)
+        assert "Exchange" not in pa, pa[:1200]
+        # correctness didn't move: same counts as the unbucketed join
+        assert j.count() == orders.join(
+            cust, orders.o_custkey == cust.c_custkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_orders_t")
+        spark.sql("DROP TABLE IF EXISTS bk_cust_t")
+    files = [f for f in os.listdir(root / "a") if f.endswith(".parquet")]
+    assert len(files) == 8, files
