@@ -1071,6 +1071,23 @@ def q_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the near-dup graph
+    (operators/graph.adamic_adar): for every non-adjacent pair with a
+    common neighbor, Σ 1/ln(degree) over the common neighbors — the
+    entity-linking review queue (which nodes the linker should merge
+    next), wedge-join shaped, never all-pairs."""
+    from raptor_spark.operators.graph import adamic_adar
+
+    out = adamic_adar(_jaccard_edge_set(spark, sf_dir))
+    return out.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "common_neighbors",
+        F.round("aa_score", 4).alias("aa_score"),
+    ).orderBy("a", "b")
+
+
 def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental connected components: label the doc_id < 100 near-dup
     subgraph first, then fold in the edges that touch the 100-149 range via
@@ -4095,6 +4112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "graph_triangles": q_graph_triangles,
         "graph_two_hop": q_graph_two_hop,
+        "graph_adamic_adar": q_graph_adamic_adar,
         "incremental_clusters": q_incremental_clusters,
         "event_funnel": q_event_funnel,
         "stratified_split": q_stratified_split,
@@ -5508,6 +5526,34 @@ def oracle_sql() -> dict[str, str]:
               )
             )
             SELECT id, count(*) AS n_two_hop FROM fof GROUP BY id ORDER BY id
+        """,
+        "graph_adamic_adar": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
+              FROM documents WHERE doc_id < 150
+            ), p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM w a JOIN w b ON a.doc_id < b.doc_id
+              WHERE len(list_filter(a.ws, x -> list_contains(b.ws, x))) * 1.0 /
+                    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
+            ), e AS (
+              SELECT a AS s, b AS d FROM p UNION SELECT b AS s, a AS d FROM p
+            ), deg AS (
+              SELECT s AS z, count(*) AS degree FROM e GROUP BY s
+            ), wd AS (
+              SELECT e.s AS z, e.d AS x, CAST(1 AS DOUBLE) / ln(deg.degree) AS w
+              FROM e JOIN deg ON e.s = deg.z
+            ), pr AS (
+              SELECT l.x AS a, r.x AS b,
+                     count(*) AS common_neighbors,
+                     round(sum(l.w), 4) AS aa_score
+              FROM wd l JOIN wd r ON l.z = r.z AND l.x < r.x
+              GROUP BY l.x, r.x
+            )
+            SELECT a, b, common_neighbors, aa_score FROM pr
+            WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = pr.a AND e.d = pr.b)
+            ORDER BY a, b
         """,
         "incremental_clusters": r"""
             WITH RECURSIVE w AS (

@@ -373,6 +373,53 @@ def two_hop_counts(edges: DataFrame) -> DataFrame:
     return out
 
 
+def adamic_adar(
+    edges: DataFrame,
+    max_hub_degree: int | None = None,
+) -> DataFrame:
+    """(a, b, common_neighbors, aa_score): link prediction over the
+    undirected graph — for every NON-adjacent pair with at least one common
+    neighbor, the Adamic-Adar index Σ_z 1/ln(degree(z)) over the common
+    neighbors z (Adamic & Adar 2003). The canonical "which entities are
+    probably the same / should be linked next" score for a KG under
+    construction: high-AA non-edges are the linker's review queue.
+    Every common neighbor has degree ≥ 2 by construction, so ln(degree) is
+    never zero.
+
+    Scale shape: candidate pairs come from ONE self-equi-join of the
+    adjacency list on the wedge center z — never an all-pairs product —
+    then one groupBy on the pair and an anti-join back to the edge set.
+    Cost is Σ_z degree(z)², the standard wedge bound; ``max_hub_degree``
+    drops super-hub centers (a hub's 1/ln(d) weight is near-zero while its
+    d² wedge fan-out dominates the job — the same head-symbol guard as
+    SURVEY.md §7.4), making the bound Σ min(d, cap)² at a quantified,
+    documented recall cost. AQE skew-join splits any remaining hot z."""
+    sym = symmetrize(edges).persist()
+    deg = sym.groupBy(F.col("src").alias("z")).agg(F.count("*").alias("degree"))
+    if max_hub_degree is not None:
+        deg = deg.filter(F.col("degree") <= max_hub_degree)
+    nbr = sym.select(F.col("src").alias("z"), F.col("dst").alias("x"))
+    wedges = (
+        nbr.join(deg, "z")
+        .select("z", "x", (F.lit(1.0) / F.log("degree")).alias("w"))
+    )
+    l, r = wedges.alias("l"), wedges.alias("r")
+    pairs = (
+        l.join(r, "z")
+        .filter(F.col("l.x") < F.col("r.x"))
+        .groupBy(F.col("l.x").alias("a"), F.col("r.x").alias("b"))
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum(F.col("l.w")).alias("aa_score"),
+        )
+    )
+    return pairs.join(
+        sym.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+
+
 def label_propagation(edges: DataFrame, n_iter: int = 5) -> DataFrame:
     """(id, community): fixed-iteration SYNCHRONOUS label propagation over
     the symmetrized edge list — community detection for the canonicalized

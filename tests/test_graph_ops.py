@@ -561,3 +561,43 @@ def test_deterministic_walks_match_python_lcg(spark):
         for r in deterministic_walks(edges, walk_len=2).collect()
     }
     assert got == want
+
+
+def test_adamic_adar_known_graph_and_hub_cap(spark):
+    """Square 1-2-3-4-1: the two diagonals (1,3) and (2,4) are the only
+    non-adjacent pairs, each with both square corners as common neighbors
+    (degree 2) → aa = 2/ln(2). Adding hub 9 connected to everything makes
+    every node's pairs adjacent to it — with max_hub_degree=3 the hub is
+    excluded as a wedge CENTER (its 1/ln(8) wedges vanish) but scores are
+    otherwise unchanged."""
+    import math
+
+    from raptor_spark.operators.graph import adamic_adar
+
+    square = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    out = {
+        (r.a, r.b): (r.common_neighbors, r.aa_score)
+        for r in adamic_adar(spark.createDataFrame(square, ["a", "b"])).collect()
+    }
+    want = 2.0 / math.log(2.0)
+    assert set(out) == {(1, 3), (2, 4)}
+    assert out[(1, 3)][0] == 2 and abs(out[(1, 3)][1] - want) < 1e-9
+    assert out[(2, 4)][0] == 2 and abs(out[(2, 4)][1] - want) < 1e-9
+
+    hubbed = square + [(9, n) for n in (1, 2, 3, 4, 5, 6, 7, 8)]
+    full = {
+        (r.a, r.b): r.common_neighbors
+        for r in adamic_adar(spark.createDataFrame(hubbed, ["a", "b"])).collect()
+    }
+    # hub wedges now connect e.g. (5, 6): common neighbor 9 only
+    assert full[(5, 6)] == 1
+    capped = {
+        (r.a, r.b): (r.common_neighbors, r.aa_score)
+        for r in adamic_adar(
+            spark.createDataFrame(hubbed, ["a", "b"]), max_hub_degree=3
+        ).collect()
+    }
+    # hub-centered wedges are gone; square-corner wedges survive with
+    # degree now 3 (each corner gained the hub edge)
+    assert (5, 6) not in capped
+    assert abs(capped[(1, 3)][1] - 2.0 / math.log(3.0)) < 1e-9
