@@ -1071,6 +1071,19 @@ def q_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_graph_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological wave numbers of the low-id→high-id oriented near-dup DAG
+    (operators/graph.dag_layers): longest-path depth per vertex after 10
+    synchronous relaxation rounds — the dependency-depth audit a KG import
+    scheduler batches by (same fixed-round contract as graph_sssp; the
+    oracle unrolls the identical rounds as materialized CTEs)."""
+    from raptor_spark.operators.graph import dag_layers
+
+    return dag_layers(_jaccard_edge_set(spark, sf_dir), n_rounds=10).select(
+        F.col("id").cast("long").alias("id"), "layer"
+    ).orderBy("id")
+
+
 def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar link prediction over the near-dup graph
     (operators/graph.adamic_adar): for every non-adjacent pair with a
@@ -4113,6 +4126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_two_hop": q_graph_two_hop,
         "graph_adamic_adar": q_graph_adamic_adar,
+        "graph_dag_layers": q_graph_dag_layers,
         "incremental_clusters": q_incremental_clusters,
         "event_funnel": q_event_funnel,
         "stratified_split": q_stratified_split,
@@ -5752,6 +5766,22 @@ def oracle_sql() -> dict[str, str]:
                 )''' for i in range(1, 11)
             )}
             SELECT id, round(dist, 6) AS dist FROM d10 ORDER BY id
+        """,
+        "graph_dag_layers": f"""
+            WITH {_GRAPH_PAIR_CTE.replace("p AS (", "p AS MATERIALIZED (")},
+            v AS MATERIALIZED (SELECT a AS id FROM p UNION SELECT b FROM p),
+            l0 AS MATERIALIZED (SELECT id, 0 AS layer FROM v),
+            {", ".join(
+                f'''l{i} AS MATERIALIZED (
+                  SELECT id, max(layer) AS layer FROM (
+                    SELECT id, layer FROM l{i - 1}
+                    UNION ALL
+                    SELECT p.b AS id, x.layer + 1 AS layer
+                    FROM l{i - 1} x JOIN p ON x.id = p.a
+                  ) GROUP BY id
+                )''' for i in range(1, 11)
+            )}
+            SELECT id, layer FROM l10 ORDER BY id
         """,
         "graph_hits": f"""
             WITH {_GRAPH_PAIR_CTE.replace("p AS (", "p AS MATERIALIZED (")},

@@ -569,6 +569,44 @@ def sssp(
     return dist
 
 
+def dag_layers(edges: DataFrame, n_rounds: int = 10) -> DataFrame:
+    """(id, layer): longest-path depth of every vertex in a DAG after
+    ``n_rounds`` of synchronous relaxation — layer 0 = no incoming edge,
+    layer k = 1 + max over in-neighbors. Takes (a, b) edges ORIENTED a → b
+    (any orientation that cannot cycle, e.g. low-id → high-id); exact for
+    DAGs of depth ≤ n_rounds, capped-at-n_rounds otherwise (fixed-round
+    semantics, like sssp — the oracle unrolls the same rounds). This is the
+    topological WAVE number: vertices in the same layer have no path
+    between them, so a build/ingest scheduler can process each layer as one
+    parallel batch — the dependency-depth audit of a KG import DAG.
+
+    Scale shape per round: one equi-join of the vertex-sized (id, layer)
+    table against the persisted edge list + one max-groupBy with map-side
+    combine; layers are small ints, never wide payloads. localCheckpoint
+    caps the growing lineage exactly as pagerank/sssp do."""
+    e = edges.filter(F.col("a") != F.col("b")).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).distinct().repartition("src").persist()
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    layer = verts.withColumn("layer", F.lit(0))
+    for _ in range(n_rounds):
+        cand = layer.join(e, layer["id"] == e["src"]).select(
+            F.col("dst").alias("id"), (F.col("layer") + F.lit(1)).alias("layer")
+        )
+        layer = (
+            layer.unionByName(cand)
+            .groupBy("id")
+            .agg(F.max("layer").alias("layer"))
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return layer
+
+
 def cooccurrence_edges(
     df: DataFrame,
     id_col: str,

@@ -601,3 +601,28 @@ def test_adamic_adar_known_graph_and_hub_cap(spark):
     # degree now 3 (each corner gained the hub edge)
     assert (5, 6) not in capped
     assert abs(capped[(1, 3)][1] - 2.0 / math.log(3.0)) < 1e-9
+
+
+def test_dag_layers_depth_and_fixed_round_cap(spark):
+    """Diamond DAG 1→{2,3}→4 plus the shortcut 1→4: longest path wins
+    (layer(4)=2); an isolated edge starts its own layer-0 source. Fixed-
+    round contract: a 5-chain relaxed for only 2 rounds caps at layer 2
+    (each round extends paths by one edge), exactly what the unrolled
+    oracle computes."""
+    from raptor_spark.operators.graph import dag_layers
+
+    dag = [(1, 2), (1, 3), (2, 4), (3, 4), (1, 4), (7, 8)]
+    got = {
+        r.id: r.layer
+        for r in dag_layers(spark.createDataFrame(dag, ["a", "b"])).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 7: 0, 8: 1}
+
+    chain = [(i, i + 1) for i in range(1, 5)]
+    capped = {
+        r.id: r.layer
+        for r in dag_layers(
+            spark.createDataFrame(chain, ["a", "b"]), n_rounds=2
+        ).collect()
+    }
+    assert capped == {1: 0, 2: 1, 3: 2, 4: 2, 5: 2}
