@@ -513,3 +513,20 @@ def test_bucketed_tables_join_and_aggregate_without_exchange(spark, tmp_path_fac
         spark.sql("DROP TABLE IF EXISTS bk_cust_t")
     files = [f for f in os.listdir(root / "a") if f.endswith(".parquet")]
     assert len(files) == 8, files
+
+
+def test_session7_addition_plans_stay_clean(spark):
+    """Session-7 additions: zero Python, no cartesians anywhere; ivfpq_topk
+    broadcasts the probe side into the cell equi-join (candidates never
+    all-pairs); adamic_adar is wedge-join shaped (equi-join on the wedge
+    center + a LeftAnti back to the edge set)."""
+    names = ("ivfpq_topk", "graph_adamic_adar", "graph_dag_layers")
+    for name in names:
+        p = plan_str(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in p, name
+        assert "PythonUDF" not in p, name
+        assert "CartesianProduct" not in p, name
+    p = plan_str(QUERIES["ivfpq_topk"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p[:800]
+    p = plan_str(QUERIES["graph_adamic_adar"](spark, SF_DIR))
+    assert "LeftAnti" in p, p[:800]
