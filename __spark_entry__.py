@@ -1071,6 +1071,19 @@ def q_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-dup graph
+    (operators/graph.assortativity): Pearson correlation of edge-endpoint
+    degrees via exact-integer sums — negative r flags hub-and-spoke
+    over-linking."""
+    from raptor_spark.operators.graph import assortativity
+
+    out = assortativity(_jaccard_edge_set(spark, sf_dir))
+    return out.select(
+        "n_edges", (F.round("r", 6) + F.lit(0.0)).alias("r")
+    )
+
+
 def q_graph_dag_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topological wave numbers of the low-id→high-id oriented near-dup DAG
     (operators/graph.dag_layers): longest-path depth per vertex after 10
@@ -4127,6 +4140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_two_hop": q_graph_two_hop,
         "graph_adamic_adar": q_graph_adamic_adar,
         "graph_dag_layers": q_graph_dag_layers,
+        "graph_assortativity": q_graph_assortativity,
         "incremental_clusters": q_incremental_clusters,
         "event_funnel": q_event_funnel,
         "stratified_split": q_stratified_split,
@@ -4270,6 +4284,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect, same aliases, same rounding)
 # ---------------------------------------------------------------------------
+
+def _ann_bucket_sql(src: str, id_expr: str, n_planes: int = 6,
+                    n_families: int = 4, dim: int = 64) -> str:
+    """UNION ALL of one SELECT per LSH family computing the same sign-bit
+    bucket string as similarity.lsh_bucket_col: the pseudo-random planes are
+    inlined as 17-significant-digit e-notation literals (exact double
+    round-trip), and each dot product is a list_reduce left fold — the same
+    association order as Spark's aggregate(zip_with(...)), so the sign
+    decisions replay bit-for-bit."""
+    from raptor_spark.operators.similarity import _pseudo_plane
+
+    selects = []
+    for fam in range(n_families):
+        bits = []
+        for i in range(n_planes):
+            plane = _pseudo_plane(i + 1000 * fam, dim)
+            lits = ", ".join(f"{x:.17e}" for x in plane)
+            dot = (
+                f"list_reduce(list_transform(list_zip(v, [{lits}]::DOUBLE[]),"
+                f" s -> s[1] * s[2]), (a, b) -> a + b)"
+            )
+            bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+        selects.append(
+            f"SELECT {id_expr}, {fam} AS fam, concat({', '.join(bits)}) AS bucket"
+            f" FROM {src}"
+        )
+    return " UNION ALL ".join(selects)
+
 
 def oracle_sql() -> dict[str, str]:
     seg = f"{SEG_LEN}"
@@ -4896,6 +4938,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid, id, round(cos, 4) AS cosine
             FROM r WHERE rk <= 5 AND qid != id
             ORDER BY qid, cos DESC, id
+        """,
+        "embedding_ann_topk": f"""
+            WITH c AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE vec_id < 5),
+            cb AS ({_ann_bucket_sql('c', 'id')}),
+            qb AS ({_ann_bucket_sql('q', 'id AS qid')}),
+            cand AS (
+              SELECT DISTINCT qb.qid, cb.id
+              FROM cb JOIN qb ON cb.fam = qb.fam AND cb.bucket = qb.bucket
+            ), s AS (
+              SELECT cand.qid, cand.id,
+                     list_cosine_similarity(e.embedding, qq.embedding) AS cos
+              FROM cand
+              JOIN embeddings e ON cand.id = e.vec_id
+              JOIN embeddings qq ON cand.qid = qq.vec_id
+            ), r AS (
+              SELECT qid, id, cos,
+                     row_number() OVER (
+                       PARTITION BY qid ORDER BY cos DESC, id ASC) AS rk
+              FROM s
+            )
+            SELECT qid, id, round(cos, 4) AS cosine, CAST(rk AS INT) AS rank
+            FROM r WHERE rk <= 5 ORDER BY qid, rank
         """,
         "embedding_near_dup_exact": """
             SELECT a.vec_id AS a, b.vec_id AS b,
@@ -5766,6 +5832,31 @@ def oracle_sql() -> dict[str, str]:
                 )''' for i in range(1, 11)
             )}
             SELECT id, round(dist, 6) AS dist FROM d10 ORDER BY id
+        """,
+        "graph_assortativity": f"""
+            WITH {GRAPH_EDGE_CTE},
+            deg AS (SELECT s AS id, count(*) AS d FROM e GROUP BY s),
+            ends AS (
+              SELECT dx.d AS dx, dy.d AS dy
+              FROM e JOIN deg dx ON e.s = dx.id JOIN deg dy ON e.d = dy.id
+            ), a AS (
+              SELECT CAST(count(*) AS BIGINT) AS m,
+                     CAST(sum(dx) AS BIGINT) AS sx,
+                     CAST(sum(dy) AS BIGINT) AS sy,
+                     CAST(sum(dx * dx) AS BIGINT) AS sxx,
+                     CAST(sum(dy * dy) AS BIGINT) AS syy,
+                     CAST(sum(dx * dy) AS BIGINT) AS sxy
+              FROM ends
+            )
+            SELECT m AS n_edges,
+                   CASE WHEN (m * sxx - sx * sx) > 0 AND (m * syy - sy * sy) > 0
+                        THEN round(
+                          CAST(m * sxy - sx * sy AS DOUBLE) /
+                          (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+                           sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6)
+                          + CAST(0 AS DOUBLE)
+                        ELSE NULL END AS r
+            FROM a
         """,
         "graph_dag_layers": f"""
             WITH {_GRAPH_PAIR_CTE.replace("p AS (", "p AS MATERIALIZED (")},

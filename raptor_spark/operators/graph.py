@@ -569,6 +569,49 @@ def sssp(
     return dist
 
 
+def assortativity(edges: DataFrame) -> DataFrame:
+    """One row (n_edges, r): degree assortativity — the Pearson correlation
+    between the endpoint degrees of every directed edge of the symmetrized
+    graph (Newman 2002). r > 0 = hubs attach to hubs (celebrity cores,
+    template families), r < 0 = hub-and-spoke mixing; for an entity graph
+    under construction a strongly negative r is the signature of head-alias
+    over-linking (every node glued to one hub).
+
+    Cross-engine exactness: every sum (Σdx, Σdx², Σdxdy, m) is INTEGER —
+    degrees are counts — so both engines reach the final division with
+    bit-identical operands (CLAUDE.md's integer-decision rule); the single
+    double division + IEEE sqrt then round identically. The variance terms
+    are cast to double BEFORE the product (two ~1e10 int64s would overflow
+    multiplied as integers). r is NULL for degree-regular graphs (zero
+    variance).
+
+    Scale shape: one degree groupBy + two vertex-keyed equi-joins to tag
+    edge endpoints, then a single global aggregate — no all-pairs anywhere."""
+    sym = symmetrize(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    ends = (
+        sym.join(deg.select(F.col("id").alias("src"), F.col("d").alias("dx")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("dy")), "dst")
+    )
+    a = ends.agg(
+        F.count("*").alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return a.select(
+        F.col("m").alias("n_edges"),
+        F.when(
+            (vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy))
+        ).alias("r"),
+    )
+
+
 def dag_layers(edges: DataFrame, n_rounds: int = 10) -> DataFrame:
     """(id, layer): longest-path depth of every vertex in a DAG after
     ``n_rounds`` of synchronous relaxation — layer 0 = no incoming edge,

@@ -626,3 +626,42 @@ def test_dag_layers_depth_and_fixed_round_cap(spark):
         ).collect()
     }
     assert capped == {1: 0, 2: 1, 3: 2, 4: 2, 5: 2}
+
+
+def test_assortativity_star_and_python_pearson(spark):
+    """A star is perfectly disassortative (every edge joins the hub's
+    degree to a leaf's degree → r = −1); a mixed graph must match a plain
+    Python Pearson over the same directed endpoint-degree pairs."""
+    from raptor_spark.operators.graph import assortativity
+
+    star = [(1, 2), (1, 3), (1, 4)]
+    row = assortativity(spark.createDataFrame(star, ["a", "b"])).collect()[0]
+    assert row.n_edges == 6
+    assert abs(row.r - (-1.0)) < 1e-12
+
+    mixed = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1)]
+    deg: dict[int, int] = {}
+    sym = set()
+    for a, b in mixed:
+        sym.add((a, b))
+        sym.add((b, a))
+    for s, _ in sym:
+        deg[s] = deg.get(s, 0) + 1
+    xs = [deg[s] for s, d in sorted(sym)]
+    ys = [deg[d] for s, d in sorted(sym)]
+    m = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    want = (m * sxy - sx * sy) / (
+        ((m * sxx - sx * sx) ** 0.5) * ((m * syy - sy * sy) ** 0.5)
+    )
+    row = assortativity(spark.createDataFrame(mixed, ["a", "b"])).collect()[0]
+    assert row.n_edges == m
+    assert abs(row.r - want) < 1e-12
+
+    # degree-regular graph (a 4-cycle): zero variance → NULL r
+    cyc = [(1, 2), (2, 3), (3, 4), (4, 1)]
+    row = assortativity(spark.createDataFrame(cyc, ["a", "b"])).collect()[0]
+    assert row.r is None
