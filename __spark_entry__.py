@@ -1071,6 +1071,19 @@ def q_graph_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_term_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context mention rows for two watched terms over the
+    bounded doc range (operators/text.term_contexts — the batched
+    mention-detection face of the reference's per-object concept tagging,
+    content_understanding_service)."""
+    from raptor_spark.operators.text import term_contexts
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return term_contexts(docs, "doc_id", "text", ["spark", "join"], window=3).select(
+        F.col("id").cast("long").alias("id"), "pos", "left_ctx", "term", "right_ctx"
+    ).orderBy("id", "pos")
+
+
 def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the near-dup graph
     (operators/graph.assortativity): Pearson correlation of edge-endpoint
@@ -4141,6 +4154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_adamic_adar": q_graph_adamic_adar,
         "graph_dag_layers": q_graph_dag_layers,
         "graph_assortativity": q_graph_assortativity,
+        "term_contexts": q_term_contexts,
         "incremental_clusters": q_incremental_clusters,
         "event_funnel": q_event_funnel,
         "stratified_split": q_stratified_split,
@@ -5832,6 +5846,27 @@ def oracle_sql() -> dict[str, str]:
                 )''' for i in range(1, 11)
             )}
             SELECT id, round(dist, 6) AS dist FROM d10 ORDER BY id
+        """,
+        "term_contexts": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x != '') AS ws
+              FROM documents WHERE doc_id < 50
+            ), e AS (
+              SELECT doc_id, ws, unnest(ws) AS term,
+                     generate_subscripts(ws, 1) AS i
+              FROM t
+            )
+            SELECT doc_id AS id, i AS pos,
+                   coalesce(array_to_string(
+                     list_slice(ws, greatest(1, i - 3), i - 1), ' '), '')
+                     AS left_ctx,
+                   term,
+                   coalesce(array_to_string(
+                     list_slice(ws, i + 1, i + 3), ' '), '') AS right_ctx
+            FROM e WHERE term IN ('spark', 'join')
+            ORDER BY id, pos
         """,
         "graph_assortativity": f"""
             WITH {GRAPH_EDGE_CTE},

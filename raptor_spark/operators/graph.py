@@ -399,9 +399,18 @@ def adamic_adar(
     if max_hub_degree is not None:
         deg = deg.filter(F.col("degree") <= max_hub_degree)
     nbr = sym.select(F.col("src").alias("z"), F.col("dst").alias("x"))
+    # degree-1 centers can't form a pair (their only wedge is (x, x), which
+    # the l.x < r.x filter drops) but their 1/ln(1) row STILL EVALUATES in
+    # this projection under ANSI mode — guard the division, not the output
     wedges = (
         nbr.join(deg, "z")
-        .select("z", "x", (F.lit(1.0) / F.log("degree")).alias("w"))
+        .select(
+            "z",
+            "x",
+            F.when(
+                F.col("degree") >= 2, F.lit(1.0) / F.log("degree")
+            ).alias("w"),
+        )
     )
     l, r = wedges.alias("l"), wedges.alias("r")
     pairs = (

@@ -227,6 +227,40 @@ def sliding_chunks(
     )
 
 
+def term_contexts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    window: int = 3,
+) -> DataFrame:
+    """(id, pos, left_ctx, term, right_ctx): keyword-in-context concordance
+    — one row per mention of a watched term, with the ``window`` words on
+    each side as the evidence a reviewer (or a downstream tagger) reads.
+    The mention-detection face of the reference's per-object concept
+    tagging (content_understanding_service), batched: the term list is a
+    tiny literal IN-filter, so Catalyst folds it into the scan side.
+
+    Scale shape: one posexplode of the word array (the corpus's token
+    count — the same explode every postings/TF-IDF op pays), the IN filter
+    prunes before anything wide survives, and the context slices are
+    per-row array ops; no join, no shuffle beyond the explode."""
+    base = df.select(
+        F.col(id_col).alias("id"), words_col(F.col(text_col)).alias("ws")
+    )
+    ex = base.select("id", "ws", F.posexplode("ws").alias("p", "term"))
+    hit = ex.filter(F.col("term").isin(list(terms)))
+    i = F.col("p") + 1  # 1-based word index
+    start = F.greatest(F.lit(1), i - window)
+    return hit.select(
+        "id",
+        i.cast("long").alias("pos"),
+        F.array_join(F.slice("ws", start, i - start), " ").alias("left_ctx"),
+        "term",
+        F.array_join(F.slice("ws", i + 1, F.lit(window)), " ").alias("right_ctx"),
+    )
+
+
 def clean_cell_col(text: Column) -> Column:
     """Cell text cleaning (office_processor.py:382-389): collapse whitespace,
     escape pipe — pure regexp_replace chain."""

@@ -1210,3 +1210,26 @@ def test_zorder_beats_linear_on_box_predicate(spark):
     # zone-map scan is sound: it reads at least every matching row
     assert b["rows_scanned"] >= b["rows_matching"]
     scaled.unpersist()
+
+
+def test_term_contexts_boundaries(spark):
+    """Mentions at the very start/end of a document get truncated (empty)
+    contexts, not padding or nulls; interior mentions get exactly
+    ``window`` words each side; every mention row is emitted (one per
+    occurrence, 1-based positions)."""
+    from raptor_spark.operators.text import term_contexts
+
+    rows = [
+        (1, "spark a b c spark d e"),
+        (2, "x y z spark"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r.id, r.pos): (r.left_ctx, r.right_ctx)
+        for r in term_contexts(df, "doc_id", "text", ["spark"], window=3).collect()
+    }
+    assert out == {
+        (1, 1): ("", "a b c"),
+        (1, 5): ("a b c", "d e"),
+        (2, 4): ("x y z", ""),
+    }
