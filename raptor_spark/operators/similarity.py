@@ -559,6 +559,65 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_write_index(
+    corpus: DataFrame,
+    out_dir: str,
+    corpus_id: str = "id",
+    vec: str = "vec",
+    n_cells: int = 16,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    dim: int = 64,
+    kmeans_iters: int = 1,
+    pq_iters: int = 1,
+) -> dict:
+    """Durable IVFADC layout: train the coarse + residual-PQ codebooks and
+    persist ONLY (id, codes) PARTITIONED BY cell — m_sub small ints per
+    vector instead of dim floats, the compression that makes a
+    billion-vector index fit. Returns {"centroids": ..., "books": ...}
+    (dim × (1 + k_codes) floats total — the probe side's whole state).
+    A probe then reads n_probe/n_cells of the files (PartitionFilters,
+    pinned in tests/test_plans.py like ivf_write_index) and scores codes
+    by LUT lookups without ever touching raw vectors."""
+    sub_len = dim // m_sub
+    cents = ivf_centroids(corpus, n_cells, corpus_id, vec, kmeans_iters)
+    cmat = F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in cents])
+    vecd = F.col(vec).cast("array<double>")
+    resid = (
+        corpus.select(
+            F.col(corpus_id).alias("id"),
+            _nearest_cells(F.col(vec), cents, 1)[0].alias("cell"),
+            vecd.alias("v_raw"),
+        )
+        .select(
+            "id",
+            "cell",
+            F.zip_with(
+                "v_raw", F.element_at(cmat, F.col("cell") + 1), lambda x, c: x - c
+            ).alias("res"),
+        )
+        .persist()
+    )
+    books = [
+        _l2_centroids(
+            resid.select("id", F.slice("res", m * sub_len + 1, sub_len).alias("v")),
+            k_codes,
+            pq_iters,
+        )
+        for m in range(m_sub)
+    ]
+    code_cols = [
+        _l2_scored_codes(F.slice("res", m * sub_len + 1, sub_len), book)[0]["cid"]
+        for m, book in enumerate(books)
+    ]
+    coded = resid.select("id", "cell", F.array(*code_cols).alias("codes"))
+    coded.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(out_dir)
+    resid.unpersist()
+    return {"centroids": cents, "books": books}
+
+
 def semdedup_prune(
     corpus: DataFrame,
     n_cells: int,

@@ -692,3 +692,54 @@ def test_pq_quantize_matches_numpy_replica(spark):
         for m in range(m_sub):
             assert got[f"code_{m}"] == exp_codes[i, m], (i, m)
         assert abs(got["recon_err"] - exp_err[i]) < 1e-9
+
+
+def test_ivfpq_written_index_layout_and_determinism(spark, emb, tmp_path):
+    """The durable IVFADC layout: every corpus id lands in the written codes
+    table exactly once with m_sub codes in [0, k_codes); the cell column is
+    a physical partition (dir-per-cell) whose filtered read plans
+    PartitionFilters; the written cell assignment equals a fresh
+    recomputation from the returned codebook; and a second write is
+    byte-identical (content-derived training, no RNG)."""
+    import contextlib
+    import io
+
+    from raptor_spark.operators.similarity import (
+        _nearest_cells,
+        ivfpq_write_index,
+    )
+
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    idx = str(tmp_path / "ivfpq")
+    book = ivfpq_write_index(corpus, idx, n_cells=8, m_sub=4, k_codes=8)
+    written = spark.read.parquet(idx)
+    rows = written.collect()
+    n = corpus.count()
+    assert len(rows) == n and len({r.id for r in rows}) == n
+    assert all(len(r.codes) == 4 and all(0 <= c < 8 for c in r.codes) for r in rows)
+
+    fresh = corpus.select(
+        "id", _nearest_cells(F.col("vec"), book["centroids"], 1)[0].alias("cell")
+    )
+    mism = (
+        written.select("id", F.col("cell").alias("wcell"))
+        .join(fresh, "id")
+        .filter(F.col("wcell") != F.col("cell"))
+        .count()
+    )
+    assert mism == 0
+
+    probe = written.filter(F.col("cell").isin([1, 3]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain(mode="formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p, p
+    assert "cell" in p.split("PartitionFilters", 1)[1][:200], p
+
+    idx2 = str(tmp_path / "ivfpq2")
+    book2 = ivfpq_write_index(corpus, idx2, n_cells=8, m_sub=4, k_codes=8)
+    assert book2 == book
+    a = {(r.id, r.cell, tuple(r.codes)) for r in rows}
+    b = {(r.id, r.cell, tuple(r.codes)) for r in spark.read.parquet(idx2).collect()}
+    assert a == b
