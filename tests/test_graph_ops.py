@@ -5,6 +5,7 @@ identity the checkpoint-restart story rests on."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from raptor_spark.cc import connected_components, merge_components
 from raptor_spark.operators.graph import (
@@ -665,3 +666,78 @@ def test_assortativity_star_and_python_pearson(spark):
     cyc = [(1, 2), (2, 3), (3, 4), (4, 1)]
     row = assortativity(spark.createDataFrame(cyc, ["a", "b"])).collect()[0]
     assert row.r is None
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_adamic_adar_matches_python_reference(spark, seed):
+    """Random graphs vs a plain-Python Adamic-Adar: same non-adjacent pair
+    set, same common-neighbor counts, scores to 1e-9 (sum order differs)."""
+    import math
+    import random
+    from collections import defaultdict
+
+    from raptor_spark.operators.graph import adamic_adar
+
+    rng = random.Random(seed)
+    n = 14
+    edges = sorted(
+        {
+            (a, b)
+            for _ in range(30)
+            for a, b in [(rng.randint(1, n), rng.randint(1, n))]
+            if a != b
+        }
+    )
+    adj: dict[int, set[int]] = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = sorted(adj)
+    want = {}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if b in adj[a]:
+                continue
+            common = adj[a] & adj[b]
+            if common:
+                want[(a, b)] = (
+                    len(common),
+                    sum(1.0 / math.log(len(adj[z])) for z in common),
+                )
+    got = {
+        (r.a, r.b): (r.common_neighbors, r.aa_score)
+        for r in adamic_adar(spark.createDataFrame(edges, ["a", "b"])).collect()
+    }
+    assert set(got) == set(want)
+    for k, (cn, sc) in want.items():
+        assert got[k][0] == cn and abs(got[k][1] - sc) < 1e-9, k
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_dag_layers_matches_python_dp(spark, seed):
+    """Random low-id→high-id DAGs vs the ascending-order DP for longest-path
+    depth (exact, n_rounds > any possible depth)."""
+    import random
+
+    from raptor_spark.operators.graph import dag_layers
+
+    rng = random.Random(seed)
+    n = 12
+    edges = sorted(
+        {
+            tuple(sorted((a, b)))
+            for _ in range(25)
+            for a, b in [(rng.randint(1, n), rng.randint(1, n))]
+            if a != b
+        }
+    )
+    layer = {v: 0 for e in edges for v in e}
+    for a, b in sorted(edges):  # a < b, ascending: DP order is topological
+        layer[b] = max(layer[b], layer[a] + 1)
+    got = {
+        r.id: r.layer
+        for r in dag_layers(
+            spark.createDataFrame(edges, ["a", "b"]), n_rounds=15
+        ).collect()
+    }
+    assert got == layer
