@@ -43,21 +43,24 @@ from pyspark.sql import functions as F
 
 MAX_ITERATIONS = 25
 JUMP_AFTER = 4  # plain min-propagation rounds before pointer jumping kicks in
-DRIVER_CC_MAX_EDGES = 2_000_000  # ≤ this many distinct directed edges →
+DRIVER_CC_MAX_EDGES = 4_000_000  # ≤ this many distinct directed edges →
 # driver union-find instead of the distributed loop. The alias graph's name
 # dimension is orders of magnitude smaller than the corpus, so small-to-mid
 # corpora produce edge sets where every distributed round (2 jobs each,
 # ~8-14 rounds) is pure fixed overhead — the same size-gated reasoning as
 # broadcast-join selection, using the sizing count the loop already pays
-# for. Measured twice on REAL alias graphs, interleaved A/B in one
+# for. Measured THREE times on REAL alias graphs, interleaved A/B in one
 # session each time: 541k directed edges (1M-file corpus) driver 9.2 s vs
-# loop 35.4 s; 1.11M directed edges (2M-file corpus) driver 15.8 s vs
-# loop 34.9-37.9 s — identical output both times. Driver time is linear
-# in edges (~6 s per 500k), the loop's round overhead near-flat (~35 s),
-# so the crossover extrapolates to ~2.8M directed rows; 2M is the
-# conservative gate below it, and 2M rows of name-pair strings collect in
-# ~120 MB (fine for any standard driver heap). Parity between the two
-# paths is pinned in tests/test_graph_ops.py.
+# loop 35.4 s; 1.11M (2M files) driver 15.8 s vs loop 34.9-37.9 s;
+# 2.42M (4M files) driver 28.6-33.4 s vs loop 92.0-95.4 s — identical
+# output every time. Driver time is linear (~12.5 s per 1M directed
+# rows); the loop is NOT flat past ~1M (each pointer-jumping round's work
+# grows with the graph: 35 s at 1.1M → 93 s at 2.4M), so the loop never
+# catches up in this regime and the binding constraint is driver MEMORY,
+# not time: 4M name-pair rows collect in ~240 MB raw (union-find dicts
+# ~1-2 GB — fits the default 8g driver with headroom; the loop remains
+# the correct path for truly graph-shaped inputs beyond it). Parity
+# between the two paths is pinned in tests/test_graph_ops.py.
 
 
 def _driver_union_find(sym: DataFrame) -> DataFrame:
