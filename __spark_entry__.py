@@ -1263,6 +1263,26 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the 5-round LPA communities over the near-dup
+    graph (operators/graph.modularity) — the community-quality audit that
+    closes the loop on graph_communities: Q ≈ 0 says the split is no denser
+    than the degree-preserving random baseline. One exact BIGINT numerator
+    (4m·Σe_c − Σd_c²) over 4m², single IEEE division, so the oracle (the
+    same unrolled LPA rounds + two integer aggregates) replays it exactly."""
+    from raptor_spark.operators.graph import label_propagation, modularity
+
+    edges = _jaccard_edge_set(spark, sf_dir).localCheckpoint()
+    comm = label_propagation(edges, n_iter=5)
+    out = modularity(edges, comm)
+    return out.select(
+        "n_edges",
+        "n_communities",
+        "intra_edges",
+        (F.round("modularity", 6) + F.lit(0.0)).alias("modularity"),
+    )
+
+
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core of the near-dup graph after 8 peeling rounds with the
     within-core degree (operators/graph.kcore — KG noise-entity pruning;
@@ -4163,6 +4183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs": q_graph_bfs,
         "graph_pagerank": q_graph_pagerank,
         "graph_communities": q_graph_communities,
+        "graph_modularity": q_graph_modularity,
         "graph_kcore": q_graph_kcore,
         "graph_sssp": q_graph_sssp,
         "graph_hits": q_graph_hits,
@@ -5815,6 +5836,54 @@ def oracle_sql() -> dict[str, str]:
                 )''' for i in range(1, 6)
             )}
             SELECT id, label AS community FROM l5 ORDER BY id
+        """,
+        # same unrolled LPA rounds as graph_communities, then Newman Q as
+        # one exact BIGINT numerator over one BIGINT denominator (the
+        # decide-in-integers-divide-once rule); m = total pair count (a
+        # graph property — matches Spark even under partial assignments)
+        "graph_modularity": f"""
+            WITH {GRAPH_EDGE_CTE.replace("e AS (", "e AS MATERIALIZED (")},
+            l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS label FROM e),
+            {", ".join(
+                f'''l{i} AS MATERIALIZED (
+                  SELECT id, label FROM (
+                    SELECT id, label,
+                           row_number() OVER (
+                             PARTITION BY id ORDER BY c DESC, label ASC
+                           ) AS rn
+                    FROM (SELECT e.s AS id, p.label AS label, count(*) AS c
+                          FROM e JOIN l{i - 1} p ON e.d = p.id
+                          GROUP BY e.s, p.label)
+                  ) WHERE rn = 1
+                )''' for i in range(1, 6)
+            )},
+            deg AS (SELECT s AS id, count(*) AS deg FROM e GROUP BY s),
+            dc AS (
+              SELECT l.label AS community, CAST(sum(d.deg) AS BIGINT) AS d_c
+              FROM deg d JOIN l5 l ON d.id = l.id GROUP BY l.label
+            ),
+            ic AS (
+              SELECT la.label AS community, count(*) AS e_c
+              FROM p JOIN l5 la ON p.a = la.id JOIN l5 lb ON p.b = lb.id
+              WHERE la.label = lb.label GROUP BY la.label
+            ),
+            pc AS (
+              SELECT dc.d_c, coalesce(ic.e_c, 0) AS e_c
+              FROM dc LEFT JOIN ic ON dc.community = ic.community
+            ),
+            tot AS (
+              SELECT (SELECT CAST(count(*) AS BIGINT) FROM p) AS m,
+                     count(*) AS n_communities,
+                     CAST(sum(e_c) AS BIGINT) AS intra_edges,
+                     CAST(sum(d_c * d_c) AS BIGINT) AS sd2
+              FROM pc
+            )
+            SELECT m AS n_edges, n_communities, intra_edges,
+                   round(CASE WHEN m > 0 THEN
+                     CAST(4 * m * intra_edges - sd2 AS DOUBLE)
+                       / CAST(4 * m * m AS DOUBLE)
+                   END, 6) + 0.0 AS modularity
+            FROM tot
         """,
         "graph_kcore": f"""
             WITH {GRAPH_EDGE_CTE.replace("e AS (", "e AS MATERIALIZED (")},

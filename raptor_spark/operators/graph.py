@@ -20,7 +20,7 @@ Scale notes (these shapes survive a 10^12-edge graph):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -177,9 +177,19 @@ def pagerank(
     (new since the checkpoint) start at the uniform 1/n; stale vertices
     (no longer in the graph) are dropped.
     """
-    sym = symmetrize(edges)
-    out_deg = sym.groupBy("src").agg(F.count("*").alias("odeg"))
-    links = sym.join(out_deg, "src").repartition("src").persist()
+    # out-degree via a window over the ONE symmetrize pass — the previous
+    # form (sym.join(sym.groupBy(...))) was a self-join of the unpersisted
+    # symmetrize output, so the explode+distinct lineage executed TWICE per
+    # call (the persist-before-self-join pitfall); the window's partitionBy
+    # also leaves links hash-partitioned by the per-round join key, so no
+    # separate repartition pass is needed. Same (src, dst, odeg) rows.
+    links = (
+        symmetrize(edges)
+        .withColumn(
+            "odeg", F.count("*").over(Window.partitionBy("src"))
+        )
+        .persist()
+    )
     n = links.select("src").distinct().count()
     ranks = (
         links.select(F.col("src").alias("id"))
@@ -246,9 +256,15 @@ def personalized_pagerank(
     the growing BFS ball, identical on both engines. With
     seeds = ALL vertices the recurrence degenerates to ``pagerank``
     exactly (pytest-gated equivalence)."""
-    sym = symmetrize(edges)
-    out_deg = sym.groupBy("src").agg(F.count("*").alias("odeg"))
-    links = sym.join(out_deg, "src").repartition("src").persist()
+    # window-based out-degree over ONE symmetrize pass — same fix as
+    # pagerank (the join form recomputed the unpersisted symmetrize twice)
+    links = (
+        symmetrize(edges)
+        .withColumn(
+            "odeg", F.count("*").over(Window.partitionBy("src"))
+        )
+        .persist()
+    )
     vertices = links.select(F.col("src").alias("id")).distinct()
     seed_ids = seeds.select("id").distinct().join(vertices, "id", "semi")
     n_seeds = seed_ids.count()
@@ -472,6 +488,72 @@ def label_propagation(edges: DataFrame, n_iter: int = 5) -> DataFrame:
         )
     links.unpersist()
     return labels.withColumnRenamed("label", "community")
+
+
+def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """One row (n_edges, n_communities, intra_edges, modularity): Newman
+    modularity Q of a community assignment over the undirected simple graph
+    — the "did the community split actually find dense neighborhoods" audit
+    that closes the loop on label_propagation (a split can always be
+    *produced*; Q says whether it beats the degree-preserving random
+    baseline — Q ≈ 0 means the communities are no denser than chance,
+    negative means anti-communities).
+
+    Q = Σ_c [ e_c/m − (d_c/2m)² ] is computed as ONE exact BIGINT numerator
+    over one BIGINT denominator — 4m·Σe_c − Σd_c² over 4m² — with a single
+    IEEE division at the end, so the number replays bit-for-bit on any
+    engine (the cross-engine exactness rule: decide in integers, divide
+    once). The whole audit is two vertex-sized aggregates plus one
+    pair-community equi-join; nothing here is edge²-shaped.
+
+    ``communities`` is any (id, community) frame — label_propagation output,
+    cc components, or an external assignment. m and vertex degrees are
+    properties of the GRAPH (standard Newman Q), so uncovered vertices
+    still count in m and in their neighbors' degrees; they just contribute
+    no degree mass or intra edges to any community.
+    """
+    sym = symmetrize(edges)
+    pairs = sym.filter(F.col("src") < F.col("dst"))
+    m_df = pairs.agg(F.count("*").cast("long").alias("m"))
+    lab = communities.select("id", "community")
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    d_c = (
+        deg.join(lab, "id")
+        .groupBy("community")
+        .agg(F.sum("deg").cast("long").alias("d_c"))
+    )
+    e_c = (
+        pairs.join(
+            lab.select(F.col("id").alias("src"), F.col("community").alias("ca")),
+            "src",
+        )
+        .join(
+            lab.select(F.col("id").alias("dst"), F.col("community").alias("cb")),
+            "dst",
+        )
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    per_comm = d_c.join(e_c, "community", "left").select(
+        "d_c", F.coalesce("e_c", F.lit(0)).alias("e_c")
+    )
+    # broadcast 1-row m onto the 1-row community rollup (no real shuffle)
+    tot = per_comm.agg(
+        F.count("*").alias("n_communities"),
+        F.sum("e_c").cast("long").alias("intra_edges"),
+        F.sum(F.col("d_c") * F.col("d_c")).cast("long").alias("sd2"),
+    ).crossJoin(F.broadcast(m_df))
+    num = 4 * F.col("m") * F.col("intra_edges") - F.col("sd2")
+    den = 4 * F.col("m") * F.col("m")
+    return tot.select(
+        F.col("m").alias("n_edges"),
+        "n_communities",
+        "intra_edges",
+        F.when(
+            F.col("m") > 0, num.cast("double") / den.cast("double")
+        ).alias("modularity"),
+    )
 
 
 def kcore(edges: DataFrame, k: int = 2, n_rounds: int = 8) -> DataFrame:

@@ -741,3 +741,52 @@ def test_dag_layers_matches_python_dp(spark, seed):
         ).collect()
     }
     assert got == layer
+
+
+def test_modularity_two_triangles_bridge(spark):
+    # two triangles {0,1,2} and {3,4,5} joined by bridge 2-3: m=7,
+    # intra=6, d_c = (2+2+3) = 7 each  →  Q = (4·7·6 − 2·49)/(4·49)
+    #                                       = 70/196 = 0.35714285…
+    from raptor_spark.operators.graph import modularity
+
+    e = _edges(
+        spark, [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    )
+    comm = spark.createDataFrame(
+        [(i, 0) for i in range(3)] + [(i, 1) for i in range(3, 6)],
+        "id long, community long",
+    )
+    r = modularity(e, comm).collect()[0]
+    assert (r.n_edges, r.n_communities, r.intra_edges) == (7, 2, 6)
+    assert abs(r.modularity - 70.0 / 196.0) < 1e-12
+
+
+def test_modularity_single_community_is_zero(spark):
+    # everything in one community: Q = (4m·m − (2m)²)/(4m²) = 0 exactly
+    from raptor_spark.operators.graph import modularity
+
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)])
+    comm = spark.createDataFrame(
+        [(i, 42) for i in range(4)], "id long, community long"
+    )
+    r = modularity(e, comm).collect()[0]
+    assert (r.n_edges, r.n_communities, r.intra_edges) == (5, 1, 5)
+    assert r.modularity == 0.0
+
+
+def test_modularity_partial_assignment_scores_covered_subgraph(spark):
+    # drop vertex 5 from the assignment: its edges to 3 and 4 still count
+    # in m and in the degrees of 3/4 (the graph is what it is), but no
+    # community receives them as intra edges, and vertex 5 contributes no
+    # degree mass to any d_c
+    from raptor_spark.operators.graph import modularity
+
+    e = _edges(spark, [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)])
+    comm = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 1), (4, 1)], "id long, community long"
+    )
+    r = modularity(e, comm).collect()[0]
+    # m = 6; community 0: e_c=3, d_c=6; community 1: e_c=1, d_c=4
+    # Q = (4·6·4 − (36+16))/(4·36) = (96−52)/144 = 44/144
+    assert (r.n_edges, r.n_communities, r.intra_edges) == (6, 2, 4)
+    assert abs(r.modularity - 44.0 / 144.0) < 1e-12
