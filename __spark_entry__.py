@@ -1342,6 +1342,33 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_graph_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the near-dup dissimilarity graph
+    (edge weight = 1 - jaccard; operators/graph.minimum_spanning_forest,
+    shuffle-parallel Boruvka) — single-linkage clustering's dendrogram:
+    cutting the forest at a distance threshold IS hierarchical clustering,
+    and the forest is the cheapest certificate connecting every entity
+    cluster. The total order (w, least, greatest) makes the MSF unique, so
+    the oracle can use a DIFFERENT exact algorithm (all-pairs minimax edge
+    rank by log-doubling relaxation; cycle property: an edge is in the MSF
+    iff its rank equals the minimax path rank between its endpoints) and
+    still match hash-exactly — integer rank arithmetic decides membership,
+    never a float comparison."""
+    from raptor_spark.operators.dedup import ngram_jaccard_pairs as _njp
+    from raptor_spark.operators.graph import minimum_spanning_forest
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pairs = _njp(docs, "doc_id", "text", n=1, threshold=0.8).select(
+        "a", "b", (F.lit(1.0) - F.col("jaccard")).alias("w")
+    )
+    out = minimum_spanning_forest(pairs)
+    return out.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.round("w", 6).alias("w"),
+    ).orderBy("a", "b")
+
+
 def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-40 adjacent-character-pair frequencies weighted by word
     frequency — the candidate table of the first BPE merge step (tokenizer
@@ -4187,6 +4214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "graph_sssp": q_graph_sssp,
         "graph_hits": q_graph_hits,
+        "graph_msf": q_graph_msf,
         "bpe_pair_stats": q_bpe_pair_stats,
         "rrf_search": q_rrf_search,
         "source_boilerplate": q_source_boilerplate,
@@ -5977,6 +6005,36 @@ def oracle_sql() -> dict[str, str]:
                 )''' for i in range(1, 11)
             )}
             SELECT id, layer FROM l10 ORDER BY id
+        """,
+        "graph_msf": f"""
+            WITH {_GRAPH_PAIR_CTE.replace("p AS (", "p AS MATERIALIZED (")},
+            r AS MATERIALIZED (
+              SELECT u, v, w,
+                     CAST(row_number() OVER (ORDER BY w, u, v) AS BIGINT) AS rk
+              FROM (
+                SELECT least(a, b) AS u, greatest(a, b) AS v,
+                       min(1.0 - j) AS w
+                FROM p GROUP BY 1, 2
+              )
+            ),
+            m0 AS MATERIALIZED (
+              SELECT u AS x, v AS y, rk FROM r
+              UNION ALL SELECT v, u, rk FROM r
+            ),
+            {", ".join(
+                f'''m{i} AS MATERIALIZED (
+                  SELECT x, y, min(rk) AS rk FROM (
+                    SELECT x, y, rk FROM m{i - 1}
+                    UNION ALL
+                    SELECT l.x, q.y, greatest(l.rk, q.rk) AS rk
+                    FROM m{i - 1} l JOIN m{i - 1} q ON l.y = q.x
+                    WHERE l.x <> q.y
+                  ) GROUP BY x, y
+                )''' for i in range(1, 9)
+            )}
+            SELECT r.u AS a, r.v AS b, round(r.w, 6) AS w
+            FROM r JOIN m8 ON r.u = m8.x AND r.v = m8.y AND r.rk = m8.rk
+            ORDER BY a, b
         """,
         "graph_hits": f"""
             WITH {_GRAPH_PAIR_CTE.replace("p AS (", "p AS MATERIALIZED (")},

@@ -909,3 +909,166 @@ def deterministic_walks(
         )
     links.unpersist()
     return out
+
+
+def minimum_spanning_forest(
+    edges: DataFrame, weight_col: str = "w", max_rounds: int = 20
+) -> DataFrame:
+    """(a, b, w) edge rows of the minimum spanning forest — Boruvka's
+    algorithm, the one MST formulation that is shuffle-parallel (Kruskal
+    needs a global sequential union-find scan; Prim grows one frontier).
+    The KG use: single-linkage clustering over near-dup distances — the MSF
+    plus a cut threshold IS hierarchical clustering's dendrogram, and the
+    forest is the cheapest certificate connecting every entity cluster
+    (reference analog: the ANN-dedup insert path's "connect to nearest
+    existing neighbor" decision, api_insert.py:130-165, made globally
+    consistent).
+
+    Determinism: edges are compared under the TOTAL order
+    (w, least(a,b), greatest(a,b)). A total order makes the MSF unique
+    (tie-broken Boruvka = tie-broken Kruskal — pytest replays 20 random
+    graphs against a pure-Python Kruskal), so output is independent of
+    partitioning and engine. Parallel duplicate edges min-merge up front.
+
+    Per Boruvka round (≤ ⌈log2 V⌉ rounds — components at least halve):
+
+    * label every surviving edge with its endpoints' components — two
+      vertex-sized equi-joins against the (id, comp) map;
+    * each component selects its minimum cross-component edge under the
+      total order — one window argmax over component-keyed rows (the
+      classic per-key argmin, never an all-pairs form);
+    * selected edges join the forest; components merge by chosen-neighbor
+      pointer jumping run TO FIXPOINT — the chosen-edge functional graph
+      has non-increasing edge order along any chain, so its only cycles
+      are mutual 2-cycles, broken toward the smaller component id; each
+      jump squares the pointer depth (comp-sized self-joins, geometric
+      convergence), and partial contraction is never allowed to leak into
+      the next round's edge selection (a partially-merged label would
+      re-select an intra-cluster edge and break the forest property).
+
+    Every round localCheckpoints the (id, comp) map and the accumulated
+    forest to cut lineage, the same discipline as cc/pagerank. At
+    10^12-edge scale each round is 2 edge-sized hash joins + 1 window +
+    O(log V) comp-sized self-joins; the edge list itself is never
+    re-shuffled (it stays partitioned by its join key)."""
+    und = (
+        edges.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"),
+            F.greatest("a", "b").alias("v"),
+            F.col(weight_col).alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .persist()
+    )
+    comp = (
+        und.select(F.col("u").alias("id"))
+        .unionByName(und.select(F.col("v").alias("id")))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    forest = spark.createDataFrame(
+        [], und.schema
+    ).select(F.col("u").alias("a"), F.col("v").alias("b"), "w")
+    for _ in range(max_rounds):
+        lab = (
+            und.join(
+                comp.select(F.col("id").alias("u"), F.col("comp").alias("cu")),
+                "u",
+            )
+            .join(
+                comp.select(F.col("id").alias("v"), F.col("comp").alias("cv")),
+                "v",
+            )
+            .filter(F.col("cu") != F.col("cv"))
+            .persist()
+        )
+        if lab.isEmpty():
+            lab.unpersist()
+            break
+        cand = lab.select(
+            F.col("cu").alias("comp"), "u", "v", "w", F.col("cv").alias("other")
+        ).unionByName(
+            lab.select(
+                F.col("cv").alias("comp"), "u", "v", "w",
+                F.col("cu").alias("other"),
+            )
+        )
+        pick = (
+            cand.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("comp").orderBy("w", "u", "v")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+            .localCheckpoint()
+        )
+        lab.unpersist()
+        forest = forest.unionByName(
+            pick.select(
+                F.col("u").alias("a"), F.col("v").alias("b"), "w"
+            ).distinct()
+        ).localCheckpoint()
+        # chosen-neighbor pointer map; mutual 2-cycles root at the smaller id
+        p = pick.select("comp", F.col("other").alias("p"))
+        mutual = p.alias("x").join(
+            p.alias("y"),
+            (F.col("x.p") == F.col("y.comp")) & (F.col("y.p") == F.col("x.comp")),
+            "left_semi",
+        )
+        p = (
+            p.join(
+                mutual.select(F.col("comp").alias("mc")),
+                p["comp"] == F.col("mc"),
+                "left",
+            )
+            .select(
+                "comp",
+                F.when(
+                    F.col("mc").isNotNull() & (F.col("comp") < F.col("p")),
+                    F.col("comp"),
+                )
+                .otherwise(F.col("p"))
+                .alias("p"),
+            )
+            .localCheckpoint()
+        )
+        while True:
+            p2 = (
+                p.alias("x")
+                .join(
+                    p.alias("y").withColumnRenamed("comp", "c2"),
+                    F.col("x.p") == F.col("c2"),
+                    "left",
+                )
+                .select(
+                    F.col("x.comp").alias("comp"),
+                    F.coalesce(F.col("y.p"), F.col("x.p")).alias("p"),
+                )
+                .localCheckpoint()
+            )
+            moved = (
+                p2.alias("n")
+                .join(p.alias("o"), F.col("n.comp") == F.col("o.comp"))
+                .filter(F.col("n.p") != F.col("o.p"))
+                .isEmpty()
+            )
+            p = p2
+            if moved:
+                break
+        comp = (
+            comp.join(
+                p.withColumnRenamed("comp", "c").withColumnRenamed("p", "root"),
+                comp["comp"] == F.col("c"),
+                "left",
+            )
+            .select("id", F.coalesce("root", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+    und.unpersist()
+    return forest

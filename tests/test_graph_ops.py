@@ -790,3 +790,117 @@ def test_modularity_partial_assignment_scores_covered_subgraph(spark):
     # Q = (4·6·4 − (36+16))/(4·36) = (96−52)/144 = 44/144
     assert (r.n_edges, r.n_communities, r.intra_edges) == (6, 2, 4)
     assert abs(r.modularity - 44.0 / 144.0) < 1e-12
+
+
+def _kruskal(pairs):
+    """Pure-Python reference MSF under the total order (w, least, greatest)
+    — the unique tie-broken MSF minimum_spanning_forest must reproduce."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    best = {}
+    for a, b, w in pairs:
+        if a == b:
+            continue
+        u, v = (a, b) if a < b else (b, a)
+        if (u, v) not in best or w < best[(u, v)]:
+            best[(u, v)] = w
+    forest = set()
+    for w, u, v in sorted((w, u, v) for (u, v), w in best.items()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            forest.add((u, v, w))
+    return forest
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(triples, "a long, b long, w double")
+
+
+def test_msf_hand_graph(spark):
+    # square 0-1-2-3 with a cheap diagonal: MSF = the three cheapest
+    # non-cycle edges under (w, u, v)
+    from raptor_spark.operators.graph import minimum_spanning_forest
+
+    e = _wedges(
+        spark,
+        [(0, 1, 1.0), (1, 2, 4.0), (2, 3, 2.0), (3, 0, 3.0), (0, 2, 2.5)],
+    )
+    got = {(r.a, r.b, r.w) for r in minimum_spanning_forest(e).collect()}
+    assert got == {(0, 1, 1.0), (2, 3, 2.0), (0, 2, 2.5)}
+
+
+def test_msf_tie_break_total_order(spark):
+    # triangle with ALL-equal weights: the unique tie-broken MSF keeps the
+    # two lexicographically smallest edges (0,1) and (0,2)
+    from raptor_spark.operators.graph import minimum_spanning_forest
+
+    e = _wedges(spark, [(1, 2, 5.0), (0, 2, 5.0), (0, 1, 5.0)])
+    got = {(r.a, r.b) for r in minimum_spanning_forest(e).collect()}
+    assert got == {(0, 1), (0, 2)}
+
+
+def test_msf_parallel_edges_and_self_loops(spark):
+    from raptor_spark.operators.graph import minimum_spanning_forest
+
+    e = _wedges(
+        spark,
+        [(0, 1, 9.0), (1, 0, 2.0), (0, 1, 5.0), (1, 1, 0.1), (1, 2, 3.0)],
+    )
+    got = {(r.a, r.b, r.w) for r in minimum_spanning_forest(e).collect()}
+    assert got == {(0, 1, 2.0), (1, 2, 3.0)}
+
+
+def test_msf_disconnected_forest(spark):
+    # two components → forest, one tree each; sizes n_i - 1
+    from raptor_spark.operators.graph import minimum_spanning_forest
+
+    e = _wedges(
+        spark,
+        [(0, 1, 1.0), (1, 2, 2.0), (0, 2, 3.0), (10, 11, 1.0), (11, 12, 9.0)],
+    )
+    got = {(r.a, r.b, r.w) for r in minimum_spanning_forest(e).collect()}
+    assert got == {(0, 1, 1.0), (1, 2, 2.0), (10, 11, 1.0), (11, 12, 9.0)}
+
+
+def test_msf_long_chain_contraction(spark):
+    # a path graph with weights increasing along the chain exercises DEEP
+    # pointer-jump chains (every component's min edge points left, so round
+    # 1 builds one long functional chain); the MSF of a tree is the tree
+    from raptor_spark.operators.graph import minimum_spanning_forest
+
+    n = 40
+    e = _wedges(spark, [(i, i + 1, float(i + 1)) for i in range(n)])
+    got = {(r.a, r.b, r.w) for r in minimum_spanning_forest(e).collect()}
+    assert got == {(float(i), float(i + 1), float(i + 1)) for i in range(n)} or got == {
+        (i, i + 1, float(i + 1)) for i in range(n)
+    }
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_msf_matches_kruskal_random(spark, seed):
+    # randomized parity vs the pure-Python Kruskal under the same total
+    # order — deliberate weight ties (weights drawn from a small integer
+    # set) force the tie-break to decide, and a sprinkle of parallel
+    # edges/self-loops exercises the min-merge
+    import random
+
+    from raptor_spark.operators.graph import minimum_spanning_forest
+
+    rng = random.Random(seed)
+    n = 60
+    pairs = []
+    for _ in range(220):
+        a, b = rng.randrange(n), rng.randrange(n)
+        pairs.append((a, b, float(rng.randrange(1, 8))))
+    got = {
+        (r.a, r.b, r.w)
+        for r in minimum_spanning_forest(_wedges(spark, pairs)).collect()
+    }
+    assert got == _kruskal(pairs)
