@@ -93,6 +93,45 @@ _GRAPH_PAIR_CTE = r"""w AS (
               ) WHERE j >= 0.8
             )"""
 
+# All-pairs minimax edge rank over the near-dup graph by log-doubling
+# relaxation (8 rounds cover paths of ≤ 2^8 edges on the ≤150-vertex
+# graph): r ranks the min-merged undirected edges under the total order
+# (w, u, v); m8(x, y) = the minimax rank over all x→y paths. Shared by the
+# graph_msf oracle (cycle property: edge ∈ MSF iff rank = minimax) and the
+# single_linkage_clusters oracle (u, v co-clustered under cut t iff
+# minimax ≤ the last rank with w ≤ t) — both decide membership in pure
+# BIGINT rank arithmetic.
+_MSF_MINIMAX_CTE = (
+    _GRAPH_PAIR_CTE.replace("p AS (", "p AS MATERIALIZED (")
+    + """,
+            r AS MATERIALIZED (
+              SELECT u, v, w,
+                     CAST(row_number() OVER (ORDER BY w, u, v) AS BIGINT) AS rk
+              FROM (
+                SELECT least(a, b) AS u, greatest(a, b) AS v,
+                       min(1.0 - j) AS w
+                FROM p GROUP BY 1, 2
+              )
+            ),
+            m0 AS MATERIALIZED (
+              SELECT u AS x, v AS y, rk FROM r
+              UNION ALL SELECT v, u, rk FROM r
+            ),
+            """
+    + ", ".join(
+        f"""m{i} AS MATERIALIZED (
+                  SELECT x, y, min(rk) AS rk FROM (
+                    SELECT x, y, rk FROM m{i - 1}
+                    UNION ALL
+                    SELECT l.x, q.y, greatest(l.rk, q.rk) AS rk
+                    FROM m{i - 1} l JOIN m{i - 1} q ON l.y = q.x
+                    WHERE l.x <> q.y
+                  ) GROUP BY x, y
+                )"""
+        for i in range(1, 9)
+    )
+)
+
 GRAPH_EDGE_CTE = _GRAPH_PAIR_CTE + r""", e AS (
               SELECT a AS s, b AS d FROM p UNION SELECT b AS s, a AS d FROM p
             )"""
@@ -1367,6 +1406,44 @@ def q_graph_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").cast("long").alias("b"),
         F.round("w", 6).alias("w"),
     ).orderBy("a", "b")
+
+
+def q_single_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-linkage clusters of the near-dup dissimilarity graph at cut
+    distance 0.12: connected components of the MSF edges with w ≤ cut —
+    the dendrogram cut that graph_msf's docstring promises, and the exact
+    hierarchical-clustering semantics (cutting the MSF at t equals CC of
+    the full graph restricted to edges ≤ t). Cluster id = least member;
+    vertices whose cheapest MSF edge exceeds the cut stay singletons. The
+    oracle proves it by a third algorithm again — minimax rank prefix
+    reachability (u, v co-clustered iff their minimax path rank ≤ the last
+    edge rank with w ≤ cut), so Boruvka + distributed CC on one side and
+    log-doubling relaxation on the other must agree hash-exactly."""
+    from raptor_spark.cc import connected_components
+    from raptor_spark.operators.dedup import ngram_jaccard_pairs as _njp
+    from raptor_spark.operators.graph import minimum_spanning_forest, symmetrize
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    # localCheckpoint: pairs feeds the MSF AND the vertex derivation — two
+    # lineages over the prefix-filtered Jaccard join otherwise
+    pairs = _njp(docs, "doc_id", "text", n=1, threshold=0.8).select(
+        "a", "b", (F.lit(1.0) - F.col("jaccard")).alias("w")
+    ).localCheckpoint()
+    kept = minimum_spanning_forest(pairs).filter(F.col("w") <= F.lit(0.12))
+    verts = (
+        symmetrize(pairs.select("a", "b"))
+        .select(F.col("src").alias("id"))
+        .distinct()
+    )
+    comps = connected_components(kept.select("a", "b"))
+    return (
+        verts.join(comps, verts["id"] == comps["name"], "left")
+        .select(
+            F.col("id").cast("long").alias("id"),
+            F.coalesce("component", "id").cast("long").alias("cluster"),
+        )
+        .orderBy("id")
+    )
 
 
 def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4215,6 +4292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": q_graph_sssp,
         "graph_hits": q_graph_hits,
         "graph_msf": q_graph_msf,
+        "single_linkage_clusters": q_single_linkage_clusters,
         "bpe_pair_stats": q_bpe_pair_stats,
         "rrf_search": q_rrf_search,
         "source_boilerplate": q_source_boilerplate,
@@ -6007,34 +6085,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, layer FROM l10 ORDER BY id
         """,
         "graph_msf": f"""
-            WITH {_GRAPH_PAIR_CTE.replace("p AS (", "p AS MATERIALIZED (")},
-            r AS MATERIALIZED (
-              SELECT u, v, w,
-                     CAST(row_number() OVER (ORDER BY w, u, v) AS BIGINT) AS rk
-              FROM (
-                SELECT least(a, b) AS u, greatest(a, b) AS v,
-                       min(1.0 - j) AS w
-                FROM p GROUP BY 1, 2
-              )
-            ),
-            m0 AS MATERIALIZED (
-              SELECT u AS x, v AS y, rk FROM r
-              UNION ALL SELECT v, u, rk FROM r
-            ),
-            {", ".join(
-                f'''m{i} AS MATERIALIZED (
-                  SELECT x, y, min(rk) AS rk FROM (
-                    SELECT x, y, rk FROM m{i - 1}
-                    UNION ALL
-                    SELECT l.x, q.y, greatest(l.rk, q.rk) AS rk
-                    FROM m{i - 1} l JOIN m{i - 1} q ON l.y = q.x
-                    WHERE l.x <> q.y
-                  ) GROUP BY x, y
-                )''' for i in range(1, 9)
-            )}
+            WITH {_MSF_MINIMAX_CTE}
             SELECT r.u AS a, r.v AS b, round(r.w, 6) AS w
             FROM r JOIN m8 ON r.u = m8.x AND r.v = m8.y AND r.rk = m8.rk
             ORDER BY a, b
+        """,
+        "single_linkage_clusters": f"""
+            WITH {_MSF_MINIMAX_CTE},
+            cut AS (
+              SELECT coalesce(max(rk), 0) AS rmax
+              FROM r WHERE w <= 0.12::DOUBLE
+            ),
+            verts AS (SELECT u AS id FROM r UNION SELECT v FROM r)
+            SELECT id, CAST(min(nb) AS BIGINT) AS cluster FROM (
+              SELECT id, id AS nb FROM verts
+              UNION ALL
+              SELECT m8.x AS id, m8.y AS nb
+              FROM m8, cut WHERE m8.rk <= cut.rmax
+            ) GROUP BY id ORDER BY id
         """,
         "graph_hits": f"""
             WITH {_GRAPH_PAIR_CTE.replace("p AS (", "p AS MATERIALIZED (")},
