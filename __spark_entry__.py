@@ -1446,6 +1446,22 @@ def q_single_linkage_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_taxonomy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized reachability closure of the low-id→high-id oriented
+    near-dup DAG (operators/graph.transitive_closure, log-doubling with
+    fixpoint early-exit): every (ancestor, descendant) pair — the
+    subsumption table a KG type hierarchy answers is-a queries from. The
+    oracle is DuckDB's recursive CTE (one-hop least-fixpoint), so the
+    ⌈log₂D⌉-join doubling plan must agree with the D-step linear walk."""
+    from raptor_spark.operators.graph import transitive_closure
+
+    out = transitive_closure(_jaccard_edge_set(spark, sf_dir))
+    return out.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).orderBy("src", "dst")
+
+
 def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-40 adjacent-character-pair frequencies weighted by word
     frequency — the candidate table of the first BPE merge step (tokenizer
@@ -4293,6 +4309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": q_graph_hits,
         "graph_msf": q_graph_msf,
         "single_linkage_clusters": q_single_linkage_clusters,
+        "taxonomy_closure": q_taxonomy_closure,
         "bpe_pair_stats": q_bpe_pair_stats,
         "rrf_search": q_rrf_search,
         "source_boilerplate": q_source_boilerplate,
@@ -6089,6 +6106,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.u AS a, r.v AS b, round(r.w, 6) AS w
             FROM r JOIN m8 ON r.u = m8.x AND r.v = m8.y AND r.rk = m8.rk
             ORDER BY a, b
+        """,
+        "taxonomy_closure": f"""
+            WITH RECURSIVE {_GRAPH_PAIR_CTE},
+            tc AS (
+              SELECT a AS src, b AS dst FROM p
+              UNION
+              SELECT tc.src, p.b FROM tc JOIN p ON tc.dst = p.a
+            )
+            SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+            FROM tc ORDER BY src, dst
         """,
         "single_linkage_clusters": f"""
             WITH {_MSF_MINIMAX_CTE},

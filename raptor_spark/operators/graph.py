@@ -1072,3 +1072,55 @@ def minimum_spanning_forest(
         )
     und.unpersist()
     return forest
+
+
+def transitive_closure(edges: DataFrame, max_doublings: int = 10) -> DataFrame:
+    """(src, dst) rows of the PROPER reachability relation src →+ dst over
+    a DAG — the subsumption closure a KG type hierarchy answers "is-a"
+    queries from (reference analog: the taxonomy walk behind concept
+    tagging's parent rollup, api_search.py:201-240, materialized instead
+    of re-walked per query).
+
+    Log-doubling, the Spark-shaped formulation: R₁ = E, R_{2k} = R_k ∪
+    (R_k ∘ R_k), so depth-D reachability needs ⌈log₂ D⌉ self-joins rather
+    than D one-hop iterations — each round is ONE equi-join of the closure
+    against itself on the midpoint vertex plus a distinct, and the loop
+    exits at the fixpoint (count stops growing), so the result is exact
+    for any depth ≤ 2^max_doublings. localCheckpoint per round cuts the
+    doubled lineage exactly as cc/pagerank do.
+
+    Scale contract: the OUTPUT is the closure itself — Σ|ancestor set|
+    rows. For the tree-like ontologies this models that is O(depth × V)
+    (bounded, small); for dense DAGs it is inherently quadratic in
+    component size, which no algorithm avoids — cap upstream (the KG
+    pipeline's component census exists for exactly that audit). Cycles in
+    the input would make the closure reflexive and the fixpoint still
+    converges (reachability is finite); the DAG contract just keeps
+    src ≠ dst meaningful."""
+    r = (
+        edges.filter(F.col("a") != F.col("b"))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = r.count()
+    for _ in range(max_doublings):
+        step = (
+            r.alias("x")
+            .join(
+                r.alias("y").withColumnRenamed("src", "mid"),
+                F.col("x.dst") == F.col("mid"),
+            )
+            .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
+        )
+        r = (
+            r.unionByName(step)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n2 = r.count()
+        if n2 == n:
+            break
+        n = n2
+    return r

@@ -904,3 +904,75 @@ def test_msf_matches_kruskal_random(spark, seed):
         for r in minimum_spanning_forest(_wedges(spark, pairs)).collect()
     }
     assert got == _kruskal(pairs)
+
+
+def _py_closure(pairs):
+    """DFS transitive closure reference (proper pairs, src != dst)."""
+    adj = {}
+    for a, b in pairs:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+    out = set()
+    for s in adj:
+        stack, seen = list(adj[s]), set()
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            stack.extend(adj.get(x, ()))
+        out |= {(s, d) for d in seen if d != s}
+    return out
+
+
+def test_closure_diamond(spark):
+    from raptor_spark.operators.graph import transitive_closure
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)], "a long, b long"
+    )
+    got = {(r.src, r.dst) for r in transitive_closure(e).collect()}
+    assert got == {
+        (0, 1), (0, 2), (0, 3), (0, 4),
+        (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+    }
+
+
+def test_closure_deep_chain_fixpoint(spark):
+    # a 30-edge chain needs 5 doublings (2^5 = 32 ≥ 30); the fixpoint
+    # early-exit must NOT stop before depth is covered
+    from raptor_spark.operators.graph import transitive_closure
+
+    n = 30
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "a long, b long"
+    )
+    got = {(r.src, r.dst) for r in transitive_closure(e).collect()}
+    assert got == {(i, j) for i in range(n + 1) for j in range(i + 1, n + 1)}
+
+
+def test_closure_dedups_parallel_and_self_edges(spark):
+    from raptor_spark.operators.graph import transitive_closure
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 1), (1, 2)], "a long, b long"
+    )
+    got = {(r.src, r.dst) for r in transitive_closure(e).collect()}
+    assert got == {(0, 1), (0, 2), (1, 2)}
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_closure_matches_dfs_random_dag(spark, seed):
+    import random
+
+    from raptor_spark.operators.graph import transitive_closure
+
+    rng = random.Random(seed)
+    pairs = []
+    for _ in range(120):
+        a, b = rng.randrange(50), rng.randrange(50)
+        if a != b:
+            pairs.append((min(a, b), max(a, b)))  # low→high keeps it a DAG
+    e = spark.createDataFrame(pairs, "a long, b long")
+    got = {(r.src, r.dst) for r in transitive_closure(e).collect()}
+    assert got == _py_closure(pairs)
