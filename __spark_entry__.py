@@ -1462,6 +1462,33 @@ def q_taxonomy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("src", "dst")
 
 
+def q_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{5,10,20} of the BM25 ranking against term-coverage relevance
+    grades (rel = number of distinct query terms matched, an exact
+    integer) — the graded retrieval-quality audit completing the signal
+    family (roc_auc = binary, kappa = agreement, ndcg = graded rank;
+    operators/ranking.ndcg_at_k). BM25 scores are rounded to 4 BEFORE
+    ranking so the prefix is engine-stable; gains are integer shifts."""
+    from raptor_spark.operators.ranking import bm25_topk, ndcg_at_k
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = bm25_topk(
+        docs, "doc_id", "text", ["join", "vector", "stream", "window"], k=None
+    )
+    sys = scored.select(
+        "id",
+        F.col("n_matched").cast("int").alias("rel"),
+        F.round("score", 4).alias("s"),
+    )
+    out = ndcg_at_k(sys, rel_col="rel", score_col="s", id_col="id")
+    return out.select(
+        "k",
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round("ndcg", 6).alias("ndcg"),
+    ).orderBy("k")
+
+
 def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-40 adjacent-character-pair frequencies weighted by word
     frequency — the candidate table of the first BPE merge step (tokenizer
@@ -4310,6 +4337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_msf": q_graph_msf,
         "single_linkage_clusters": q_single_linkage_clusters,
         "taxonomy_closure": q_taxonomy_closure,
+        "ndcg_audit": q_ndcg_audit,
         "bpe_pair_stats": q_bpe_pair_stats,
         "rrf_search": q_rrf_search,
         "source_boilerplate": q_source_boilerplate,
@@ -6106,6 +6134,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.u AS a, r.v AS b, round(r.w, 6) AS w
             FROM r JOIN m8 ON r.u = m8.x AND r.v = m8.y AND r.rk = m8.rk
             ORDER BY a, b
+        """,
+        "ndcg_audit": f"""
+            WITH {_BM25_SCORED_CTE},
+            per AS (
+              SELECT doc_id AS id, CAST(count(*) AS INT) AS rel,
+                     round(sum(contrib), 4) AS s
+              FROM scored GROUP BY doc_id
+            ),
+            syst AS (
+              SELECT ((1::BIGINT << rel) - 1)::DOUBLE AS g,
+                     row_number() OVER (ORDER BY s DESC, id) AS r
+              FROM per QUALIFY r <= 20
+            ),
+            idt AS (
+              SELECT ((1::BIGINT << rel) - 1)::DOUBLE AS g,
+                     row_number() OVER (ORDER BY rel DESC, id) AS r
+              FROM per QUALIFY r <= 20
+            ),
+            ks AS (SELECT CAST(unnest([5, 10, 20]) AS INT) AS k),
+            d AS (
+              SELECT k, sum(g / log2(r + 1.0)) AS dcg
+              FROM syst, ks WHERE r <= k GROUP BY k
+            ),
+            i AS (
+              SELECT k, sum(g / log2(r + 1.0)) AS idcg
+              FROM idt, ks WHERE r <= k GROUP BY k
+            )
+            SELECT d.k AS k, round(dcg, 6) AS dcg, round(idcg, 6) AS idcg,
+                   round(CASE WHEN idcg > 0 THEN dcg / idcg
+                              ELSE 0.0::DOUBLE END, 6) AS ndcg
+            FROM d JOIN i ON d.k = i.k ORDER BY k
         """,
         "taxonomy_closure": f"""
             WITH RECURSIVE {_GRAPH_PAIR_CTE},

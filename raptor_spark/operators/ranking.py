@@ -697,3 +697,64 @@ def sparse_more_like_this(
         .filter(F.col("rk") <= k)
         .select(F.col("a").alias("id"), F.col("b").alias("neighbor"), "cos", "rk")
     )
+
+
+def ndcg_at_k(
+    scored: DataFrame,
+    rel_col: str = "rel",
+    score_col: str = "score",
+    id_col: str = "id",
+    ks: tuple[int, ...] = (5, 10, 20),
+) -> DataFrame:
+    """(k, dcg, idcg, ndcg) retrieval-quality rows: NDCG@k of the system
+    ranking (score_col desc, id asc — callers pass a PRE-ROUNDED score so
+    the rank order is rounding-stable across engines) against integer
+    relevance grades in rel_col. The graded twin of the binary ROC-AUC
+    audit (reference analog: the search read path's ranked output,
+    api_document_search_with_cache.py:157-237, scored against labels).
+
+    Exactness discipline: gains 2^rel − 1 are computed with an integer
+    shift (never pow — the Math.pow 1-ulp pitfall), position discounts are
+    the only float op (gain / log2(rank+1)), and both rankings tie-break
+    on id, so the ranked PREFIX is engine-independent and the sum has
+    ≤ max(ks) terms.
+
+    Scale shape: the two top-max(ks) prefixes come from orderBy().limit()
+    — TakeOrderedAndProject, a per-partition bounded priority queue merged
+    on the driver, NEVER a global single-partition window over the scored
+    set. The window that assigns ranks runs over ≤ max(ks) rows."""
+    kmax = max(ks)
+    spark = scored.sparkSession
+    ks_df = spark.createDataFrame([(int(k),) for k in sorted(ks)], "k int")
+    gain = (
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {rel_col})") - F.lit(1)
+    ).cast("double")
+
+    def _prefix_dcg(order_cols: list, out_name: str) -> DataFrame:
+        top = scored.orderBy(*order_cols).limit(kmax)
+        w = Window.orderBy(*order_cols)
+        ranked = top.select(
+            gain.alias("g"), F.row_number().over(w).alias("r")
+        )
+        return (
+            ranked.crossJoin(F.broadcast(ks_df))
+            .filter(F.col("r") <= F.col("k"))
+            .groupBy("k")
+            .agg(
+                F.sum(
+                    F.col("g") / F.log2(F.col("r").cast("double") + F.lit(1.0))
+                ).alias(out_name)
+            )
+        )
+    dcg = _prefix_dcg([F.desc(score_col), F.asc(id_col)], "dcg")
+    idcg = _prefix_dcg([F.desc(rel_col), F.asc(id_col)], "idcg")
+    return (
+        dcg.join(idcg, "k")
+        .select(
+            "k", "dcg", "idcg",
+            F.when(F.col("idcg") > 0, F.col("dcg") / F.col("idcg"))
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+        )
+        .orderBy("k")
+    )

@@ -545,3 +545,50 @@ def test_cohen_kappa_hand_fixture(spark):
     assert got["n_a_only"] == 20 and got["n_b_only"] == 10
     assert abs(got["kappa"] - 0.4) < 1e-9
     assert abs(got["dice_overlap"] - 80 / 110) < 1e-6
+
+
+def test_ndcg_hand_computed(spark):
+    # 4 docs, system ranks by s desc: d1(rel2), d2(rel0), d3(rel3), d4(rel1)
+    # DCG@5 = 3/log2(2) + 0/log2(3) + 7/log2(4) + 1/log2(5)
+    # ideal order rel desc: 7/1 + 3/log2(3) + 1/log2(4) + 0
+    import math
+
+    from raptor_spark.operators.ranking import ndcg_at_k
+
+    df = spark.createDataFrame(
+        [(1, 2, 9.0), (2, 0, 8.0), (3, 3, 7.0), (4, 1, 6.0)],
+        "id long, rel int, s double",
+    )
+    rows = {r.k: r for r in ndcg_at_k(df, score_col="s", ks=(2, 5)).collect()}
+    dcg5 = 3.0 + 0.0 / math.log2(3) + 7.0 / 2.0 + 1.0 / math.log2(5)
+    idcg5 = 7.0 + 3.0 / math.log2(3) + 1.0 / 2.0
+    assert abs(rows[5].dcg - dcg5) < 1e-9
+    assert abs(rows[5].idcg - idcg5) < 1e-9
+    assert abs(rows[5].ndcg - dcg5 / idcg5) < 1e-9
+    # @2: system prefix d1,d2 → 3.0; ideal prefix d3,d1 → 7 + 3/log2(3)
+    assert abs(rows[2].dcg - 3.0) < 1e-9
+    assert abs(rows[2].idcg - (7.0 + 3.0 / math.log2(3))) < 1e-9
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    from raptor_spark.operators.ranking import ndcg_at_k
+
+    df = spark.createDataFrame(
+        [(i, 10 - i, float(100 - i)) for i in range(1, 8)],
+        "id long, rel int, s double",
+    )
+    for r in ndcg_at_k(df, score_col="s", ks=(3, 5)).collect():
+        assert abs(r.ndcg - 1.0) < 1e-12
+
+
+def test_ndcg_plan_uses_bounded_topk(spark):
+    # the prefixes must come from TakeOrderedAndProject (per-partition
+    # bounded priority queues), never a global window over the scored set
+    from raptor_spark.operators.ranking import ndcg_at_k
+
+    df = spark.createDataFrame(
+        [(i, i % 4, float(i % 97)) for i in range(500)],
+        "id long, rel int, s double",
+    )
+    plan = ndcg_at_k(df, score_col="s")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
