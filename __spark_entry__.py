@@ -4220,6 +4220,36 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (t = 0.3, sensitive attribute = source) over the
+    quasi-identifier (lang, 300-char length bucket) — the third
+    privacy gate: a class can be k-large AND l-diverse yet still leak if
+    its sensitive-value DISTRIBUTION diverges from the table's (e.g. 90%
+    one source where the corpus is uniform). Distance = Earth Mover's
+    Distance under equal ground distance, which for a categorical
+    attribute is the total-variation distance 0.5·Σ|p_v − q_v|. Exactness:
+    the violation verdict is decided in pure BIGINT arithmetic —
+    numer = Σ_v |N·cnt_cv − n_c·cnt_v| and the t=0.3 test is
+    numer·5 > 3·n_c·N — so no double cumulative drift can flip a class
+    across engines; only the reported max_tvd divides (same IEEE op both
+    sides, round 6). Scale: one class-keyed shuffle for cells/classes; the
+    global distribution (|sources| rows) and the 1-row total are broadcast
+    cross joins, so the class×value domain never shuffles the fact table
+    twice. Reference parity: the reference's privacy screen is
+    k-anonymity-only; this completes the standard k/l/t ladder."""
+    from raptor_spark.operators.profile import t_closeness_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        F.floor(F.col("n_chars") / 300).alias("len_bucket"),
+        "source",
+    )
+    return t_closeness_audit(
+        base, ["lang", "len_bucket"], "source", t_num=3, t_den=10
+    )
+
+
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-5-iteration PERSONALIZED PageRank on the near-dup graph with
     seed set {vertices with id % 10 == 0} (graph.personalized_pagerank) —
@@ -4462,6 +4492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_bias_auc": q_length_bias_auc,
         "filter_rule_kappa": q_filter_rule_kappa,
         "l_diversity": q_l_diversity,
+        "t_closeness": q_t_closeness,
         "graph_ppr": q_graph_ppr,
         "graph_walks": q_graph_walks,
     }
@@ -8900,6 +8931,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN l_val < 3 THEN cnt ELSE 0 END)
                         AS BIGINT) AS rows_at_risk
             FROM classes
+        """,
+        # t-closeness: violation decided in BIGINT (numer*5 > 3*n_c*N);
+        # sum(abs(...)) is HUGEINT in DuckDB -> CAST AS BIGINT before any
+        # arithmetic that reaches the hash; only max_tvd divides (::DOUBLE,
+        # same IEEE op as Spark, round 6).
+        "t_closeness": """
+            WITH base AS (
+              SELECT lang,
+                     CAST(floor(n_chars / 300) AS BIGINT) AS len_bucket,
+                     source
+              FROM documents
+            ),
+            classes AS (
+              SELECT lang, len_bucket, count(*) AS n_c
+              FROM base GROUP BY 1, 2
+            ),
+            cells AS (
+              SELECT lang, len_bucket, source, count(*) AS cnt_cv
+              FROM base GROUP BY 1, 2, 3
+            ),
+            gdist AS (SELECT source, count(*) AS cnt_v FROM base GROUP BY 1),
+            tot AS (SELECT count(*) AS n_total FROM base),
+            per_class AS (
+              SELECT c.lang, c.len_bucket, c.n_c, t.n_total,
+                     CAST(sum(abs(t.n_total * coalesce(ce.cnt_cv, 0)
+                                  - c.n_c * g.cnt_v)) AS BIGINT) AS numer
+              FROM classes c
+              CROSS JOIN gdist g
+              CROSS JOIN tot t
+              LEFT JOIN cells ce
+                ON ce.lang = c.lang AND ce.len_bucket = c.len_bucket
+               AND ce.source = g.source
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(sum(CASE WHEN numer * 5 > 3 * n_c * n_total
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_violating,
+                   CAST(sum(CASE WHEN numer * 5 > 3 * n_c * n_total
+                                 THEN n_c ELSE 0 END) AS BIGINT)
+                     AS rows_at_risk,
+                   round(max(numer::DOUBLE / (2 * n_c * n_total)), 6)
+                     AS max_tvd
+            FROM per_class
         """,
         # PPR replay: same reset mass (1.0/|seeds| division, (1.0 - 0.85)
         # literal arithmetic as the Spark lits), same full-outer domain

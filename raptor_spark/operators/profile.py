@@ -1227,3 +1227,69 @@ def cohen_kappa(
         ).alias("dice_overlap"),
         F.round(num.cast("double") / den.cast("double"), 6).alias("kappa"),
     )
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    class_cols: list[str],
+    sensitive_col: str,
+    t_num: int,
+    t_den: int,
+) -> DataFrame:
+    """t-closeness privacy audit: for each equivalence class (the rows
+    sharing ``class_cols``), the Earth Mover's Distance between the
+    class's ``sensitive_col`` distribution and the table's global one,
+    flagged when it exceeds t = t_num/t_den. For a categorical attribute
+    under equal ground distance the EMD is the total-variation distance
+    0.5·Σ_v|p_v − q_v| (Li et al., ICDE'07), which this computes exactly:
+    numer_c = Σ_v |N·cnt_cv − n_c·cnt_v| is pure BIGINT, and the verdict
+    is numer_c·t_den > 2·t_num·n_c·N — no floating point can flip a class
+    across engines (CLAUDE.md integer-exactness rule); only the reported
+    max_tvd performs a division.
+
+    Completes the k-anonymity / l-diversity / t-closeness ladder over the
+    reference's privacy screen (reference checks k only).
+
+    Scale: one class-keyed shuffle each for the class totals and the
+    class×value cells; the global value distribution (|domain(v)| rows)
+    and the 1-row N are broadcast, so the (classes × values) completion
+    domain — needed because a value ABSENT from a class still contributes
+    |0 − n_c·cnt_v| — is built broadcast-side and never reshuffles the
+    fact table. Returns a single audit row."""
+    base = df.select(*class_cols, sensitive_col)
+    classes = base.groupBy(*class_cols).agg(F.count("*").alias("n_c"))
+    cells = base.groupBy(*class_cols, sensitive_col).agg(
+        F.count("*").alias("cnt_cv")
+    )
+    gdist = base.groupBy(sensitive_col).agg(F.count("*").alias("cnt_v"))
+    total = base.agg(F.count("*").alias("n_total"))
+    per_class = (
+        classes.crossJoin(F.broadcast(gdist))
+        .crossJoin(F.broadcast(total))
+        .join(cells, [*class_cols, sensitive_col], "left")
+        .groupBy(*class_cols, "n_c", "n_total")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n_total") * F.coalesce(F.col("cnt_cv"), F.lit(0))
+                    - F.col("n_c") * F.col("cnt_v")
+                )
+            ).alias("numer")
+        )
+    )
+    viol = (
+        F.col("numer") * t_den
+        > 2 * t_num * F.col("n_c") * F.col("n_total")
+    )
+    return per_class.agg(
+        F.count("*").alias("n_classes"),
+        F.sum(viol.cast("long")).alias("n_violating"),
+        F.sum(F.when(viol, F.col("n_c")).otherwise(0)).alias("rows_at_risk"),
+        F.round(
+            F.max(
+                F.col("numer").cast("double")
+                / (F.lit(2) * F.col("n_c") * F.col("n_total"))
+            ),
+            6,
+        ).alias("max_tvd"),
+    )

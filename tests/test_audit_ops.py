@@ -1233,3 +1233,37 @@ def test_term_contexts_boundaries(spark):
         (1, 5): ("a b c", "d e"),
         (2, 4): ("x y z", ""),
     }
+
+
+def test_t_closeness_manual_tvd(spark):
+    """Hand-computed fixture: N=10, global A=6/B=4.
+    class en  (A3,B1): numer=|30-24|+|10-16|=12, tvd=12/80=0.15  -> ok
+    class fr  (A1,B3): numer=|10-24|+|30-16|=28, tvd=28/80=0.35  -> viol
+    class de  (A2)   : numer=|20-12|+|0-8|  =16, tvd=16/40=0.40  -> viol
+    at t=0.3; absent value B in class de must still contribute |0-n_c*cnt_v|."""
+    from raptor_spark.operators.profile import t_closeness_audit
+
+    rows = (
+        [("en", "A")] * 3 + [("en", "B")]
+        + [("fr", "A")] + [("fr", "B")] * 3
+        + [("de", "A")] * 2
+    )
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = t_closeness_audit(df, ["lang"], "source", t_num=3, t_den=10).collect()[0]
+    assert out.n_classes == 3
+    assert out.n_violating == 2
+    assert out.rows_at_risk == 6
+    assert abs(out.max_tvd - 0.4) < 1e-12
+
+
+def test_t_closeness_uniform_table_never_violates(spark):
+    """Every class mirrors the global distribution exactly -> all numer=0,
+    zero violations even at t=1/1000."""
+    from raptor_spark.operators.profile import t_closeness_audit
+
+    rows = [(lang, s) for lang in ("en", "fr", "de") for s in ("A", "B", "C")]
+    df = spark.createDataFrame(rows, "lang string, source string")
+    out = t_closeness_audit(df, ["lang"], "source", t_num=1, t_den=1000).collect()[0]
+    assert out.n_violating == 0
+    assert out.rows_at_risk == 0
+    assert out.max_tvd == 0.0

@@ -530,3 +530,24 @@ def test_session7_addition_plans_stay_clean(spark):
     assert "BroadcastHashJoin" in p, p[:800]
     p = plan_str(QUERIES["graph_adamic_adar"](spark, SF_DIR))
     assert "LeftAnti" in p, p[:800]
+
+
+def test_session8_9_addition_plans_stay_clean(spark):
+    """Sessions 8-9 additions: zero Python, no cartesians; t_closeness's
+    two 1-row/small-domain cross joins must plan as broadcast NLJs and the
+    class-cell completion join as a broadcast hash join (the fact table
+    shuffles only on the class key)."""
+    names = (
+        "graph_msf", "single_linkage_clusters", "taxonomy_closure",
+        "ndcg_audit", "t_closeness",
+    )
+    for name in names:
+        p = plan_str(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in p, name
+        assert "PythonUDF" not in p, name
+        assert "CartesianProduct" not in p, name
+    p = plan_str(QUERIES["t_closeness"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p, p[:800]
+    assert "BroadcastHashJoin" in p, p[:800]
+    p = plan_str(QUERIES["ndcg_audit"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p, p[:800]
