@@ -4250,6 +4250,23 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 4 rounds of BPE tokenizer training over the document corpus
+    (operators/text.bpe_merge_rounds) — the merge-table construction every
+    LLM tokenizer pipeline runs before the vocab ships. The corpus
+    collapses to a (word, freq) vocabulary first (the one corpus-scale
+    shuffle; Heaps-law-bounded), each merge is argmax'd on INTEGER counts
+    with a lexicographic tie-break, applied via sentinel substitution
+    whose left-to-right greedy non-overlap is identical in Spark and
+    DuckDB, and the best-pair rows are broadcast 1-row joins (never
+    collected). Output: the merge table itself plus the corpus symbol
+    count after each merge (the compression curve)."""
+    from raptor_spark.operators.text import bpe_merge_rounds
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_merge_rounds(docs, "text", n_rounds=4)
+
+
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-5-iteration PERSONALIZED PageRank on the near-dup graph with
     seed set {vertices with id % 10 == 0} (graph.personalized_pagerank) —
@@ -4493,6 +4510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_rule_kappa": q_filter_rule_kappa,
         "l_diversity": q_l_diversity,
         "t_closeness": q_t_closeness,
+        "bpe_merge_pairs": q_bpe_merge_pairs,
         "graph_ppr": q_graph_ppr,
         "graph_walks": q_graph_walks,
     }
@@ -4528,6 +4546,68 @@ def _ann_bucket_sql(src: str, id_expr: str, n_planes: int = 6,
             f" FROM {src}"
         )
     return " UNION ALL ".join(selects)
+
+
+def _bpe_oracle(n_rounds: int = 4) -> str:
+    """DuckDB replay of bpe_merge_rounds: identical vocabulary collapse,
+    identical integer argmax + lexicographic tie-break, identical
+    replace()-based greedy merge (both engines substitute non-overlapping
+    left-to-right). Every round's vocabulary CTE is referenced by the next
+    round AND the symbol-count audit -> MATERIALIZED (CLAUDE.md
+    CTE-inlining rule). sum() casts to BIGINT before the driver hash."""
+    parts = [
+        """w0 AS MATERIALIZED (
+          SELECT w, count(*) AS freq FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+            FROM documents)
+          WHERE regexp_full_match(w, '[a-z]+')
+          GROUP BY w
+        )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        sent = 160 + r  # chr(161)='\u00a1' onwards, matches _BPE_SENTINELS
+        parts.append(f"""p{r} AS MATERIALIZED (
+          SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+            SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, freq FROM (
+              SELECT w, freq, unnest(range(1, length(w))) AS i FROM w{r - 1}))
+          GROUP BY pair
+        )""")
+        parts.append(
+            f"b{r} AS MATERIALIZED "
+            f"(SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        parts.append(f"""w{r} AS MATERIALIZED (
+          SELECT replace(w, (SELECT pair FROM b{r}), chr({sent})) AS w, freq
+          FROM w{r - 1}
+        )""")
+        parts.append(
+            f"a{r} AS (SELECT CAST(sum(freq * length(w)) AS BIGINT) AS sa "
+            f"FROM w{r})"
+        )
+        exp = "pair"
+        for k in range(r - 1, 0, -1):
+            exp = f"replace({exp}, chr({160 + k}), (SELECT x FROM exp{k}))"
+        parts.append(f"exp{r} AS (SELECT {exp} AS x FROM b{r})")
+    selects = []
+    for r in range(1, n_rounds + 1):
+        def expand(pos: int) -> str:
+            e = f"substring((SELECT pair FROM b{r}), {pos}, 1)"
+            cases = "".join(
+                f" WHEN chr({160 + k}) THEN (SELECT x FROM exp{k})"
+                for k in range(1, r)
+            )
+            if not cases:
+                return e
+            return f"CASE {e}{cases} ELSE {e} END"
+        selects.append(f"""SELECT CAST({r} AS BIGINT) AS round,
+              {expand(1)} AS sym1,
+              {expand(2)} AS sym2,
+              (SELECT cnt FROM b{r}) AS cnt,
+              (SELECT sa FROM a{r}) AS symbols_after""")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + "\nUNION ALL\n".join(selects) + "\nORDER BY round"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8976,6 +9056,7 @@ def oracle_sql() -> dict[str, str]:
                      AS max_tvd
             FROM per_class
         """,
+        "bpe_merge_pairs": _bpe_oracle(4),
         # PPR replay: same reset mass (1.0/|seeds| division, (1.0 - 0.85)
         # literal arithmetic as the Spark lits), same full-outer domain
         # {seeds} ∪ {reached} per round. e/sd MATERIALIZED: e is referenced

@@ -644,3 +644,116 @@ def greedy_bigram_generate(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.select(F.col("grp").alias("source"), "step", "token")
+
+
+# Sentinel alphabet for bpe_merge_rounds: one single-char symbol per merge
+# round, outside [a-z] so it can never collide with corpus characters.
+_BPE_SENTINELS = "¡¢£¤¥¦§¨"
+
+
+def bpe_merge_rounds(
+    df: DataFrame, text_col: str, n_rounds: int = 3
+) -> DataFrame:
+    """First ``n_rounds`` iterations of byte-pair-encoding tokenizer
+    training (Sennrich et al., ACL'16) as a pure DataFrame computation —
+    the merge-table construction that real BPE trainers run over a web
+    corpus before the vocab ships.
+
+    The classic scale trick: the corpus collapses to a (word, freq) table
+    first (one corpus-scale shuffle; the vocabulary is Heaps-law-bounded),
+    and every merge round then runs over that vocabulary table only. A
+    merged symbol is re-encoded as a single sentinel character from
+    ``_BPE_SENTINELS`` — so "adjacent symbol pair" stays ``substring(w, i,
+    2)`` and applying a merge stays ``replace(w, pair, sentinel)``, whose
+    left-to-right non-overlapping semantics are exactly BPE's greedy merge
+    (and identical in Spark and DuckDB, which is what makes the oracle
+    replay bit-exact). The argmax merge per round is decided on integer
+    counts with a lexicographic tie-break — no floating point anywhere.
+    The best-pair row is broadcast back (1-row crossJoin), never
+    collected, so the whole n-round plan stays declarative.
+
+    Returns one row per round: (round, sym1, sym2, cnt, symbols_after)
+    where sym1/sym2 are the merged pair expanded back to raw characters
+    and symbols_after = Σ freq·|symbols(w)| tracks corpus compression.
+    """
+    if n_rounds > len(_BPE_SENTINELS):
+        raise ValueError("n_rounds exceeds the sentinel alphabet")
+    words = (
+        df.select(F.explode(words_col(F.col(text_col))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .persist()
+    )
+    wf = words
+    bests: list[DataFrame] = []
+    rows: list[DataFrame] = []
+    for r in range(n_rounds):
+        pairs = (
+            wf.filter(F.length("w") >= 2)
+            .select(
+                "freq",
+                "w",
+                F.explode(
+                    F.sequence(F.lit(1), F.length("w") - 1)
+                ).alias("i"),
+            )
+            .select(
+                "freq",
+                F.substring(F.col("w"), F.col("i"), F.lit(2)).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(1)
+        bests.append(best)
+        wf = (
+            wf.crossJoin(
+                F.broadcast(best.select(F.col("pair").alias("_mp")))
+            )
+            .withColumn(
+                "w",
+                F.replace(F.col("w"), F.col("_mp"), F.lit(_BPE_SENTINELS[r])),
+            )
+            .drop("_mp")
+        )
+        after = wf.agg(
+            F.sum(F.col("freq") * F.length("w")).alias("symbols_after")
+        )
+        rows.append(
+            best.crossJoin(after).select(
+                F.lit(r + 1).cast("long").alias("round"),
+                "pair",
+                "cnt",
+                "symbols_after",
+            )
+        )
+    out = rows[0]
+    for x in rows[1:]:
+        out = out.unionByName(x)
+    # Expand sentinel-encoded pairs back to raw characters, bottom-up:
+    # exp_r is sentinel-free, so replacement order across rounds is moot.
+    for r, b in enumerate(bests):
+        out = out.crossJoin(
+            F.broadcast(b.select(F.col("pair").alias(f"_p{r + 1}")))
+        )
+    exps: list[Column] = []
+    for r in range(n_rounds):
+        e = F.col(f"_p{r + 1}")
+        for k in range(r):
+            e = F.replace(e, F.lit(_BPE_SENTINELS[k]), exps[k])
+        exps.append(e)
+
+    def _expand_char(c: Column) -> Column:
+        out_c = c
+        for k in range(n_rounds):
+            out_c = F.when(c == _BPE_SENTINELS[k], exps[k]).otherwise(out_c)
+        return out_c
+
+    return out.select(
+        "round",
+        _expand_char(F.substring(F.col("pair"), 1, 1)).alias("sym1"),
+        _expand_char(F.substring(F.col("pair"), 2, 1)).alias("sym2"),
+        "cnt",
+        "symbols_after",
+    ).orderBy("round")

@@ -1267,3 +1267,29 @@ def test_t_closeness_uniform_table_never_violates(spark):
     assert out.n_violating == 0
     assert out.rows_at_risk == 0
     assert out.max_tvd == 0.0
+
+
+def test_bpe_merge_rounds_hand_corpus(spark):
+    """Corpus {the×3, cat, hat}: r1 pairs th:3 he:3 ca:1 at:2 ha:1 — tie
+    th/he broken lexicographically to (h,e); r2 must merge t+<he> (the
+    sentinel-expansion path); r3 falls back to (a,t). symbols_after
+    tracks 12 -> 9 -> 7."""
+    from raptor_spark.operators.text import bpe_merge_rounds
+
+    df = spark.createDataFrame([("the the cat",), ("the hat",)], "text string")
+    out = [tuple(r) for r in bpe_merge_rounds(df, "text", 3).collect()]
+    assert out == [
+        (1, "h", "e", 3, 12),
+        (2, "t", "he", 3, 9),
+        (3, "a", "t", 2, 7),
+    ]
+
+
+def test_bpe_merge_rounds_single_char_words_ignored(spark):
+    """Length-1 words contribute no pairs (the descending-F.sequence guard)
+    but still count in symbols_after."""
+    from raptor_spark.operators.text import bpe_merge_rounds
+
+    df = spark.createDataFrame([("a a a bb",)], "text string")
+    out = [tuple(r) for r in bpe_merge_rounds(df, "text", 1).collect()]
+    assert out == [(1, "b", "b", 1, 4)]

@@ -539,7 +539,7 @@ def test_session8_9_addition_plans_stay_clean(spark):
     shuffles only on the class key)."""
     names = (
         "graph_msf", "single_linkage_clusters", "taxonomy_closure",
-        "ndcg_audit", "t_closeness",
+        "ndcg_audit", "t_closeness", "bpe_merge_pairs",
     )
     for name in names:
         p = plan_str(QUERIES[name](spark, SF_DIR))
