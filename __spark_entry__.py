@@ -4267,6 +4267,55 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_rounds(docs, "text", n_rounds=4)
 
 
+def q_record_linkage_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage adjudication
+    (operators/dedup.fellegi_sunter_census) over length-bucket-blocked
+    candidate pairs of the bounded doc_id < 300 range: agreement features
+    = same lang / same source / same first word / |Δn_chars| ≤ 20, fixed
+    integer milli-weights, link ≥ 3500 > possible > 0 ≥ nonlink. The
+    output is the agreement-PATTERN census (≤ 2^4 rows, map-side
+    combinable) — the reviewer table of classical ER. Blocking is an
+    equi-join on the bucket key; every decision is integer-exact."""
+    from raptor_spark.operators.dedup import fellegi_sunter_census
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.floor(F.col("n_chars") / 100).alias("lb"),
+            F.substring_index(F.col("text"), " ", 1).alias("fw"),
+        )
+    )
+    a, b = d.alias("a"), d.alias("b")
+    feats = a.join(
+        b,
+        (F.col("a.lb") == F.col("b.lb"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        (F.col("a.lang") == F.col("b.lang")).alias("f_lang"),
+        (F.col("a.source") == F.col("b.source")).alias("f_source"),
+        (F.col("a.fw") == F.col("b.fw")).alias("f_firstword"),
+        (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 20).alias(
+            "f_len"
+        ),
+    )
+    return fellegi_sunter_census(
+        feats,
+        [
+            ("f_lang", 1585, -322),
+            ("f_source", 2322, -152),
+            ("f_firstword", 3000, -100),
+            ("f_len", 1000, -500),
+        ],
+        upper=3500,
+        lower=0,
+    )
+
+
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-5-iteration PERSONALIZED PageRank on the near-dup graph with
     seed set {vertices with id % 10 == 0} (graph.personalized_pagerank) —
@@ -4511,6 +4560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "t_closeness": q_t_closeness,
         "bpe_merge_pairs": q_bpe_merge_pairs,
+        "record_linkage_census": q_record_linkage_census,
         "graph_ppr": q_graph_ppr,
         "graph_walks": q_graph_walks,
     }
@@ -9057,6 +9107,43 @@ def oracle_sql() -> dict[str, str]:
             FROM per_class
         """,
         "bpe_merge_pairs": _bpe_oracle(4),
+        # Fellegi-Sunter pattern census: pure-integer scores/decisions;
+        # count(*) is BIGINT in DuckDB already, no HUGEINT sums here.
+        "record_linkage_census": """
+            WITH d AS (
+              SELECT doc_id, lang, source, n_chars,
+                     CAST(floor(n_chars / 100) AS BIGINT) AS lb,
+                     split_part(text, ' ', 1) AS fw
+              FROM documents WHERE doc_id < 300
+            ),
+            feats AS (
+              SELECT (a.lang = b.lang) AS f_lang,
+                     (a.source = b.source) AS f_source,
+                     (a.fw = b.fw) AS f_firstword,
+                     (abs(a.n_chars - b.n_chars) <= 20) AS f_len
+              FROM d a JOIN d b
+                ON a.lb = b.lb AND a.doc_id < b.doc_id
+            ),
+            census AS (
+              SELECT concat(CASE WHEN f_lang THEN '1' ELSE '0' END,
+                            CASE WHEN f_source THEN '1' ELSE '0' END,
+                            CASE WHEN f_firstword THEN '1' ELSE '0' END,
+                            CASE WHEN f_len THEN '1' ELSE '0' END) AS pattern,
+                     CAST(CASE WHEN f_lang THEN 1585 ELSE -322 END
+                        + CASE WHEN f_source THEN 2322 ELSE -152 END
+                        + CASE WHEN f_firstword THEN 3000 ELSE -100 END
+                        + CASE WHEN f_len THEN 1000 ELSE -500 END
+                        AS BIGINT) AS score,
+                     count(*) AS n_pairs
+              FROM feats GROUP BY 1, 2
+            )
+            SELECT pattern, score,
+                   CASE WHEN score >= 3500 THEN 'link'
+                        WHEN score > 0 THEN 'possible'
+                        ELSE 'nonlink' END AS decision,
+                   n_pairs
+            FROM census ORDER BY score DESC, pattern
+        """,
         # PPR replay: same reset mass (1.0/|seeds| division, (1.0 - 0.85)
         # literal arithmetic as the Spark lits), same full-outer domain
         # {seeds} ∪ {reached} per round. e/sd MATERIALIZED: e is referenced

@@ -1046,3 +1046,49 @@ def weighted_jaccard_pairs(
             ).alias("j_weighted"),
         )
     )
+
+
+def fellegi_sunter_census(
+    pairs: DataFrame,
+    features: list[tuple[str, int, int]],
+    upper: int,
+    lower: int,
+) -> DataFrame:
+    """Fellegi-Sunter record-linkage adjudication (JASA 1969) over a
+    candidate-pair table: each feature is a BOOLEAN agreement column with
+    fixed integer milli-weights (w_agree, w_disagree) ~ 1000·log2(m/u);
+    a pair's score is the sum of its pattern's weights, and the decision
+    is link (score ≥ upper) / possible (lower < score < upper) /
+    non-link. All arithmetic is INTEGER, so the decision boundary can
+    never flip across engines (CLAUDE.md exactness rule); the weights are
+    operator config, as in production linkers whose m/u come from a
+    separate labeled round.
+
+    Returns the PATTERN census, not per-pair rows: one row per observed
+    agreement pattern ('1'/'0' per feature, in order) with its score,
+    decision, and pair count — the table a linkage reviewer actually
+    reads, and a groupBy over at most 2^|features| keys regardless of
+    candidate volume (map-side combinable, so at 100 TB the shuffle
+    carries ≤ one row per pattern per task)."""
+    pattern = F.concat(
+        *[F.when(F.col(n), F.lit("1")).otherwise(F.lit("0")) for n, _, _ in features]
+    )
+    score = None
+    for n, w_a, w_d in features:
+        term = F.when(F.col(n), F.lit(w_a)).otherwise(F.lit(w_d))
+        score = term if score is None else score + term
+    scored = pairs.select(
+        pattern.alias("pattern"), score.cast("long").alias("score")
+    )
+    return (
+        scored.groupBy("pattern", "score")
+        .agg(F.count("*").alias("n_pairs"))
+        .withColumn(
+            "decision",
+            F.when(F.col("score") >= upper, F.lit("link"))
+            .when(F.col("score") > lower, F.lit("possible"))
+            .otherwise(F.lit("nonlink")),
+        )
+        .select("pattern", "score", "decision", "n_pairs")
+        .orderBy(F.col("score").desc(), "pattern")
+    )

@@ -1293,3 +1293,28 @@ def test_bpe_merge_rounds_single_char_words_ignored(spark):
     df = spark.createDataFrame([("a a a bb",)], "text string")
     out = [tuple(r) for r in bpe_merge_rounds(df, "text", 1).collect()]
     assert out == [(1, "b", "b", 1, 4)]
+
+
+def test_fellegi_sunter_census_boundaries(spark):
+    """Decision boundaries are integer-exact: score == upper is a link,
+    score == lower is a nonlink (possible requires strictly between);
+    pattern census groups identical patterns."""
+    from raptor_spark.operators.dedup import fellegi_sunter_census
+
+    rows = [
+        (True, True),    # 10 + 5 = 15  -> link (upper=15)
+        (True, True),
+        (True, False),   # 10 - 5 = 5   -> possible
+        (False, True),   # -10 + 5 = -5 -> nonlink
+        (False, False),  # -15          -> nonlink
+    ]
+    df = spark.createDataFrame(rows, "f1 boolean, f2 boolean")
+    out = [tuple(r) for r in fellegi_sunter_census(
+        df, [("f1", 10, -10), ("f2", 5, -5)], upper=15, lower=-5
+    ).collect()]
+    assert out == [
+        ("11", 15, "link", 2),
+        ("10", 5, "possible", 1),
+        ("01", -5, "nonlink", 1),
+        ("00", -15, "nonlink", 1),
+    ]
