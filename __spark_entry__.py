@@ -4316,6 +4316,27 @@ def q_record_linkage_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequential-pattern mining over per-user event streams
+    (operators/profile.frequent_sequences): every event_type trigram in a
+    user's (ts, event_id)-ordered stream, counted by occurrences and by
+    distinct-user support, kept when support strictly exceeds 3/4 of the
+    most supported pattern (relative min-support, decided in pure
+    integers: 4·n_keys > 3·max_support). One user-keyed window shuffle +
+    one pattern groupBy over a |types|^3-bounded key space."""
+    from raptor_spark.operators.profile import frequent_sequences
+
+    return frequent_sequences(
+        _t(spark, sf_dir, "events"),
+        ["user_id"],
+        ["ts", "event_id"],
+        "event_type",
+        k=3,
+        sup_num=3,
+        sup_den=4,
+    )
+
+
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-5-iteration PERSONALIZED PageRank on the near-dup graph with
     seed set {vertices with id % 10 == 0} (graph.personalized_pagerank) —
@@ -4561,6 +4582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_closeness": q_t_closeness,
         "bpe_merge_pairs": q_bpe_merge_pairs,
         "record_linkage_census": q_record_linkage_census,
+        "frequent_sequences": q_frequent_sequences,
         "graph_ppr": q_graph_ppr,
         "graph_walks": q_graph_walks,
     }
@@ -9107,6 +9129,30 @@ def oracle_sql() -> dict[str, str]:
             FROM per_class
         """,
         "bpe_merge_pairs": _bpe_oracle(4),
+        "frequent_sequences": """
+            WITH g AS (
+              SELECT user_id, event_type AS t0,
+                     lead(event_type, 1) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+                     lead(event_type, 2) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS t2
+              FROM events
+            ),
+            s AS (
+              SELECT t0 || '>' || t1 || '>' || t2 AS seq, user_id
+              FROM g WHERE t2 IS NOT NULL
+            ),
+            census AS (
+              SELECT seq, count(*) AS n_occurrences,
+                     count(DISTINCT user_id) AS n_keys
+              FROM s GROUP BY 1
+            ),
+            m AS (SELECT max(n_keys) AS max_sup FROM census)
+            SELECT seq, n_keys, n_occurrences
+            FROM census, m
+            WHERE n_keys * 4 > 3 * max_sup
+            ORDER BY n_keys DESC, seq
+        """,
         # Fellegi-Sunter pattern census: pure-integer scores/decisions;
         # count(*) is BIGINT in DuckDB already, no HUGEINT sums here.
         "record_linkage_census": """

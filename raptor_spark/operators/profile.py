@@ -1293,3 +1293,48 @@ def t_closeness_audit(
             6,
         ).alias("max_tvd"),
     )
+
+
+def frequent_sequences(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+    k: int = 3,
+    sup_num: int = 3,
+    sup_den: int = 4,
+) -> DataFrame:
+    """Contiguous sequential-pattern mining (the GSP/PrefixSpan family
+    restricted to gap-0 patterns): every length-``k`` run of
+    ``state_col`` within a key's ``order_cols``-ordered stream, counted
+    by occurrences AND by distinct-key support, keeping patterns whose
+    support is at least sup_num/sup_den of the most supported pattern.
+    The relative-min-support verdict is decided as
+    sup_den·n_keys > sup_num·max_support in pure integers.
+
+    Scale: one window shuffle on the key (the k−1 lead()s share a single
+    sort), one pattern-keyed groupBy (map-side combinable — the pattern
+    space is |states|^k, not row count), and the max-support row is a
+    broadcast 1-row crossJoin. No collect, no floating point."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    steps = [F.col(state_col)] + [
+        F.lead(state_col, i).over(w) for i in range(1, k)
+    ]
+    seqs = df.select(
+        *key_cols, F.concat_ws(">", *steps).alias("seq"), steps[-1].alias("_last")
+    ).filter(F.col("_last").isNotNull())
+    census = seqs.groupBy("seq").agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct(*[F.col(c) for c in key_cols]).alias("n_keys"),
+    )
+    top = census.agg(F.max("n_keys").alias("_max_sup"))
+    return (
+        census.crossJoin(F.broadcast(top))
+        .filter(
+            F.col("n_keys") * sup_den > F.lit(sup_num) * F.col("_max_sup")
+        )
+        .select("seq", "n_keys", "n_occurrences")
+        .orderBy(F.col("n_keys").desc(), "seq")
+    )

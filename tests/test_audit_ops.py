@@ -1318,3 +1318,18 @@ def test_fellegi_sunter_census_boundaries(spark):
         ("01", -5, "nonlink", 1),
         ("00", -15, "nonlink", 1),
     ]
+
+
+def test_frequent_sequences_planted(spark):
+    """Users A=[x,y,z,x,y,z], B=[x,y,z]: trigram x>y>z has support 2 /
+    3 occurrences; every other trigram has support 1 and must be pruned
+    by the relative min-support 4·nu > 3·max_sup (max_sup=2)."""
+    from raptor_spark.operators.profile import frequent_sequences
+
+    rows = [("A", i, t) for i, t in enumerate(["x", "y", "z", "x", "y", "z"])]
+    rows += [("B", i, t) for i, t in enumerate(["x", "y", "z"])]
+    df = spark.createDataFrame(rows, "u string, pos long, t string")
+    out = [tuple(r) for r in frequent_sequences(
+        df, ["u"], ["pos"], "t", k=3, sup_num=3, sup_den=4
+    ).collect()]
+    assert out == [("x>y>z", 2, 3)]
