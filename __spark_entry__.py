@@ -4337,6 +4337,26 @@ def q_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell simplified silhouette of the embedding_clusters k-means
+    partitioning (operators/similarity.kmeans_silhouette): a = cosine
+    distance to own centroid, b = to second-nearest, s = (b−a)/max(a,b)
+    — the O(n·k) clustering-quality audit (full silhouette is O(n²)
+    pairwise and can't ship at corpus scale). Same broadcast-codebook
+    map-only shape as assignment; identical codebook to
+    embedding_clusters (n_cells=8, iters=2, lowest-id seed), so the
+    oracle replays the shared _KMEANS8_CTE Lloyd loop and takes rn=1/rn=2
+    of the same scored window."""
+    from raptor_spark.operators.similarity import kmeans_silhouette
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return kmeans_silhouette(
+        emb, n_cells=8, corpus_id="vec_id", vec="v", iters=2, seed_order="id"
+    )
+
+
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-5-iteration PERSONALIZED PageRank on the near-dup graph with
     seed set {vertices with id % 10 == 0} (graph.personalized_pagerank) —
@@ -4583,6 +4603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_pairs": q_bpe_merge_pairs,
         "record_linkage_census": q_record_linkage_census,
         "frequent_sequences": q_frequent_sequences,
+        "cluster_silhouette": q_cluster_silhouette,
         "graph_ppr": q_graph_ppr,
         "graph_walks": q_graph_walks,
     }
@@ -4618,6 +4639,58 @@ def _ann_bucket_sql(src: str, id_expr: str, n_planes: int = 6,
             f" FROM {src}"
         )
     return " UNION ALL ".join(selects)
+
+
+# Shared DuckDB replay of the 2-iteration lowest-id-seeded 8-cell Lloyd
+# loop (embedding_clusters & kmeans_silhouette use the identical
+# codebook): e = corpus, c2 = final unit centroids.
+_KMEANS8_CTE = """WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), s AS (
+              SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+              FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+            ), c0 AS (
+              SELECT cell, [x / sqrt(list_dot_product(v, v)) FOR x IN v] AS c
+              FROM s
+            ), a0 AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c0.cell,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.v, c0.c) DESC, c0.cell DESC
+                       ) AS rn
+                FROM e, c0) WHERE rn = 1
+            ), m0 AS (
+              SELECT cell, pos, avg(x) AS mx FROM (
+                SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+                FROM a0) GROUP BY cell, pos
+            ), n0 AS (
+              SELECT cell, list(mx ORDER BY pos) AS mv FROM m0 GROUP BY cell
+            ), c1 AS (
+              SELECT c0.cell,
+                     COALESCE([x / sqrt(list_dot_product(n0.mv, n0.mv))
+                               FOR x IN n0.mv], c0.c) AS c
+              FROM c0 LEFT JOIN n0 ON c0.cell = n0.cell
+            ), a1 AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c1.cell,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.v, c1.c) DESC, c1.cell DESC
+                       ) AS rn
+                FROM e, c1) WHERE rn = 1
+            ), m1 AS (
+              SELECT cell, pos, avg(x) AS mx FROM (
+                SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+                FROM a1) GROUP BY cell, pos
+            ), n1 AS (
+              SELECT cell, list(mx ORDER BY pos) AS mv FROM m1 GROUP BY cell
+            ), c2 AS (
+              SELECT c1.cell,
+                     COALESCE([x / sqrt(list_dot_product(n1.mv, n1.mv))
+                               FOR x IN n1.mv], c1.c) AS c
+              FROM c1 LEFT JOIN n1 ON c1.cell = n1.cell
+            )"""
 
 
 def _bpe_oracle(n_rounds: int = 4) -> str:
@@ -6990,54 +7063,8 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT l_partkey FROM a EXCEPT SELECT l_partkey FROM b)
             ORDER BY op, l_partkey
         """,
-        "embedding_clusters": """
-            WITH e AS (
-              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-            ), s AS (
-              SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS cell
-              FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
-            ), c0 AS (
-              SELECT cell, [x / sqrt(list_dot_product(v, v)) FOR x IN v] AS c
-              FROM s
-            ), a0 AS (
-              SELECT vec_id, v, cell FROM (
-                SELECT e.vec_id, e.v, c0.cell,
-                       row_number() OVER (
-                         PARTITION BY e.vec_id
-                         ORDER BY list_dot_product(e.v, c0.c) DESC, c0.cell DESC
-                       ) AS rn
-                FROM e, c0) WHERE rn = 1
-            ), m0 AS (
-              SELECT cell, pos, avg(x) AS mx FROM (
-                SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos
-                FROM a0) GROUP BY cell, pos
-            ), n0 AS (
-              SELECT cell, list(mx ORDER BY pos) AS mv FROM m0 GROUP BY cell
-            ), c1 AS (
-              SELECT c0.cell,
-                     COALESCE([x / sqrt(list_dot_product(n0.mv, n0.mv))
-                               FOR x IN n0.mv], c0.c) AS c
-              FROM c0 LEFT JOIN n0 ON c0.cell = n0.cell
-            ), a1 AS (
-              SELECT vec_id, v, cell FROM (
-                SELECT e.vec_id, e.v, c1.cell,
-                       row_number() OVER (
-                         PARTITION BY e.vec_id
-                         ORDER BY list_dot_product(e.v, c1.c) DESC, c1.cell DESC
-                       ) AS rn
-                FROM e, c1) WHERE rn = 1
-            ), m1 AS (
-              SELECT cell, pos, avg(x) AS mx FROM (
-                SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos
-                FROM a1) GROUP BY cell, pos
-            ), n1 AS (
-              SELECT cell, list(mx ORDER BY pos) AS mv FROM m1 GROUP BY cell
-            ), c2 AS (
-              SELECT c1.cell,
-                     COALESCE([x / sqrt(list_dot_product(n1.mv, n1.mv))
-                               FOR x IN n1.mv], c1.c) AS c
-              FROM c1 LEFT JOIN n1 ON c1.cell = n1.cell
-            )
+        "embedding_clusters": f"""
+            {_KMEANS8_CTE}
             SELECT vec_id, cell,
                    round(list_dot_product(v, c) / sqrt(list_dot_product(v, v)),
                          4) AS cosine
@@ -9129,6 +9156,40 @@ def oracle_sql() -> dict[str, str]:
             FROM per_class
         """,
         "bpe_merge_pairs": _bpe_oracle(4),
+        # Silhouette over the SAME Lloyd replay: rn=1 -> own cell (a),
+        # rn=2 -> second-nearest (b); 0.0::DOUBLE guards the decimal-
+        # literal pitfall; the degenerate max(a,b)=0 is guarded in the
+        # expression (ANSI rule) on both sides.
+        "cluster_silhouette": f"""
+            {_KMEANS8_CTE},
+            scored AS (
+              SELECT e.vec_id, c2.cell,
+                     1 - list_dot_product(e.v, c2.c)
+                         / sqrt(list_dot_product(e.v, e.v)) AS dist,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, c2.c) DESC, c2.cell DESC
+                     ) AS rn
+              FROM e, c2
+            ),
+            ab AS (
+              SELECT f1.vec_id, f1.cell, f1.dist AS a, f2.dist AS b
+              FROM scored f1
+              JOIN scored f2 ON f1.vec_id = f2.vec_id AND f2.rn = 2
+              WHERE f1.rn = 1
+            ),
+            silv AS (
+              SELECT cell,
+                     CASE WHEN greatest(a, b) > 0
+                          THEN (b - a) / greatest(a, b)
+                          ELSE 0.0::DOUBLE END AS sil
+              FROM ab
+            )
+            SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+                   round(avg(sil), 4) AS mean_sil,
+                   round(min(sil), 4) AS min_sil
+            FROM silv GROUP BY cell ORDER BY cell
+        """,
         "frequent_sequences": """
             WITH g AS (
               SELECT user_id, event_type AS t0,

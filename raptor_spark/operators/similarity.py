@@ -1007,3 +1007,47 @@ def pq_quantize(
         cols.append(best["cid"].alias(f"code_{m}"))
         err_total = best["e"] if err_total is None else err_total + best["e"]
     return corpus.select(*cols, err_total.alias("recon_err"))
+
+
+def kmeans_silhouette(
+    corpus: DataFrame,
+    n_cells: int,
+    corpus_id: str = "id",
+    vec: str = "vec",
+    iters: int = 1,
+    seed_order: str = "hash",
+) -> DataFrame:
+    """Per-cell simplified (centroid-based) silhouette of the
+    kmeans_clusters partitioning — the O(n·k) clustering-quality audit
+    (full silhouette is O(n²) pairwise and cannot ship at corpus scale;
+    the centroid form is the standard large-n substitute, e.g. sklearn's
+    simplified_silhouette). For each vector: a = cosine distance to its
+    own (nearest) centroid, b = distance to the second-nearest, s =
+    (b−a)/max(a,b) ∈ [0,1]; per-cell mean/min summarize cohesion vs
+    separation margin. Same broadcast-codebook shape as assignment: one
+    map-only pass over the corpus, then a k-row groupBy — zero extra
+    shuffles beyond the cell key. The max(a,b)=0 degenerate (vector ==
+    centroid in a 1-cell tie) is guarded in the expression itself (ANSI
+    rule), not by a downstream filter."""
+    cents = ivf_centroids(
+        corpus, n_cells, corpus_id, vec, kmeans_iters=iters,
+        seed_order=seed_order,
+    )
+    v = F.col(vec)
+    scored = _scored_cells(v, cents)
+    best, second = scored[0], scored[1]
+    a = F.lit(1.0) - best["d"] / norm_col(v)
+    b = F.lit(1.0) - second["d"] / norm_col(v)
+    sil = F.when(
+        F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
+    ).otherwise(F.lit(0.0))
+    return (
+        corpus.select(best["cid"].alias("cell"), sil.alias("sil"))
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("sil"), 4).alias("mean_sil"),
+            F.round(F.min("sil"), 4).alias("min_sil"),
+        )
+        .orderBy("cell")
+    )

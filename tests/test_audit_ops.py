@@ -1333,3 +1333,34 @@ def test_frequent_sequences_planted(spark):
         df, ["u"], ["pos"], "t", k=3, sup_num=3, sup_den=4
     ).collect()]
     assert out == [("x>y>z", 2, 3)]
+
+
+def test_kmeans_silhouette_separated_clusters(spark):
+    """Two orthogonal bundles -> every vector's own-centroid distance is
+    tiny vs the cross-centroid distance, so mean silhouette ~ 1."""
+    from raptor_spark.operators.similarity import kmeans_silhouette
+
+    rows = [(0, [1.0, 0.01]), (1, [1.0, -0.01]), (2, [0.99, 0.0]),
+            (3, [0.01, 1.0]), (4, [-0.01, 1.0]), (5, [0.0, 0.99])]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    out = kmeans_silhouette(df, 2, corpus_id="id", vec="vec",
+                            iters=2, seed_order="id").collect()
+    assert len(out) == 2
+    assert sum(r.n_vecs for r in out) == 6
+    for r in out:
+        assert r.mean_sil > 0.9, out
+        assert r.min_sil > 0.9, out
+
+
+def test_kmeans_silhouette_degenerate_identical_vectors(spark):
+    """All-identical corpus: both centroids coincide, max(a,b)=0 -> the
+    in-expression guard yields silhouette 0, not DIVIDE_BY_ZERO/NaN."""
+    from raptor_spark.operators.similarity import kmeans_silhouette
+
+    df = spark.createDataFrame([(i, [1.0, 1.0]) for i in range(4)],
+                               "id long, vec array<double>")
+    out = kmeans_silhouette(df, 2, corpus_id="id", vec="vec",
+                            iters=1, seed_order="id").collect()
+    assert sum(r.n_vecs for r in out) == 4
+    for r in out:
+        assert r.mean_sil == 0.0 and r.min_sil == 0.0, out

@@ -540,7 +540,7 @@ def test_session8_9_addition_plans_stay_clean(spark):
     names = (
         "graph_msf", "single_linkage_clusters", "taxonomy_closure",
         "ndcg_audit", "t_closeness", "bpe_merge_pairs",
-        "record_linkage_census", "frequent_sequences",
+        "record_linkage_census", "frequent_sequences", "cluster_silhouette",
     )
     for name in names:
         p = plan_str(QUERIES[name](spark, SF_DIR))
