@@ -4357,6 +4357,23 @@ def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram / ECE audit (operators/profile.
+    calibration_buckets): props.k (typed-JSON extracted, 0..99) read as a
+    predicted probability in integer cents that the event is high-value
+    (value > 30.0), bucketed into 10 confidence bins; the per-bucket
+    calibration gap |100·n_pos − Σk| stays in exact integers (the ECE
+    numerator), conf/acc divide only for display. One ≤10-key map-side
+    groupBy."""
+    from raptor_spark.operators.profile import calibration_buckets
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.from_json(F.col("props"), "k INT")["k"].alias("k"),
+        (F.col("value") > 30.0).alias("hi"),
+    )
+    return calibration_buckets(ev, "k", "hi", n_buckets=10)
+
+
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-5-iteration PERSONALIZED PageRank on the near-dup graph with
     seed set {vertices with id % 10 == 0} (graph.personalized_pagerank) —
@@ -4604,6 +4621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage_census": q_record_linkage_census,
         "frequent_sequences": q_frequent_sequences,
         "cluster_silhouette": q_cluster_silhouette,
+        "calibration_audit": q_calibration_audit,
         "graph_ppr": q_graph_ppr,
         "graph_walks": q_graph_walks,
     }
@@ -9156,6 +9174,24 @@ def oracle_sql() -> dict[str, str]:
             FROM per_class
         """,
         "bpe_merge_pairs": _bpe_oracle(4),
+        "calibration_audit": """
+            WITH b AS (
+              SELECT CAST(floor(k * 10 / 100) AS BIGINT) AS bucket, k,
+                     CASE WHEN value > 30.0 THEN 1 ELSE 0 END AS o
+              FROM (
+                SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, value
+                FROM events)
+              WHERE k IS NOT NULL
+            )
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(o) AS BIGINT) AS n_pos,
+                   round(CAST(sum(k) AS BIGINT)::DOUBLE
+                         / (100 * count(*)), 6) AS conf,
+                   round(CAST(sum(o) AS BIGINT)::DOUBLE / count(*), 6)
+                     AS acc,
+                   CAST(abs(100 * sum(o) - sum(k)) AS BIGINT) AS gap_scaled
+            FROM b GROUP BY bucket ORDER BY bucket
+        """,
         # Silhouette over the SAME Lloyd replay: rn=1 -> own cell (a),
         # rn=2 -> second-nearest (b); 0.0::DOUBLE guards the decimal-
         # literal pitfall; the degenerate max(a,b)=0 is guarded in the

@@ -1338,3 +1338,57 @@ def frequent_sequences(
         .select("seq", "n_keys", "n_occurrences")
         .orderBy(F.col("n_keys").desc(), "seq")
     )
+
+
+def calibration_buckets(
+    df: DataFrame,
+    score_cents_col: str,
+    outcome_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Reliability-diagram / expected-calibration-error audit of an
+    integer-cents probability score (0..100) against a boolean outcome —
+    the standard screen for whether a model's confidence means anything
+    before its scores gate a data pipeline. Per bucket b =
+    min(floor(score·n_buckets/100), n_buckets−1) — the clamp keeps a
+    perfect score=100 in the top bin: event count, positive count, mean
+    confidence, empirical accuracy, and the calibration gap in EXACT
+    integer cents: gap_scaled = |100·n_pos − Σscore| (the ECE numerator;
+    |acc_b − conf_b| = gap_scaled/(100·n_b), and ECE =
+    Σ_b gap_scaled_b/(100·N)) — so which bucket is worst, and by how
+    much, is decided with no floating point. One map-side-combinable
+    groupBy over ≤ n_buckets keys; conf/acc divide only for display
+    (round 6)."""
+    s = F.col(score_cents_col)
+    base = df.filter(s.isNotNull()).select(
+        F.least(
+            F.floor(s * n_buckets / F.lit(100)), F.lit(n_buckets - 1)
+        ).cast("long").alias("bucket"),
+        s.cast("long").alias("s"),
+        F.col(outcome_col).cast("long").alias("o"),
+    )
+    return (
+        base.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("o").alias("n_pos"),
+            F.sum("s").alias("sum_score"),
+        )
+        .select(
+            "bucket",
+            "n_events",
+            "n_pos",
+            F.round(
+                F.col("sum_score").cast("double")
+                / (F.lit(100) * F.col("n_events")),
+                6,
+            ).alias("conf"),
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n_events"), 6
+            ).alias("acc"),
+            F.abs(100 * F.col("n_pos") - F.col("sum_score")).alias(
+                "gap_scaled"
+            ),
+        )
+        .orderBy("bucket")
+    )

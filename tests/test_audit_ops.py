@@ -1364,3 +1364,28 @@ def test_kmeans_silhouette_degenerate_identical_vectors(spark):
     assert sum(r.n_vecs for r in out) == 4
     for r in out:
         assert r.mean_sil == 0.0 and r.min_sil == 0.0, out
+
+
+def test_calibration_buckets_hand_counts(spark):
+    """scores {5:+,5:-} -> bucket 0: conf .05, acc .5, gap |100-10|=90;
+    score 95:+ -> bucket 9 gap |100-95|=5; score 100 clamps to bucket 9."""
+    from raptor_spark.operators.profile import calibration_buckets
+
+    rows = [(5, True), (5, False), (95, True), (100, True)]
+    df = spark.createDataFrame(rows, "s long, o boolean")
+    out = [tuple(r) for r in calibration_buckets(df, "s", "o", 10).collect()]
+    assert out == [
+        (0, 2, 1, 0.05, 0.5, 90),
+        (9, 2, 2, 0.975, 1.0, 5),
+    ]
+
+
+def test_calibration_buckets_perfectly_calibrated(spark):
+    """A bucket whose positive rate equals its mean confidence has
+    gap_scaled == 0 exactly."""
+    from raptor_spark.operators.profile import calibration_buckets
+
+    rows = [(50, True), (50, False)]  # conf .5, acc .5
+    df = spark.createDataFrame(rows, "s long, o boolean")
+    out = [tuple(r) for r in calibration_buckets(df, "s", "o", 10).collect()]
+    assert out == [(5, 2, 1, 0.5, 0.5, 0)]
