@@ -4374,6 +4374,20 @@ def q_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return calibration_buckets(ev, "k", "hi", n_buckets=10)
 
 
+def q_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf rank-frequency audit (operators/text.zipf_audit):
+    OLS fit of ln(freq) on ln(rank) over each source's top-50 words —
+    natural text tracks slope ≈ −1; a source off the corpus band is
+    template spam or machine-generated (standard pretraining screen).
+    Deterministic ranking (freq DESC, word ASC), moment-sum regression
+    with x·x (never pow), degenerate variance guarded in-expression."""
+    from raptor_spark.operators.text import zipf_audit
+
+    return zipf_audit(
+        _t(spark, sf_dir, "documents"), "text", "source", top_r=50
+    )
+
+
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-5-iteration PERSONALIZED PageRank on the near-dup graph with
     seed set {vertices with id % 10 == 0} (graph.personalized_pagerank) —
@@ -4622,6 +4636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_sequences": q_frequent_sequences,
         "cluster_silhouette": q_cluster_silhouette,
         "calibration_audit": q_calibration_audit,
+        "zipf_audit": q_zipf_audit,
         "graph_ppr": q_graph_ppr,
         "graph_walks": q_graph_walks,
     }
@@ -9174,6 +9189,40 @@ def oracle_sql() -> dict[str, str]:
             FROM per_class
         """,
         "bpe_merge_pairs": _bpe_oracle(4),
+        "zipf_audit": """
+            WITH freq AS (
+              SELECT g, w, count(*) AS f FROM (
+                SELECT source AS g,
+                       unnest(regexp_split_to_array(lower(trim(text)),
+                              '\\s+')) AS w
+                FROM documents)
+              WHERE regexp_full_match(w, '[a-z]+')
+              GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT g, ln(r::DOUBLE) AS x, ln(f::DOUBLE) AS y FROM (
+                SELECT g, f, w,
+                       row_number() OVER (
+                         PARTITION BY g ORDER BY f DESC, w ASC) AS r
+                FROM freq) WHERE r <= 50
+            ),
+            m AS (
+              SELECT g, count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy,
+                     sum(x * y) AS sxy
+              FROM ranked GROUP BY g
+            )
+            SELECT g AS source, CAST(n AS BIGINT) AS n_ranks,
+                   round(CASE WHEN n * sxx - sx * sx > 0
+                         THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                         END, 6) + 0.0 AS zipf_slope,
+                   round(CASE WHEN n * sxx - sx * sx > 0
+                               AND n * syy - sy * sy > 0
+                         THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                              / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                         ELSE 0.0::DOUBLE END, 6) AS r2
+            FROM m ORDER BY source
+        """,
         "calibration_audit": """
             WITH b AS (
               SELECT CAST(floor(k * 10 / 100) AS BIGINT) AS bucket, k,

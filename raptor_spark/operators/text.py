@@ -757,3 +757,59 @@ def bpe_merge_rounds(
         "cnt",
         "symbols_after",
     ).orderBy("round")
+
+
+def zipf_audit(
+    df: DataFrame, text_col: str, group_col: str, top_r: int = 50
+) -> DataFrame:
+    """Zipf rank-frequency audit per group: OLS fit of ln(freq) on
+    ln(rank) over each group's ``top_r`` most frequent words — natural
+    text tracks slope ≈ −1, and a source whose slope or R² breaks from
+    the corpus band is machine-generated, boilerplate-flooded, or
+    template spam (a standard pretraining-corpus screen). Ranking is
+    deterministic (freq DESC, word ASC) so both engines pick identical
+    rank→word assignments; the regression runs on the moment sums
+    (Σx, Σy, Σxx, Σyy, Σxy with x·x, never pow — CLAUDE.md), guarded
+    in-expression for degenerate variance. Shape: one (group, word)
+    shuffle, a per-group top-r window over word-frequency rows (not the
+    corpus), then a group-keyed 1-row-per-group agg."""
+    from pyspark.sql.window import Window
+
+    freq = (
+        df.select(F.col(group_col).alias("g"),
+                  F.explode(words_col(F.col(text_col))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("g", "w")
+        .agg(F.count("*").alias("f"))
+    )
+    win = Window.partitionBy("g").orderBy(F.col("f").desc(), F.col("w").asc())
+    ranked = (
+        freq.withColumn("r", F.row_number().over(win))
+        .filter(F.col("r") <= top_r)
+        .select(
+            "g",
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("f").cast("double")).alias("y"),
+        )
+    )
+    m = ranked.groupBy("g").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    sxx_c = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    syy_c = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    sxy_c = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(sxx_c > 0, sxy_c / sxx_c)
+    r2 = F.when(
+        (sxx_c > 0) & (syy_c > 0), (sxy_c * sxy_c) / (sxx_c * syy_c)
+    ).otherwise(F.lit(0.0))
+    return m.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_ranks"),
+        (F.round(slope, 6) + 0.0).alias("zipf_slope"),
+        F.round(r2, 6).alias("r2"),
+    ).orderBy(group_col)

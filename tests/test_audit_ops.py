@@ -1389,3 +1389,28 @@ def test_calibration_buckets_perfectly_calibrated(spark):
     df = spark.createDataFrame(rows, "s long, o boolean")
     out = [tuple(r) for r in calibration_buckets(df, "s", "o", 10).collect()]
     assert out == [(5, 2, 1, 0.5, 0.5, 0)]
+
+
+def test_zipf_audit_exact_power_law(spark):
+    """Frequencies 96/48/32 = 96/r: ln f = ln 96 − ln r exactly, so the
+    OLS fit must return slope −1, R² 1 (at round-6)."""
+    from raptor_spark.operators.text import zipf_audit
+
+    text = " ".join(["aa"] * 96 + ["bb"] * 48 + ["cc"] * 32)
+    df = spark.createDataFrame([("s1", text)], "src string, text string")
+    out = [tuple(r) for r in zipf_audit(df, "text", "src", top_r=50).collect()]
+    assert out == [("s1", 3, -1.0, 1.0)]
+
+
+def test_zipf_audit_degenerate_variance(spark):
+    """Uniform frequencies -> zero y-variance -> slope 0 (not −0), R² 0;
+    a single word -> zero x-variance -> NULL slope, R² 0."""
+    from raptor_spark.operators.text import zipf_audit
+
+    df = spark.createDataFrame(
+        [("u", "aa bb cc"), ("one", "zz zz zz")], "src string, text string"
+    )
+    out = {r.src: r for r in zipf_audit(df, "text", "src", top_r=50).collect()}
+    assert out["u"].zipf_slope == 0.0 and str(out["u"].zipf_slope) == "0.0"
+    assert out["u"].r2 == 0.0
+    assert out["one"].zipf_slope is None and out["one"].r2 == 0.0
