@@ -4339,7 +4339,8 @@ def q_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell simplified silhouette of the embedding_clusters k-means
-    partitioning (operators/similarity.kmeans_silhouette): a = cosine
+    partitioning (operators/similarity.kmeans_silhouette) — the
+    learned-cluster companion to the label-based embedding_silhouette: a = cosine
     distance to own centroid, b = to second-nearest, s = (b−a)/max(a,b)
     — the O(n·k) clustering-quality audit (full silhouette is O(n²)
     pairwise and can't ship at corpus scale). Same broadcast-codebook
@@ -4375,7 +4376,8 @@ def q_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source Zipf rank-frequency audit (operators/text.zipf_audit):
+    """Per-source Zipf rank-frequency audit (operators/text.zipf_audit)
+    — the grouped companion to the corpus-global zipf_fit:
     OLS fit of ln(freq) on ln(rank) over each source's top-50 words —
     natural text tracks slope ≈ −1; a source off the corpus band is
     template spam or machine-generated (standard pretraining screen).
@@ -4386,6 +4388,31 @@ def q_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_audit(
         _t(spark, sf_dir, "documents"), "text", "source", top_r=50
     )
+
+
+def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark distance-sketch table over the near-dup graph
+    (operators/graph.landmark_distances): exact hop distance from every
+    landmark (id % 7 == 0) to every vertex within 4 hops — the |L|-BFS
+    substitute for an all-pairs distance oracle (d(u,v) ≈ min over
+    landmarks of d(u,lm)+d(lm,v)). Integer distances end to end; the
+    oracle is DuckDB's recursive least-fixpoint over the same edge CTE,
+    a different evaluation strategy that must agree exactly."""
+    from raptor_spark.operators.graph import landmark_distances, symmetrize
+
+    edges = _jaccard_edge_set(spark, sf_dir)
+    landmarks = (
+        symmetrize(edges)
+        .select(F.col("src").alias("id"))
+        .distinct()
+        .filter(F.col("id") % 7 == 0)
+    )
+    out = landmark_distances(edges, landmarks, max_hops=4)
+    return out.select(
+        F.col("lm").cast("long").alias("lm"),
+        F.col("id").cast("long").alias("id"),
+        "dist",
+    ).orderBy("lm", "id")
 
 
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4637,6 +4664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_silhouette": q_cluster_silhouette,
         "calibration_audit": q_calibration_audit,
         "zipf_audit": q_zipf_audit,
+        "landmark_distances": q_landmark_distances,
         "graph_ppr": q_graph_ppr,
         "graph_walks": q_graph_walks,
     }
@@ -9189,6 +9217,18 @@ def oracle_sql() -> dict[str, str]:
             FROM per_class
         """,
         "bpe_merge_pairs": _bpe_oracle(4),
+        "landmark_distances": f"""
+            WITH RECURSIVE {GRAPH_EDGE_CTE},
+            b AS (
+              SELECT DISTINCT s AS lm, s AS id, 0 AS dist
+              FROM e WHERE s % 7 = 0
+              UNION
+              SELECT b.lm, e.d, b.dist + 1
+              FROM b JOIN e ON b.id = e.s WHERE b.dist < 4
+            )
+            SELECT lm, id, min(dist) AS dist
+            FROM b GROUP BY lm, id ORDER BY lm, id
+        """,
         "zipf_audit": """
             WITH freq AS (
               SELECT g, w, count(*) AS f FROM (

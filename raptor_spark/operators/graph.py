@@ -1124,3 +1124,45 @@ def transitive_closure(edges: DataFrame, max_doublings: int = 10) -> DataFrame:
             break
         n = n2
     return r
+
+
+def landmark_distances(
+    edges: DataFrame, landmarks: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """(lm, id, dist): exact hop distance from every landmark to every
+    vertex within ``max_hops``, the landmark/distance-sketch table of
+    web-graph systems (Das Sarma et al., WSDM'10): at query time
+    d(u,v) ≈ min_lm d(u,lm)+d(lm,v) — an all-pairs oracle from |L|
+    BFS frontiers instead of |V|.
+
+    Same level-synchronous discipline as bfs_levels but keyed by
+    (vertex, landmark): each round joins only the NEWLY discovered
+    (id, lm) frontier against the symmetrized edges, anti-joins the
+    visited set, and localCheckpoints to truncate lineage. All shuffles
+    carry (id, lm[, dist]) integer rows; distances are integers end to
+    end, so the oracle replay is exact. Rounds = max_hops (bounded by
+    design: sketches truncate the frontier, not the graph)."""
+    sym = symmetrize(edges).persist()
+    visited = (
+        landmarks.select("id")
+        .distinct()
+        .select(F.col("id"), F.col("id").alias("lm"))
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited.select("id", "lm")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier["id"] == sym["src"])
+            .select(F.col("dst").alias("id"), "lm")
+            .distinct()
+            .join(visited.select("id", "lm"), ["id", "lm"], "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("id", "lm")
+    sym.unpersist()
+    return visited

@@ -976,3 +976,22 @@ def test_closure_matches_dfs_random_dag(spark, seed):
     e = spark.createDataFrame(pairs, "a long, b long")
     got = {(r.src, r.dst) for r in transitive_closure(e).collect()}
     assert got == _py_closure(pairs)
+
+
+def test_landmark_distances_planted_path(spark):
+    """Path 0-1-2-3-4 plus disconnected edge 7-8, landmarks {0, 7},
+    max_hops=2: distances truncate at 2 hops, never cross components,
+    and the hop counts are exact."""
+    from raptor_spark.operators.graph import landmark_distances
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (7, 8)], "a long, b long"
+    )
+    lms = spark.createDataFrame([(0,), (7,)], "id long")
+    out = {(r.lm, r.id): r.dist for r in landmark_distances(
+        edges.select(F.col("a"), F.col("b")), lms, max_hops=2
+    ).collect()}
+    assert out == {
+        (0, 0): 0, (0, 1): 1, (0, 2): 2,
+        (7, 7): 0, (7, 8): 1,
+    }
