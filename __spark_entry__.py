@@ -4415,6 +4415,25 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lm", "id")
 
 
+def q_diverse_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center exemplar selection over the bounded embedding set
+    (operators/similarity.kcenter_exemplars, k=5, vec_id < 200) — the
+    farthest-point-first 2-approximation coreset picker that diversity-
+    prunes training data; min_dist traces the covering-radius curve.
+    Argmax per round decided on round-6 cosine distances with an id
+    tie-break; winners broadcast back as 1-row crossJoins (no collect)."""
+    from raptor_spark.operators.similarity import kcenter_exemplars
+
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    return kcenter_exemplars(emb, k=5, corpus_id="vec_id", vec="v").select(
+        "sel_round", F.col("id").alias("vec_id"), "min_dist"
+    ).orderBy("sel_round")
+
+
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-5-iteration PERSONALIZED PageRank on the near-dup graph with
     seed set {vertices with id % 10 == 0} (graph.personalized_pagerank) —
@@ -4665,6 +4684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_audit": q_calibration_audit,
         "zipf_audit": q_zipf_audit,
         "landmark_distances": q_landmark_distances,
+        "diverse_exemplars": q_diverse_exemplars,
         "graph_ppr": q_graph_ppr,
         "graph_walks": q_graph_walks,
     }
@@ -4814,6 +4834,47 @@ def _bpe_oracle(n_rounds: int = 4) -> str:
         "WITH " + ",\n".join(parts) + "\n"
         + "\nUNION ALL\n".join(selects) + "\nORDER BY round"
     )
+
+
+def _kcenter_oracle(k: int = 5) -> str:
+    """DuckDB replay of kcenter_exemplars over vec_id < 200: identical
+    lowest-id seed, identical round-6 + id-tie argmax per round, chosen
+    rows carried as MATERIALIZED 1-row CTEs (each is referenced by every
+    later round). Cosine = list_dot_product with the same sqrt-product
+    denominator as cosine_col."""
+
+    def cos(ca: str) -> str:
+        return (f"1 - list_dot_product(e.v, {ca}.v) / "
+                f"(sqrt(list_dot_product(e.v, e.v)) * "
+                f"sqrt(list_dot_product({ca}.v, {ca}.v)))")
+
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v "
+        "FROM embeddings WHERE vec_id < 200)",
+        "c1 AS MATERIALIZED (SELECT id, v FROM e ORDER BY id LIMIT 1)",
+    ]
+    for r in range(2, k + 1):
+        froms = ", ".join(f"c{i}" for i in range(1, r))
+        exprs = [cos(f"c{i}") for i in range(1, r)]
+        md = exprs[0] if len(exprs) == 1 else "least(" + ", ".join(exprs) + ")"
+        parts.append(
+            f"s{r} AS (SELECT e.id, e.v, round({md}, 6) AS md "
+            f"FROM e, {froms})"
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT id, v, md FROM s{r} "
+            f"ORDER BY md DESC, id LIMIT 1)"
+        )
+    selects = [
+        "SELECT CAST(1 AS BIGINT) AS sel_round, (SELECT id FROM c1) AS vec_id, "
+        "0.0::DOUBLE AS min_dist"
+    ] + [
+        f"SELECT CAST({r} AS BIGINT), (SELECT id FROM c{r}), "
+        f"(SELECT md FROM c{r})"
+        for r in range(2, k + 1)
+    ]
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(selects) + "\nORDER BY sel_round")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9217,6 +9278,7 @@ def oracle_sql() -> dict[str, str]:
             FROM per_class
         """,
         "bpe_merge_pairs": _bpe_oracle(4),
+        "diverse_exemplars": _kcenter_oracle(5),
         "landmark_distances": f"""
             WITH RECURSIVE {GRAPH_EDGE_CTE},
             b AS (

@@ -1051,3 +1051,56 @@ def kmeans_silhouette(
         )
         .orderBy("cell")
     )
+
+
+def kcenter_exemplars(
+    corpus: DataFrame, k: int, corpus_id: str = "id", vec: str = "vec"
+) -> DataFrame:
+    """Greedy k-center (farthest-point-first) exemplar selection over an
+    embedding column — the classic 2-approximation coreset picker
+    (Gonzalez '85) that diversity-prunes training data: each round
+    selects the point FARTHEST (cosine distance) from everything chosen
+    so far. Seeded at the lowest id; each round's argmax is decided on
+    round-6 distances with an id tie-break, and the winning row is
+    broadcast back as a 1-row crossJoin (the bpe_merge_rounds discipline)
+    so the whole k-round plan stays declarative — no collect. Per round:
+    one map-only distance pass over the corpus (chosen set = broadcast
+    literals-by-join) + a top-1 TakeOrdered; nothing ever shuffles the
+    vectors. Returns (sel_round, id, min_dist) for the k exemplars,
+    min_dist = distance to the previously chosen set at selection time
+    (the k-center covering radius curve, decreasing)."""
+    e = corpus.select(F.col(corpus_id).alias("id"), F.col(vec).alias("v"))
+    first = e.orderBy("id").limit(1)
+    chosen = [first]
+    rows = [
+        first.select(
+            F.lit(1).cast("long").alias("sel_round"),
+            "id",
+            F.lit(0.0).alias("min_dist"),
+        )
+    ]
+    for r in range(2, k + 1):
+        scored = e
+        dists = []
+        for i, c in enumerate(chosen):
+            scored = scored.crossJoin(
+                F.broadcast(c.select(F.col("v").alias(f"_cv{i}")))
+            )
+            dists.append(
+                F.lit(1.0) - cosine_col(F.col("v"), F.col(f"_cv{i}"))
+            )
+        md = dists[0] if len(dists) == 1 else F.least(*dists)
+        scored = scored.select("id", "v", F.round(md, 6).alias("md"))
+        best = scored.orderBy(F.col("md").desc(), F.col("id").asc()).limit(1)
+        chosen.append(best)
+        rows.append(
+            best.select(
+                F.lit(r).cast("long").alias("sel_round"),
+                "id",
+                F.col("md").alias("min_dist"),
+            )
+        )
+    out = rows[0]
+    for x in rows[1:]:
+        out = out.unionByName(x)
+    return out

@@ -1414,3 +1414,21 @@ def test_zipf_audit_degenerate_variance(spark):
     assert out["u"].zipf_slope == 0.0 and str(out["u"].zipf_slope) == "0.0"
     assert out["u"].r2 == 0.0
     assert out["one"].zipf_slope is None and out["one"].r2 == 0.0
+
+
+def test_kcenter_exemplars_planted_geometry(spark):
+    """Seed = lowest id (0, pointing +x). The farthest point in cosine
+    distance is its antipode (id 3, −x; dist 2), then ±y (dist 1 to both
+    chosen; id tie-break picks 1 before 4)."""
+    from raptor_spark.operators.similarity import kcenter_exemplars
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.7, 0.7]),
+        (3, [-1.0, 0.0]), (4, [0.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    out = [tuple(r) for r in kcenter_exemplars(df, 4, "id", "vec").collect()]
+    out.sort()
+    assert [(r[0], r[1]) for r in out] == [(1, 0), (2, 3), (3, 1), (4, 4)]
+    assert out[1][2] == 2.0  # antipode distance
+    assert out[2][2] == 1.0 and out[3][2] == 1.0  # orthogonal to both
