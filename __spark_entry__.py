@@ -4434,6 +4434,20 @@ def q_diverse_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("sel_round")
 
 
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 1-D Wasserstein distance of the document-length
+    distribution to the corpus (operators/profile.wasserstein_1d) — the
+    mass-transport drift metric completing PSI (binned ratio), KS (max
+    CDF gap), chi2 (independence): W1 weights how FAR the mass moved.
+    w1_scaled = Σ|N·cum_s − n_s·cum_global|·gap is pure BIGINT; only the
+    display w1 divides (round 6)."""
+    from raptor_spark.operators.profile import wasserstein_1d
+
+    return wasserstein_1d(
+        _t(spark, sf_dir, "documents"), "source", "n_chars"
+    )
+
+
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-5-iteration PERSONALIZED PageRank on the near-dup graph with
     seed set {vertices with id % 10 == 0} (graph.personalized_pagerank) —
@@ -4685,6 +4699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_audit": q_zipf_audit,
         "landmark_distances": q_landmark_distances,
         "diverse_exemplars": q_diverse_exemplars,
+        "wasserstein_drift": q_wasserstein_drift,
         "graph_ppr": q_graph_ppr,
         "graph_walks": q_graph_walks,
     }
@@ -9279,6 +9294,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merge_pairs": _bpe_oracle(4),
         "diverse_exemplars": _kcenter_oracle(5),
+        # W1 drift: all integer until the display division; DuckDB window
+        # sum() of integers is HUGEINT -> CAST AS BIGINT (CLAUDE.md);
+        # support v is unique per partition so the default RANGE frame
+        # equals Spark's explicit ROWS frame.
+        "wasserstein_drift": """
+            WITH base AS (SELECT source AS g, n_chars AS v FROM documents),
+            gcnt AS (SELECT v, count(*) AS c_g FROM base GROUP BY v),
+            support AS (
+              SELECT v, CAST(sum(c_g) OVER (ORDER BY v) AS BIGINT) AS cum_g,
+                     lead(v) OVER (ORDER BY v) - v AS gap
+              FROM gcnt
+            ),
+            totals AS (SELECT g, count(*) AS n_g FROM base GROUP BY g),
+            nt AS (SELECT count(*) AS n_total FROM base),
+            scnt AS (SELECT g, v, count(*) AS c_s FROM base GROUP BY g, v),
+            j AS (
+              SELECT t.g, t.n_g, s.v, s.cum_g, s.gap,
+                     CAST(sum(coalesce(sc.c_s, 0)) OVER (
+                       PARTITION BY t.g ORDER BY s.v) AS BIGINT) AS cum_s
+              FROM totals t
+              CROSS JOIN support s
+              LEFT JOIN scnt sc ON sc.g = t.g AND sc.v = s.v
+            ),
+            per AS (
+              SELECT g, n_g, n_total,
+                     CAST(sum(abs(n_total * cum_s - n_g * cum_g) * gap)
+                          AS BIGINT) AS w1_scaled
+              FROM j, nt WHERE gap IS NOT NULL
+              GROUP BY g, n_g, n_total
+            )
+            SELECT g AS source, n_g AS n_rows, w1_scaled,
+                   round(w1_scaled::DOUBLE / (n_g * n_total), 6) AS w1
+            FROM per ORDER BY source
+        """,
         "landmark_distances": f"""
             WITH RECURSIVE {GRAPH_EDGE_CTE},
             b AS (

@@ -1392,3 +1392,76 @@ def calibration_buckets(
         )
         .orderBy("bucket")
     )
+
+
+def wasserstein_1d(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group 1-D Wasserstein (earth-mover) distance to the GLOBAL
+    distribution of an integer-valued column — the drift metric that
+    (unlike PSI/KS, which this family already has) weights HOW FAR mass
+    moved, not just whether bins differ. W1 = ∫|F_g(x) − F_global(x)|dx,
+    computed exactly on the discrete support: w1_scaled =
+    Σ_support |N·cum_g(v) − n_g·cum_global(v)|·(next_v − v) in pure
+    BIGINT (zero float until the final display division, round 6).
+
+    Shape: the support table is |distinct values| (not corpus rows) —
+    its global-CDF window runs single-partition by design, like the
+    pareto_parts exact pass; the per-group CDF is a (group)-partitioned
+    window over the broadcast group×support completion domain, so the
+    fact table shuffles once for cell counts and never again. At
+    extreme N the BIGINT product N·cum needs value bucketing first
+    (support compaction); at audit scales it is exact as-is."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("long").alias("v")
+    )
+    gcnt = base.groupBy("v").agg(F.count("*").alias("c_g"))
+    wv = Window.orderBy("v")
+    support = gcnt.select(
+        "v",
+        F.sum("c_g")
+        .over(wv.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_g"),
+        (F.lead("v").over(wv) - F.col("v")).alias("gap"),
+    )
+    totals = base.groupBy("g").agg(F.count("*").alias("n_g"))
+    n_total = base.agg(F.count("*").alias("n_total"))
+    scnt = base.groupBy("g", "v").agg(F.count("*").alias("c_s"))
+    wg = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = (
+        totals.crossJoin(F.broadcast(support))
+        .join(scnt, ["g", "v"], "left")
+        .withColumn(
+            "cum_s", F.sum(F.coalesce(F.col("c_s"), F.lit(0))).over(wg)
+        )
+        .crossJoin(F.broadcast(n_total))
+    )
+    per = (
+        j.filter(F.col("gap").isNotNull())
+        .groupBy("g", "n_g", "n_total")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n_total") * F.col("cum_s")
+                    - F.col("n_g") * F.col("cum_g")
+                )
+                * F.col("gap")
+            ).alias("w1_scaled")
+        )
+    )
+    return per.select(
+        F.col("g").alias(group_col),
+        F.col("n_g").alias("n_rows"),
+        "w1_scaled",
+        F.round(
+            F.col("w1_scaled").cast("double")
+            / (F.col("n_g") * F.col("n_total")),
+            6,
+        ).alias("w1"),
+    ).orderBy(group_col)

@@ -1432,3 +1432,20 @@ def test_kcenter_exemplars_planted_geometry(spark):
     assert [(r[0], r[1]) for r in out] == [(1, 0), (2, 3), (3, 1), (4, 4)]
     assert out[1][2] == 2.0  # antipode distance
     assert out[2][2] == 1.0 and out[3][2] == 1.0  # orthogonal to both
+
+
+def test_wasserstein_1d_hand_masses(spark):
+    """g1={0,0}, g2={10,10}, g3={0,10}; global is half-half at 0/10.
+    W1(point mass, half-half over a 10-wide gap) = 5 exactly; the
+    matching group g3 must be 0. All decided in the BIGINT w1_scaled."""
+    from raptor_spark.operators.profile import wasserstein_1d
+
+    rows = [("g1", 0), ("g1", 0), ("g2", 10), ("g2", 10),
+            ("g3", 0), ("g3", 10)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = [tuple(r) for r in wasserstein_1d(df, "g", "v").collect()]
+    assert out == [
+        ("g1", 2, 60, 5.0),
+        ("g2", 2, 60, 5.0),
+        ("g3", 2, 0, 0.0),
+    ]
