@@ -4448,6 +4448,22 @@ def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal coverage audit over event values
+    (operators/profile.conformal_coverage): calibration = even event_id,
+    test = odd; threshold = k-th smallest calibration value with
+    k = ⌈(n_cal+1)·0.9⌉ in pure integer arithmetic, selected via a
+    cumulative count over the distinct-value support (tie-order
+    invariant, no global fact sort); empirical test coverage ≈ 0.9 iff
+    the halves are exchangeable — a finite-sample drift alarm."""
+    from raptor_spark.operators.profile import conformal_coverage
+
+    ev = _t(spark, sf_dir, "events")
+    cal = ev.filter(F.col("event_id") % 2 == 0)
+    test = ev.filter(F.col("event_id") % 2 == 1)
+    return conformal_coverage(cal, test, "value", cov_num=9, cov_den=10)
+
+
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-5-iteration PERSONALIZED PageRank on the near-dup graph with
     seed set {vertices with id % 10 == 0} (graph.personalized_pagerank) —
@@ -4700,6 +4716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_distances": q_landmark_distances,
         "diverse_exemplars": q_diverse_exemplars,
         "wasserstein_drift": q_wasserstein_drift,
+        "conformal_coverage": q_conformal_coverage,
         "graph_ppr": q_graph_ppr,
         "graph_walks": q_graph_walks,
     }
@@ -9294,6 +9311,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merge_pairs": _bpe_oracle(4),
         "diverse_exemplars": _kcenter_oracle(5),
+        "conformal_coverage": """
+            WITH cal AS (SELECT value AS v FROM events WHERE event_id % 2 = 0),
+            tst AS (SELECT value AS tv FROM events WHERE event_id % 2 = 1),
+            nc AS (SELECT count(*) AS n_cal FROM cal),
+            cum AS (
+              SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum
+              FROM (SELECT v, count(*) AS c FROM cal GROUP BY v)
+            ),
+            kr AS (
+              SELECT n_cal,
+                     CAST((9 * (n_cal + 1) + 9) // 10 AS BIGINT) AS k_rank
+              FROM nc
+            ),
+            thr AS (
+              SELECT kr.n_cal, kr.k_rank, min(cum.v) AS threshold
+              FROM cum, kr WHERE cum.cum >= kr.k_rank
+              GROUP BY kr.n_cal, kr.k_rank
+            )
+            SELECT thr.n_cal,
+                   CAST(count(*) AS BIGINT) AS n_test,
+                   thr.k_rank,
+                   round(thr.threshold, 6) AS threshold,
+                   CAST(sum(CASE WHEN tv <= thr.threshold THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_covered,
+                   round(sum(CASE WHEN tv <= thr.threshold THEN 1 ELSE 0
+                             END)::DOUBLE / count(*), 6) AS coverage
+            FROM tst, thr
+            GROUP BY thr.n_cal, thr.k_rank, thr.threshold
+        """,
         # W1 drift: all integer until the display division; DuckDB window
         # sum() of integers is HUGEINT -> CAST AS BIGINT (CLAUDE.md);
         # support v is unique per partition so the default RANGE frame

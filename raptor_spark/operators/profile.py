@@ -1465,3 +1465,71 @@ def wasserstein_1d(
             6,
         ).alias("w1"),
     ).orderBy(group_col)
+
+
+def conformal_coverage(
+    cal: DataFrame,
+    test: DataFrame,
+    score_col: str,
+    cov_num: int = 9,
+    cov_den: int = 10,
+) -> DataFrame:
+    """Split-conformal calibration audit: the conformal threshold is the
+    k-th smallest calibration score with k = ⌈(n_cal+1)·cov⌉ (Vovk's
+    finite-sample quantile correction), and the audit reports the
+    empirical coverage P(test score ≤ threshold) — which conformal
+    theory guarantees ≥ cov up to 1/n_cal if cal/test are exchangeable,
+    so a material shortfall IS a drift alarm. Exactness: k is computed
+    in pure integer arithmetic (⌈a/b⌉ = (a+b−1)//b), and the k-th order
+    statistic is selected by a cumulative count over the DISTINCT-value
+    support table (invariant under tie order, no global sort of fact
+    rows — the wasserstein_1d support discipline); coverage counts are
+    integers, dividing only for display (round 6).
+
+    Scale: one groupBy per side for value counts, a |support|-sized
+    single-partition window, a 1-row broadcast threshold join."""
+    from pyspark.sql.window import Window
+
+    s = F.col(score_col)
+    cal_cnt = cal.select(s.alias("v")).groupBy("v").agg(
+        F.count("*").alias("c")
+    )
+    n_cal = cal.agg(F.count("*").alias("n_cal"))
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cal_cnt.select("v", F.sum("c").over(wv).alias("cum"))
+    k = F.floor(
+        (F.lit(cov_num) * (F.col("n_cal") + 1) + (cov_den - 1)) / cov_den
+    ).cast("long")
+    thr = (
+        cum.crossJoin(F.broadcast(n_cal))
+        .withColumn("k_rank", k)
+        .filter(F.col("cum") >= F.col("k_rank"))
+        .orderBy("v")
+        .limit(1)
+        .select("n_cal", "k_rank", F.col("v").alias("threshold"))
+    )
+    covered = (
+        test.select(s.alias("tv"))
+        .crossJoin(F.broadcast(thr))
+        .agg(
+            F.first("n_cal").alias("n_cal"),
+            F.first("k_rank").alias("k_rank"),
+            F.first("threshold").alias("thr_raw"),
+            F.count("*").alias("n_test"),
+            F.sum((F.col("tv") <= F.col("threshold")).cast("long")).alias(
+                "n_covered"
+            ),
+        )
+    )
+    return covered.select(
+        "n_cal",
+        "n_test",
+        "k_rank",
+        F.round("thr_raw", 6).alias("threshold"),
+        "n_covered",
+        F.round(
+            F.col("n_covered").cast("double") / F.col("n_test"), 6
+        ).alias("coverage"),
+    )

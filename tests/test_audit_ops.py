@@ -1449,3 +1449,21 @@ def test_wasserstein_1d_hand_masses(spark):
         ("g2", 2, 60, 5.0),
         ("g3", 2, 0, 0.0),
     ]
+
+
+def test_conformal_coverage_exact_rank(spark):
+    """cal = 1..9: k = ceil(10*0.9) = 9 -> threshold = 9th smallest = 9;
+    test {5, 9, 9.5} covers 2/3. Duplicated calibration values must not
+    shift the order statistic (tie-order invariance of the support cum)."""
+    from raptor_spark.operators.profile import conformal_coverage
+
+    cal = spark.createDataFrame([(float(i),) for i in range(1, 10)], "value double")
+    test = spark.createDataFrame([(5.0,), (9.0,), (9.5,)], "value double")
+    out = tuple(conformal_coverage(cal, test, "value").collect()[0])
+    assert out == (9, 3, 9, 9.0, 2, 0.666667)
+
+    cal_dup = spark.createDataFrame(
+        [(float(i),) for i in range(1, 10) for _ in (0, 1)], "value double"
+    )  # n=18, k = ceil(19*.9) = 18 -> still 9.0 (max)
+    out2 = tuple(conformal_coverage(cal_dup, test, "value").collect()[0])
+    assert out2 == (18, 3, 18, 9.0, 2, 0.666667)

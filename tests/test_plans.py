@@ -542,7 +542,7 @@ def test_session8_9_addition_plans_stay_clean(spark):
         "ndcg_audit", "t_closeness", "bpe_merge_pairs",
         "record_linkage_census", "frequent_sequences", "cluster_silhouette",
         "calibration_audit", "zipf_audit", "landmark_distances",
-        "diverse_exemplars", "wasserstein_drift",
+        "diverse_exemplars", "wasserstein_drift", "conformal_coverage",
     )
     for name in names:
         p = plan_str(QUERIES[name](spark, SF_DIR))
