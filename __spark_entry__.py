@@ -4464,6 +4464,32 @@ def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conformal_coverage(cal, test, "value", cov_num=9, cov_den=10)
 
 
+def q_theilsen_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Theil-Sen robust value trend (operators/profile.
+    theil_sen_slopes) over the bounded user_id < 20 stream: median of all
+    pairwise slopes in value-per-DAY units — the outlier-immune companion
+    to the OLS value_trends; equal-x pairs excluded in the join predicate
+    (no 0-division is ever evaluated — ANSI rule), median picked by rank
+    over a total order. Per-user pair sets are ~n²/2 with n ≈ 70 —
+    bounded by the stream shape, the operator's stated contract."""
+    from raptor_spark.operators.profile import theil_sen_slopes
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            (F.col("ts").cast("timestamp").cast("double") / 86400.0).alias("x_day"),
+            "value",
+        )
+    )
+    out = theil_sen_slopes(ev, ["user_id"], "x_day", "value")
+    return out.select(
+        "user_id", F.col("n_pairs").cast("long").alias("n_pairs"),
+        "theilsen_slope"
+    )
+
+
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-5-iteration PERSONALIZED PageRank on the near-dup graph with
     seed set {vertices with id % 10 == 0} (graph.personalized_pagerank) —
@@ -4717,6 +4743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diverse_exemplars": q_diverse_exemplars,
         "wasserstein_drift": q_wasserstein_drift,
         "conformal_coverage": q_conformal_coverage,
+        "theilsen_trends": q_theilsen_trends,
         "graph_ppr": q_graph_ppr,
         "graph_walks": q_graph_walks,
     }
@@ -9311,6 +9338,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merge_pairs": _bpe_oracle(4),
         "diverse_exemplars": _kcenter_oracle(5),
+        "theilsen_trends": """
+            WITH base AS (
+              SELECT user_id, epoch(ts) / 86400.0 AS x, value AS y
+              FROM events WHERE user_id < 20
+            ),
+            pairs AS (
+              SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS slope
+              FROM base a JOIN base b
+                ON a.user_id = b.user_id AND a.x < b.x
+            ),
+            ranked AS (
+              SELECT user_id, slope,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY slope) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS n_pairs
+              FROM pairs
+            )
+            SELECT user_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+                   round(avg(slope), 6) + 0.0 AS theilsen_slope
+            FROM ranked
+            WHERE rn = (n_pairs + 1) // 2 OR rn = n_pairs // 2 + 1
+            GROUP BY user_id, n_pairs ORDER BY user_id
+        """,
         "conformal_coverage": """
             WITH cal AS (SELECT value AS v FROM events WHERE event_id % 2 = 0),
             tst AS (SELECT value AS tv FROM events WHERE event_id % 2 = 1),

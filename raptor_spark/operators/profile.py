@@ -1533,3 +1533,64 @@ def conformal_coverage(
             F.col("n_covered").cast("double") / F.col("n_test"), 6
         ).alias("coverage"),
     )
+
+
+def theil_sen_slopes(
+    df: DataFrame, key_cols: list[str], x_col: str, y_col: str
+) -> DataFrame:
+    """Per-key Theil-Sen robust trend: the MEDIAN of all pairwise slopes
+    (y_j−y_i)/(x_j−x_i) — the classic 29%-breakdown-point alternative to
+    the OLS slope (grouped_trend / value_trends), immune to the outliers
+    that drag a least-squares fit. Pairs with x_j == x_i are excluded in
+    the join condition itself (no 0-division reaches evaluation — ANSI
+    rule). The median is an order statistic of the slope multiset:
+    row_number over (slope, then both ids for total order) picks the two
+    middle ranks and averages them — tie-stable because equal slopes are
+    interchangeable by VALUE, and every arithmetic step (difference,
+    division, half-sum) is the same IEEE op on both engines.
+
+    Scale contract: the pair set is per-key quadratic — callers bound the
+    per-key cardinality (event streams per user are ~constant; for heavy
+    keys, pre-sample). One key shuffle for the self-join, one for the
+    rank window."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        *key_cols, F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    )
+    a = base
+    b = base.select(
+        *[F.col(c).alias(f"{c}_b") for c in key_cols],
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    cond = [F.col(k) == F.col(f"{k}_b") for k in key_cols]
+    pairs = a.join(
+        b, cond + [F.col("x") < F.col("xb")]
+    ).select(
+        *key_cols,
+        ((F.col("yb") - F.col("y")) / (F.col("xb") - F.col("x"))).alias(
+            "slope"
+        ),
+    )
+    w = Window.partitionBy(*key_cols).orderBy("slope")
+    cnt = Window.partitionBy(*key_cols)
+    ranked = pairs.select(
+        *key_cols,
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cnt).alias("n_pairs"),
+    )
+    # ranks (n+1)//2 and n//2+1 coincide for odd n — avg of the one or
+    # two middle slopes is the median either way
+    lo = F.floor((F.col("n_pairs") + 1) / 2)
+    hi = F.floor(F.col("n_pairs") / 2) + 1
+    mid = ranked.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+    return (
+        mid.groupBy(*key_cols)
+        .agg(
+            F.first("n_pairs").alias("n_pairs"),
+            (F.round(F.avg("slope"), 6) + 0.0).alias("theilsen_slope"),
+        )
+        .orderBy(*key_cols)
+    )

@@ -1467,3 +1467,36 @@ def test_conformal_coverage_exact_rank(spark):
     )  # n=18, k = ceil(19*.9) = 18 -> still 9.0 (max)
     out2 = tuple(conformal_coverage(cal_dup, test, "value").collect()[0])
     assert out2 == (18, 3, 18, 9.0, 2, 0.666667)
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """y = 2x on x=0..4 with y(4) smashed to 1000: OLS slope would blow
+    past 200, the pairwise-slope median stays exactly 2. Even-count
+    median averages the two middle slopes."""
+    from raptor_spark.operators.profile import theil_sen_slopes
+
+    rows = [("u", 0.0, 0.0), ("u", 1.0, 2.0), ("u", 2.0, 4.0),
+            ("u", 3.0, 6.0), ("u", 4.0, 1000.0)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = tuple(theil_sen_slopes(df, ["k"], "x", "y").collect()[0])
+    assert out == ("u", 10, 2.0)
+
+    even = spark.createDataFrame(
+        [("v", 0.0, 0.0), ("v", 1.0, 1.0), ("v", 2.0, 4.0)],
+        "k string, x double, y double",
+    )  # slopes {1, 2, 3} -> median 2; drop one point -> even case
+    out2 = tuple(theil_sen_slopes(even, ["k"], "x", "y").collect()[0])
+    assert out2 == ("v", 3, 2.0)
+
+
+def test_theil_sen_equal_x_pairs_excluded(spark):
+    """Duplicate x never reaches the division: two points at x=1 plus one
+    at x=2 -> only the two cross-pairs count."""
+    from raptor_spark.operators.profile import theil_sen_slopes
+
+    df = spark.createDataFrame(
+        [("w", 1.0, 0.0), ("w", 1.0, 10.0), ("w", 2.0, 5.0)],
+        "k string, x double, y double",
+    )
+    out = tuple(theil_sen_slopes(df, ["k"], "x", "y").collect()[0])
+    assert out == ("w", 2, 0.0)  # slopes {5, -5} -> median 0
