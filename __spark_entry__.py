@@ -4490,6 +4490,34 @@ def q_theilsen_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spreading over the near-dup graph
+    (operators/graph.label_spreading): seeds = vertices with id%5==0,
+    class-1 iff id%10==0, clamped each round; everyone else starts 0.5
+    and averages its neighbors for 5 rounds — the label-transfer read
+    path (propagating a trusted spam/quality mark through near-dup
+    structure). Oracle unrolls the same five avg+clamp rounds with
+    MATERIALIZED CTEs."""
+    from raptor_spark.operators.graph import label_spreading, symmetrize
+
+    edges = _jaccard_edge_set(spark, sf_dir)
+    seeds = (
+        symmetrize(edges)
+        .select(F.col("src").alias("id"))
+        .distinct()
+        .filter(F.col("id") % 5 == 0)
+        .select(
+            "id",
+            F.when(F.col("id") % 10 == 0, 1.0).otherwise(0.0).alias("label"),
+        )
+    )
+    out = label_spreading(edges, seeds, n_iter=5)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.round("score", 6).alias("score"),
+    ).orderBy("id")
+
+
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-5-iteration PERSONALIZED PageRank on the near-dup graph with
     seed set {vertices with id % 10 == 0} (graph.personalized_pagerank) —
@@ -4744,6 +4772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein_drift": q_wasserstein_drift,
         "conformal_coverage": q_conformal_coverage,
         "theilsen_trends": q_theilsen_trends,
+        "label_spreading": q_label_spreading,
         "graph_ppr": q_graph_ppr,
         "graph_walks": q_graph_walks,
     }
@@ -9338,6 +9367,54 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merge_pairs": _bpe_oracle(4),
         "diverse_exemplars": _kcenter_oracle(5),
+        # Label spreading: same five avg+clamp rounds; e/sd/rounds all
+        # MATERIALIZED (each referenced by the next round — CLAUDE.md
+        # CTE-inlining rule); literals ::DOUBLE against the decimal trap.
+        "label_spreading": f"""
+            WITH {GRAPH_EDGE_CTE.replace("e AS (", "e AS MATERIALIZED (")},
+            v AS MATERIALIZED (SELECT DISTINCT s AS id FROM e),
+            sd AS MATERIALIZED (
+              SELECT id, (CASE WHEN id % 10 = 0 THEN 1.0 ELSE 0.0
+                          END)::DOUBLE AS seed_score
+              FROM v WHERE id % 5 = 0
+            ),
+            r0 AS MATERIALIZED (
+              SELECT v.id, coalesce(sd.seed_score, 0.5::DOUBLE) AS score
+              FROM v LEFT JOIN sd ON v.id = sd.id
+            ),
+            r1 AS MATERIALIZED (
+              SELECT n.id, coalesce(sd.seed_score, n.nbr) AS score FROM (
+                SELECT e.d AS id, avg(r0.score) AS nbr
+                FROM e JOIN r0 ON e.s = r0.id GROUP BY e.d
+              ) n LEFT JOIN sd ON n.id = sd.id
+            ),
+            r2 AS MATERIALIZED (
+              SELECT n.id, coalesce(sd.seed_score, n.nbr) AS score FROM (
+                SELECT e.d AS id, avg(r1.score) AS nbr
+                FROM e JOIN r1 ON e.s = r1.id GROUP BY e.d
+              ) n LEFT JOIN sd ON n.id = sd.id
+            ),
+            r3 AS MATERIALIZED (
+              SELECT n.id, coalesce(sd.seed_score, n.nbr) AS score FROM (
+                SELECT e.d AS id, avg(r2.score) AS nbr
+                FROM e JOIN r2 ON e.s = r2.id GROUP BY e.d
+              ) n LEFT JOIN sd ON n.id = sd.id
+            ),
+            r4 AS MATERIALIZED (
+              SELECT n.id, coalesce(sd.seed_score, n.nbr) AS score FROM (
+                SELECT e.d AS id, avg(r3.score) AS nbr
+                FROM e JOIN r3 ON e.s = r3.id GROUP BY e.d
+              ) n LEFT JOIN sd ON n.id = sd.id
+            ),
+            r5 AS MATERIALIZED (
+              SELECT n.id, coalesce(sd.seed_score, n.nbr) AS score FROM (
+                SELECT e.d AS id, avg(r4.score) AS nbr
+                FROM e JOIN r4 ON e.s = r4.id GROUP BY e.d
+              ) n LEFT JOIN sd ON n.id = sd.id
+            )
+            SELECT id, round(score, 6) AS score
+            FROM r5 ORDER BY id
+        """,
         "theilsen_trends": """
             WITH base AS (
               SELECT user_id, epoch(ts) / 86400.0 AS x, value AS y

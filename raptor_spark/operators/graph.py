@@ -1166,3 +1166,46 @@ def landmark_distances(
         frontier = nxt.select("id", "lm")
     sym.unpersist()
     return visited
+
+
+def label_spreading(
+    edges: DataFrame, seeds: DataFrame, n_iter: int = 5
+) -> DataFrame:
+    """(id, score): semi-supervised label spreading (Zhu/Ghahramani
+    harmonic propagation) over the symmetrized graph — seeds carry a
+    clamped binary label score (0.0/1.0), every other vertex starts at
+    0.5 and repeatedly takes the MEAN of its neighbors' scores; after
+    ``n_iter`` rounds the score is a soft class posterior that decays
+    with graph distance from the seed classes. This is the
+    classification face of the graph family (pagerank = importance,
+    ppr = seed relevance, lpa = unsupervised communities; this =
+    label transfer from a labeled seed set — how a KG propagates a
+    trusted quality/spam mark through near-dup structure).
+
+    Per round: one edges⋈scores join + one vertex-keyed avg + a
+    seed-clamp left join (seed frame broadcast), localCheckpoint to
+    truncate lineage — the same per-round shape and cost as pagerank.
+    Seeds absent from the graph are dropped (semi-join), so the score
+    domain is exactly the graph's vertex set on both engines."""
+    links = symmetrize(edges).persist()
+    vertices = links.select(F.col("src").alias("id")).distinct()
+    seedf = F.broadcast(
+        seeds.select("id", F.col("label").cast("double").alias("seed_score"))
+        .distinct()
+        .join(vertices, "id", "semi")
+        .localCheckpoint()
+    )
+    scores = vertices.join(seedf, "id", "left").select(
+        "id", F.coalesce("seed_score", F.lit(0.5)).alias("score")
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        nbr = (
+            links.join(scores, links["src"] == scores["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.avg("score").alias("nbr_avg"))
+        )
+        scores = nbr.join(seedf, "id", "left").select(
+            "id", F.coalesce("seed_score", "nbr_avg").alias("score")
+        ).localCheckpoint()
+    links.unpersist()
+    return scores

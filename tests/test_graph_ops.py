@@ -995,3 +995,29 @@ def test_landmark_distances_planted_path(spark):
         (0, 0): 0, (0, 1): 1, (0, 2): 2,
         (7, 7): 0, (7, 8): 1,
     }
+
+
+def test_label_spreading_path_harmonic(spark):
+    """Path 0-1-2 with clamped seeds score(0)=1, score(2)=0: the middle
+    vertex averages its neighbors to exactly 0.5 and stays there; seeds
+    stay clamped; a seed absent from the graph (99) is dropped."""
+    from raptor_spark.operators.graph import label_spreading
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "a long, b long")
+    seeds = spark.createDataFrame(
+        [(0, 1.0), (2, 0.0), (99, 1.0)], "id long, label double"
+    )
+    out = {r.id: r.score for r in label_spreading(edges, seeds, n_iter=5).collect()}
+    assert out == {0: 1.0, 1: 0.5, 2: 0.0}
+
+
+def test_label_spreading_all_seeds_identity(spark):
+    """Every vertex seeded -> clamp wins every round, output == seeds."""
+    from raptor_spark.operators.graph import label_spreading
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "a long, b long")
+    seeds = spark.createDataFrame(
+        [(0, 1.0), (1, 0.0), (2, 1.0)], "id long, label double"
+    )
+    out = {r.id: r.score for r in label_spreading(edges, seeds, n_iter=3).collect()}
+    assert out == {0: 1.0, 1: 0.0, 2: 1.0}
