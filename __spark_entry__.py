@@ -4518,6 +4518,46 @@ def q_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup census over the corpus
+    (operators/dedup.content_defined_chunks, w=8, mask 63): gear-style
+    boundaries from a pure-BIGINT window polynomial, chunks = spans
+    between boundaries (insertion-robust, unlike fixed spans); summary =
+    chunk counts, distinct hashes, hashes shared across docs, duplicate
+    ratio, mean chunk length. Only (doc, start, md5) rows ever shuffle —
+    never chunk bytes."""
+    from raptor_spark.operators.dedup import content_defined_chunks
+
+    ch = content_defined_chunks(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", w=8, mask=63
+    )
+    per = ch.groupBy("chunk_md5").agg(
+        F.count("*").alias("c"), F.count_distinct("doc").alias("nd")
+    )
+    tot = ch.agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_len").alias("total_len"),
+    )
+    agg = per.agg(
+        F.sum("c").alias("n_chunks2"),
+        F.count("*").alias("n_distinct"),
+        F.sum((F.col("nd") > 1).cast("long")).alias("n_shared_hashes"),
+    )
+    return tot.crossJoin(agg).select(
+        "n_chunks",
+        "n_distinct",
+        "n_shared_hashes",
+        F.round(
+            (F.col("n_chunks") - F.col("n_distinct")).cast("double")
+            / F.col("n_chunks"),
+            6,
+        ).alias("dup_ratio"),
+        F.round(
+            F.col("total_len").cast("double") / F.col("n_chunks"), 6
+        ).alias("mean_chunk_len"),
+    )
+
+
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-5-iteration PERSONALIZED PageRank on the near-dup graph with
     seed set {vertices with id % 10 == 0} (graph.personalized_pagerank) —
@@ -4773,6 +4813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_coverage": q_conformal_coverage,
         "theilsen_trends": q_theilsen_trends,
         "label_spreading": q_label_spreading,
+        "cdc_chunks": q_cdc_chunks,
         "graph_ppr": q_graph_ppr,
         "graph_walks": q_graph_walks,
     }
@@ -9367,6 +9408,67 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merge_pairs": _bpe_oracle(4),
         "diverse_exemplars": _kcenter_oracle(5),
+        "cdc_chunks": """
+            WITH base AS (
+              SELECT doc_id AS doc, text AS t FROM documents
+              WHERE length(text) > 0
+            ),
+            pos AS (
+              SELECT doc, t, unnest(range(1, length(t) - 6)) AS i
+              FROM base WHERE length(t) >= 8
+            ),
+            hits AS (
+              SELECT doc, i AS b FROM pos
+              WHERE (CAST(unicode(substring(t, CAST(i + 0 AS INT), 1)) AS BIGINT) * 1
+                      + CAST(unicode(substring(t, CAST(i + 1 AS INT), 1)) AS BIGINT) * 31
+                      + CAST(unicode(substring(t, CAST(i + 2 AS INT), 1)) AS BIGINT) * 961
+                      + CAST(unicode(substring(t, CAST(i + 3 AS INT), 1)) AS BIGINT) * 29791
+                      + CAST(unicode(substring(t, CAST(i + 4 AS INT), 1)) AS BIGINT) * 923521
+                      + CAST(unicode(substring(t, CAST(i + 5 AS INT), 1)) AS BIGINT) * 28629151
+                      + CAST(unicode(substring(t, CAST(i + 6 AS INT), 1)) AS BIGINT) * 887503681
+                      + CAST(unicode(substring(t, CAST(i + 7 AS INT), 1)) AS BIGINT) * 27512614111) % 64 = 0
+            ),
+            sent AS (
+              SELECT doc, 1 AS b FROM base
+              UNION ALL SELECT doc, length(t) + 1 FROM base
+            ),
+            bounds AS (
+              SELECT DISTINCT doc, b FROM (
+                SELECT doc, b FROM hits UNION ALL SELECT doc, b FROM sent)
+            ),
+            spans AS (
+              SELECT doc, b AS cs,
+                     lead(b) OVER (PARTITION BY doc ORDER BY b) - b AS cl
+              FROM bounds
+            ),
+            ch AS (
+              SELECT s.doc, s.cl,
+                     md5(substring(base.t, CAST(s.cs AS INT),
+                                   CAST(s.cl AS INT))) AS h
+              FROM spans s JOIN base ON s.doc = base.doc
+              WHERE s.cl IS NOT NULL AND s.cl > 0
+            ),
+            per AS (
+              SELECT h, count(*) AS c, count(DISTINCT doc) AS nd
+              FROM ch GROUP BY h
+            ),
+            tot AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+                     CAST(sum(cl) AS BIGINT) AS total_len
+              FROM ch
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_shared_hashes
+              FROM per
+            )
+            SELECT n_chunks, n_distinct, n_shared_hashes,
+                   round((n_chunks - n_distinct)::DOUBLE / n_chunks, 6)
+                     AS dup_ratio,
+                   round(total_len::DOUBLE / n_chunks, 6) AS mean_chunk_len
+            FROM tot, agg
+        """,
         # Label spreading: same five avg+clamp rounds; e/sd/rounds all
         # MATERIALIZED (each referenced by the next round — CLAUDE.md
         # CTE-inlining rule); literals ::DOUBLE against the decimal trap.

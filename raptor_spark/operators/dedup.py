@@ -1092,3 +1092,71 @@ def fellegi_sunter_census(
         .select("pattern", "score", "decision", "n_pairs")
         .orderBy(F.col("score").desc(), "pattern")
     )
+
+
+def content_defined_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 8,
+    mask: int = 63,
+) -> DataFrame:
+    """(doc, chunk_start, chunk_len, chunk_md5): content-defined chunking
+    — the rsync/LBFS/FastCDC storage-dedup primitive. A boundary falls
+    wherever the w-char window polynomial Σ_j code(i+j)·31^j ≡ 0
+    (mod mask+1); chunks are the spans between boundaries. Unlike
+    span_dedup's fixed 10-word windows, CDC boundaries are functions of
+    CONTENT, so an insertion reshuffles only the chunk it lands in —
+    every other chunk hash survives and still dedups.
+
+    Exactness & parallelism: the window hash is pure BIGINT (codepoint ·
+    31^j, j unrolled in the expression — no UDF, no sequential scan), so
+    every position is tested independently — the textbook gear hash
+    without min/max clamps, which is what makes it embarrassingly
+    parallel (a min-chunk clamp couples neighboring boundaries into a
+    sequential dependency). Sentinel boundaries at 1 and len+1 close the
+    first/last chunk; a doc with no content boundary is one whole-doc
+    chunk. One posexplode over (doc, position), one per-doc window sort
+    over BOUNDARY rows only (few per doc), chunk bytes never shuffle —
+    only (doc, start, md5)."""
+    from pyspark.sql.window import Window
+
+    t = F.col("_t")
+    base = df.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("_t")
+    ).filter(F.length(t) > 0)
+    pos = base.select(
+        "doc",
+        "_t",
+        F.explode(
+            F.when(
+                F.length(t) >= w, F.sequence(F.lit(1), F.length(t) - (w - 1))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    )
+    h = None
+    for j in range(w):
+        term = F.ascii(F.substring(t, F.col("i") + j, F.lit(1))).cast(
+            "long"
+        ) * (31**j)
+        h = term if h is None else h + term
+    hits = pos.filter((h % (mask + 1)) == 0).select("doc", F.col("i").alias("b"))
+    sentinels = base.select(
+        "doc", F.explode(F.array(F.lit(1), F.length(t) + 1)).alias("b")
+    )
+    bounds = hits.unionByName(sentinels).distinct()
+    wd = Window.partitionBy("doc").orderBy("b")
+    spans = (
+        bounds.withColumn("nxt", F.lead("b").over(wd))
+        .filter(F.col("nxt").isNotNull() & (F.col("nxt") > F.col("b")))
+        .select("doc", F.col("b").alias("chunk_start"),
+                (F.col("nxt") - F.col("b")).alias("chunk_len"))
+    )
+    return spans.join(base, "doc").select(
+        "doc",
+        "chunk_start",
+        "chunk_len",
+        F.md5(F.substring(t, F.col("chunk_start"), F.col("chunk_len"))).alias(
+            "chunk_md5"
+        ),
+    )

@@ -1500,3 +1500,46 @@ def test_theil_sen_equal_x_pairs_excluded(spark):
     )
     out = tuple(theil_sen_slopes(df, ["k"], "x", "y").collect()[0])
     assert out == ("w", 2, 0.0)  # slopes {5, -5} -> median 0
+
+
+def test_cdc_chunks_insertion_robust(spark):
+    """The CDC property: prepending text to a doc must leave the chunk
+    hashes BEYOND the first content boundary intact (fixed-width spans
+    would shift every window). Also: a doc with no boundary is exactly
+    one whole-doc chunk."""
+    from raptor_spark.operators.dedup import content_defined_chunks
+
+    base_text = " ".join(f"w{(i * 7) % 97}x{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, base_text), (2, "PREFIX INSERTED " + base_text)],
+        "doc_id long, text string",
+    )
+    ch = content_defined_chunks(df, "doc_id", "text").collect()
+    h1 = {r.chunk_md5 for r in ch if r.doc == 1}
+    h2 = {r.chunk_md5 for r in ch if r.doc == 2}
+    shared = h1 & h2
+    # everything after the first boundary of doc 1 must survive
+    assert len(shared) >= len(h1) - 1, (len(h1), len(h2), len(shared))
+    assert len(h1) > 1  # the fixture text actually produces boundaries
+
+    tiny = spark.createDataFrame([(3, "abc")], "doc_id long, text string")
+    t = content_defined_chunks(tiny, "doc_id", "text").collect()
+    assert len(t) == 1 and t[0].chunk_start == 1 and t[0].chunk_len == 3
+
+
+def test_cdc_chunks_cover_exactly(spark):
+    """Chunks of a doc tile it exactly: starts/lengths are contiguous
+    from 1 to len+1 with no gaps or overlaps."""
+    from raptor_spark.operators.dedup import content_defined_chunks
+
+    text = "pack my box with five dozen liquor jugs " * 10
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ch = sorted(
+        content_defined_chunks(df, "doc_id", "text").collect(),
+        key=lambda r: r.chunk_start,
+    )
+    pos = 1
+    for r in ch:
+        assert r.chunk_start == pos
+        pos += r.chunk_len
+    assert pos == len(text) + 1
