@@ -403,3 +403,43 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_conformal_coverage(
+    events: DataFrame,
+    threshold: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming face of profile.conformal_coverage: the calibration
+    threshold (computed batch-side on yesterday's calibration split and
+    committed as a 1-row static table) joins the live stream, and a
+    watermarked tumbling window emits (window, n_events, n_covered,
+    coverage) — conformal theory says coverage ≈ the calibration level
+    while the stream stays exchangeable with the calibration data, so a
+    sagging window IS a distribution-drift alarm with a finite-sample
+    guarantee, cheaper than any two-sample test in flight. Stream-static
+    broadcast join + windowed count — no custom state; rotate the
+    threshold by re-committing the static table."""
+    covered = (F.col(value_col) <= F.col("threshold")).cast("long")
+    return (
+        # TIMESTAMP_NTZ carries no watermark (CLAUDE.md pitfall) — cast
+        events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .join(F.broadcast(threshold))
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(covered).alias("n_covered"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "n_events",
+            "n_covered",
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_events"), 6
+            ).alias("coverage"),
+        )
+    )

@@ -467,3 +467,56 @@ def test_streaming_cms_matches_batch_sketch(spark, tmp_path_factory):
     }
     assert got == want
     assert len(got) <= 4 * 256
+
+
+def test_streaming_conformal_coverage_matches_batch(spark, tmp_path_factory):
+    """Stream-static conformal drift alarm: per-window coverage against a
+    batch-computed threshold must equal the batch windowed aggregation
+    exactly (stream-static broadcast join + watermarked tumbling window,
+    no custom state)."""
+    from raptor_spark.operators.profile import conformal_coverage
+    from raptor_spark.streaming import streaming_conformal_coverage
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    cal = events.filter(F.col("event_id") % 2 == 0)
+    test = events.filter(F.col("event_id") % 2 == 1)
+    thr = conformal_coverage(cal, test, "value").select("threshold")
+
+    in_dir = str(tmp_path_factory.mktemp("cc_in") / "events")
+    test.write.mode("overwrite").parquet(in_dir)
+    out = str(tmp_path_factory.mktemp("cc_out") / "rows")
+    ckpt = str(tmp_path_factory.mktemp("cc_out") / "ckpt")
+    stream = spark.readStream.schema(test.schema).parquet(in_dir)
+    run_available_now(streaming_conformal_coverage(stream, thr), out, ckpt)
+    got = {
+        (r.win_start, r.n_events, r.n_covered, r.coverage)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    batch = {
+        (r.win_start, r.n_events, r.n_covered, r.coverage)
+        for r in test.withColumn("ts", F.col("ts").cast("timestamp"))
+        .join(F.broadcast(thr))
+        .groupBy(F.window(F.col("ts"), "1 hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("value") <= F.col("threshold")).cast("long")).alias(
+                "n_covered"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "n_events",
+            "n_covered",
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_events"), 6
+            ).alias("coverage"),
+        )
+        .collect()
+    }
+    assert len(batch) > 3, "fixture must span multiple windows"
+    # watermarked append emits only windows closed by the final watermark:
+    # everything emitted must agree exactly with the batch aggregation,
+    # and only trailing open windows may be withheld
+    assert len(got) >= len(batch) - 3 and got, (len(got), len(batch))
+    assert got <= batch
