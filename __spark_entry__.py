@@ -4558,6 +4558,21 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the near-dup graph (operators/graph.ktruss_edges):
+    the maximal subgraph where every edge closes ≥1 triangle INSIDE the
+    subgraph — the edge-cohesion core k-core cannot see (a hub with
+    degree-1 spokes survives a 2-core but has no truss); removal
+    cascades to fixpoint. Integer supports, exact oracle replay of the
+    same unrolled peeling rounds."""
+    from raptor_spark.operators.graph import ktruss_edges
+
+    out = ktruss_edges(_jaccard_edge_set(spark, sf_dir), k=3, max_rounds=6)
+    return out.select(
+        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
+    ).orderBy("a", "b")
+
+
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-5-iteration PERSONALIZED PageRank on the near-dup graph with
     seed set {vertices with id % 10 == 0} (graph.personalized_pagerank) —
@@ -4814,6 +4829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theilsen_trends": q_theilsen_trends,
         "label_spreading": q_label_spreading,
         "cdc_chunks": q_cdc_chunks,
+        "graph_ktruss": q_graph_ktruss,
         "graph_ppr": q_graph_ppr,
         "graph_walks": q_graph_walks,
     }
@@ -9408,6 +9424,80 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merge_pairs": _bpe_oracle(4),
         "diverse_exemplars": _kcenter_oracle(5),
+        # 3-truss: unrolled peeling rounds, every round MATERIALIZED
+        # (referenced by the next round and by its own support subquery
+        # three times — CLAUDE.md CTE-inlining rule); integer supports.
+        "graph_ktruss": f"""
+            WITH {_GRAPH_PAIR_CTE},
+            t0 AS MATERIALIZED (SELECT a, b FROM p),
+            t1 AS MATERIALIZED (
+              SELECT t.a, t.b FROM t0 t
+              LEFT JOIN (
+                SELECT c.a, c.b, count(*) AS sup FROM t0 c
+                JOIN (SELECT a AS u, b AS w FROM t0 UNION ALL SELECT b AS u, a AS w FROM t0) n1 ON n1.u = c.a
+                JOIN (SELECT a AS u, b AS w FROM t0 UNION ALL SELECT b AS u, a AS w FROM t0) n2
+                  ON n2.u = c.b AND n2.w = n1.w
+                GROUP BY c.a, c.b
+              ) s ON s.a = t.a AND s.b = t.b
+              WHERE coalesce(s.sup, 0) >= 1
+            ),
+            t2 AS MATERIALIZED (
+              SELECT t.a, t.b FROM t1 t
+              LEFT JOIN (
+                SELECT c.a, c.b, count(*) AS sup FROM t1 c
+                JOIN (SELECT a AS u, b AS w FROM t1 UNION ALL SELECT b AS u, a AS w FROM t1) n1 ON n1.u = c.a
+                JOIN (SELECT a AS u, b AS w FROM t1 UNION ALL SELECT b AS u, a AS w FROM t1) n2
+                  ON n2.u = c.b AND n2.w = n1.w
+                GROUP BY c.a, c.b
+              ) s ON s.a = t.a AND s.b = t.b
+              WHERE coalesce(s.sup, 0) >= 1
+            ),
+            t3 AS MATERIALIZED (
+              SELECT t.a, t.b FROM t2 t
+              LEFT JOIN (
+                SELECT c.a, c.b, count(*) AS sup FROM t2 c
+                JOIN (SELECT a AS u, b AS w FROM t2 UNION ALL SELECT b AS u, a AS w FROM t2) n1 ON n1.u = c.a
+                JOIN (SELECT a AS u, b AS w FROM t2 UNION ALL SELECT b AS u, a AS w FROM t2) n2
+                  ON n2.u = c.b AND n2.w = n1.w
+                GROUP BY c.a, c.b
+              ) s ON s.a = t.a AND s.b = t.b
+              WHERE coalesce(s.sup, 0) >= 1
+            ),
+            t4 AS MATERIALIZED (
+              SELECT t.a, t.b FROM t3 t
+              LEFT JOIN (
+                SELECT c.a, c.b, count(*) AS sup FROM t3 c
+                JOIN (SELECT a AS u, b AS w FROM t3 UNION ALL SELECT b AS u, a AS w FROM t3) n1 ON n1.u = c.a
+                JOIN (SELECT a AS u, b AS w FROM t3 UNION ALL SELECT b AS u, a AS w FROM t3) n2
+                  ON n2.u = c.b AND n2.w = n1.w
+                GROUP BY c.a, c.b
+              ) s ON s.a = t.a AND s.b = t.b
+              WHERE coalesce(s.sup, 0) >= 1
+            ),
+            t5 AS MATERIALIZED (
+              SELECT t.a, t.b FROM t4 t
+              LEFT JOIN (
+                SELECT c.a, c.b, count(*) AS sup FROM t4 c
+                JOIN (SELECT a AS u, b AS w FROM t4 UNION ALL SELECT b AS u, a AS w FROM t4) n1 ON n1.u = c.a
+                JOIN (SELECT a AS u, b AS w FROM t4 UNION ALL SELECT b AS u, a AS w FROM t4) n2
+                  ON n2.u = c.b AND n2.w = n1.w
+                GROUP BY c.a, c.b
+              ) s ON s.a = t.a AND s.b = t.b
+              WHERE coalesce(s.sup, 0) >= 1
+            ),
+            t6 AS MATERIALIZED (
+              SELECT t.a, t.b FROM t5 t
+              LEFT JOIN (
+                SELECT c.a, c.b, count(*) AS sup FROM t5 c
+                JOIN (SELECT a AS u, b AS w FROM t5 UNION ALL SELECT b AS u, a AS w FROM t5) n1 ON n1.u = c.a
+                JOIN (SELECT a AS u, b AS w FROM t5 UNION ALL SELECT b AS u, a AS w FROM t5) n2
+                  ON n2.u = c.b AND n2.w = n1.w
+                GROUP BY c.a, c.b
+              ) s ON s.a = t.a AND s.b = t.b
+              WHERE coalesce(s.sup, 0) >= 1
+            )
+            SELECT a, b FROM t6 ORDER BY a, b
+        """,
         "cdc_chunks": """
             WITH base AS (
               SELECT doc_id AS doc, text AS t FROM documents

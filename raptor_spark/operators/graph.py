@@ -1209,3 +1209,58 @@ def label_spreading(
         ).localCheckpoint()
     links.unpersist()
     return scores
+
+
+def ktruss_edges(
+    edges: DataFrame, k: int = 3, max_rounds: int = 6
+) -> DataFrame:
+    """(a, b): the k-truss of the graph — the maximal subgraph where
+    every edge sits in ≥ k−2 triangles WITHIN the subgraph, the
+    edge-cohesion core that k-core (vertex degrees) cannot see: a hub
+    joined by degree-1 spokes survives a 2-core but has no truss. The
+    standard community-core primitive for KG cluster hardening
+    (Cohen '08).
+
+    Peeling loop: per round, per-edge support = |N(a) ∩ N(b)| inside the
+    surviving edge set via two adjacency equi-joins on the wedge vertex,
+    then drop edges below k−2 and repeat — removal cascades, so the loop
+    runs to fixpoint (early-exits when a round removes nothing;
+    ``max_rounds`` bounds the unrolled oracle replay, and the fixpoint
+    is reached well inside it on near-dup graphs — extra rounds are
+    no-ops). All joins shuffle (int, int) rows; localCheckpoint per
+    round truncates lineage; counts are integers, so the oracle replay
+    is exact."""
+    cur = (
+        edges.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        adj = cur.select(F.col("a").alias("u"), F.col("b").alias("w")).unionByName(
+            cur.select(F.col("b").alias("u"), F.col("a").alias("w"))
+        )
+        sup = (
+            cur.join(
+                adj.select(F.col("u").alias("a"), F.col("w").alias("wa")),
+                "a",
+            )
+            .join(
+                adj.select(F.col("u").alias("b"), F.col("w").alias("wb")),
+                "b",
+            )
+            .filter(F.col("wa") == F.col("wb"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("support"))
+        )
+        nxt = (
+            cur.join(sup, ["a", "b"], "left")
+            .filter(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        if nxt.count() == cur.count():
+            cur = nxt
+            break
+        cur = nxt
+    return cur

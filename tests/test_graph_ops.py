@@ -1021,3 +1021,29 @@ def test_label_spreading_all_seeds_identity(spark):
     )
     out = {r.id: r.score for r in label_spreading(edges, seeds, n_iter=3).collect()}
     assert out == {0: 1.0, 1: 0.0, 2: 1.0}
+
+
+def test_ktruss_triangle_survives_pendants_drop(spark):
+    """Triangle {1,2,3} + pendant (3,4) + path (5,6),(6,7) at k=3: only
+    the triangle's edges sit in a triangle, everything else peels."""
+    from raptor_spark.operators.graph import ktruss_edges
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6), (6, 7)], "a long, b long"
+    )
+    out = {(r.a, r.b) for r in ktruss_edges(edges, k=3).collect()}
+    assert out == {(1, 2), (2, 3), (1, 3)}
+
+
+def test_ktruss_cascading_removal(spark):
+    """Square 1-2-3-4 with diagonal (1,3) at k=4: round 1 keeps only the
+    diagonal (support 2), round 2 removes it too (its support collapsed
+    with its neighbors) — the cascade k-core-style one-shot counting
+    would miss."""
+    from raptor_spark.operators.graph import ktruss_edges
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (1, 3)], "a long, b long"
+    )
+    out = ktruss_edges(edges, k=4).collect()
+    assert out == []

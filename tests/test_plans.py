@@ -543,7 +543,7 @@ def test_session8_9_addition_plans_stay_clean(spark):
         "record_linkage_census", "frequent_sequences", "cluster_silhouette",
         "calibration_audit", "zipf_audit", "landmark_distances",
         "diverse_exemplars", "wasserstein_drift", "conformal_coverage",
-        "theilsen_trends", "label_spreading", "cdc_chunks",
+        "theilsen_trends", "label_spreading", "cdc_chunks", "graph_ktruss",
     )
     for name in names:
         p = plan_str(QUERIES[name](spark, SF_DIR))
