@@ -4573,6 +4573,23 @@ def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+def q_link_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction training pairs over the near-dup graph
+    (operators/graph.link_training_pairs): positives + corrupt-one-
+    endpoint negatives drawn by integer congruential mixing over the
+    dense vertex index — no rand(), so the oracle replays every sample
+    and incremental rebuilds emit identical training data. Negatives
+    anti-joined against the true edge set."""
+    from raptor_spark.operators.graph import link_training_pairs
+
+    out = link_training_pairs(_jaccard_edge_set(spark, sf_dir))
+    return out.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("label").cast("long").alias("label"),
+    ).orderBy("a", "b", "label")
+
+
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-5-iteration PERSONALIZED PageRank on the near-dup graph with
     seed set {vertices with id % 10 == 0} (graph.personalized_pagerank) —
@@ -4830,6 +4847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_spreading": q_label_spreading,
         "cdc_chunks": q_cdc_chunks,
         "graph_ktruss": q_graph_ktruss,
+        "link_training_pairs": q_link_training_pairs,
         "graph_ppr": q_graph_ppr,
         "graph_walks": q_graph_walks,
     }
@@ -9424,6 +9442,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merge_pairs": _bpe_oracle(4),
         "diverse_exemplars": _kcenter_oracle(5),
+        "link_training_pairs": f"""
+            WITH {_GRAPH_PAIR_CTE},
+            pos AS MATERIALIZED (SELECT a, b FROM p),
+            verts AS MATERIALIZED (
+              SELECT DISTINCT id FROM (
+                SELECT a AS id FROM pos UNION ALL SELECT b FROM pos)
+            ),
+            nv AS (SELECT count(*) AS n_v FROM verts),
+            idx AS MATERIALIZED (
+              SELECT id, row_number() OVER (ORDER BY id) - 1 AS rk
+              FROM verts
+            ),
+            ranked AS (
+              SELECT pos.a, pos.b, ia.rk AS ra, ib.rk AS rb, nv.n_v
+              FROM pos
+              JOIN idx ia ON ia.id = pos.a
+              JOIN idx ib ON ib.id = pos.b
+              CROSS JOIN nv
+            ),
+            cand AS (
+              SELECT a, b, (ra * 31 + rb * 17) % n_v AS rc FROM ranked
+              UNION ALL
+              SELECT a, b, (ra * 61 + rb * 43) % n_v AS rc FROM ranked
+            ),
+            neg AS (
+              SELECT DISTINCT least(cand.a, i.id) AS a,
+                              greatest(cand.a, i.id) AS b
+              FROM cand JOIN idx i ON i.rk = cand.rc
+              WHERE i.id != cand.a AND i.id != cand.b
+            ),
+            negf AS (
+              SELECT n.a, n.b FROM neg n
+              WHERE NOT EXISTS (
+                SELECT 1 FROM pos WHERE pos.a = n.a AND pos.b = n.b)
+            )
+            SELECT a, b, CAST(1 AS BIGINT) AS label FROM pos
+            UNION ALL
+            SELECT a, b, CAST(0 AS BIGINT) AS label FROM negf
+            ORDER BY a, b, label
+        """,
         # 3-truss: unrolled peeling rounds, every round MATERIALIZED
         # (referenced by the next round and by its own support subquery
         # three times — CLAUDE.md CTE-inlining rule); integer supports.

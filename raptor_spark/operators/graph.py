@@ -1264,3 +1264,68 @@ def ktruss_edges(
             break
         cur = nxt
     return cur
+
+
+def link_training_pairs(
+    edges: DataFrame, neg_consts: tuple[tuple[int, int], ...] = ((31, 17), (61, 43))
+) -> DataFrame:
+    """(a, b, label): link-prediction training pairs — every positive
+    edge (label 1) plus deterministic negative samples (label 0) drawn
+    by integer congruential mixing instead of rand(), the repo's
+    determinism rule (content-derived only, so the oracle replays every
+    sample bit-for-bit and an incremental rebuild emits identical
+    training data). For each positive (a,b) and each (p,q) in
+    ``neg_consts``: candidate = vertex at dense rank
+    (rank(a)·p + rank(b)·q) mod |V|; kept iff it isn't a, isn't b, and
+    (min,max) isn't an actual edge (anti-join) — the standard corrupt-
+    one-endpoint negative sampler of KG-embedding training (TransE et
+    al.), ~|consts| negatives per positive before collisions.
+
+    The dense vertex index is a row_number over the |V|-row vertex
+    table (not the edge table — the single-partition window is bounded
+    by vertex count; at extreme |V| swap in zipWithIndex-style ranks).
+    Everything else is equi-joins and integer arithmetic."""
+    from pyspark.sql.window import Window
+
+    pos = (
+        edges.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    verts = (
+        pos.select(F.col("a").alias("id"))
+        .unionByName(pos.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    n_v = verts.agg(F.count("*").alias("n_v"))
+    idx = verts.select(
+        "id", (F.row_number().over(Window.orderBy("id")) - 1).alias("rk")
+    )
+    ranked = (
+        pos.join(idx.select(F.col("id").alias("a"), F.col("rk").alias("ra")), "a")
+        .join(idx.select(F.col("id").alias("b"), F.col("rk").alias("rb")), "b")
+        .crossJoin(F.broadcast(n_v))
+    )
+    negs = None
+    for p, q in neg_consts:
+        cand = ranked.select(
+            "a",
+            "b",
+            ((F.col("ra") * p + F.col("rb") * q) % F.col("n_v")).alias("rc"),
+        ).join(
+            idx.select(F.col("rk").alias("rc"), F.col("id").alias("c")), "rc"
+        )
+        pair = cand.filter(
+            (F.col("c") != F.col("a")) & (F.col("c") != F.col("b"))
+        ).select(
+            F.least("a", "c").alias("a"), F.greatest("a", "c").alias("b")
+        )
+        negs = pair if negs is None else negs.unionByName(pair)
+    negs = (
+        negs.distinct()
+        .join(pos, ["a", "b"], "left_anti")
+        .withColumn("label", F.lit(0))
+    )
+    return pos.withColumn("label", F.lit(1)).unionByName(negs)

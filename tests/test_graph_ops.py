@@ -1047,3 +1047,15 @@ def test_ktruss_cascading_removal(spark):
     )
     out = ktruss_edges(edges, k=4).collect()
     assert out == []
+
+
+def test_link_training_pairs_hand_lcg(spark):
+    """Path 10-20-30: ranks {10:0, 20:1, 30:2}, |V|=3. Hand-replay of the
+    congruential sampler: (10,20)→rc 2 gives negative (10,30); its second
+    draw hits b (dropped); (20,30)'s draws hit b and reconstruct the
+    positive (10,20) (anti-joined). Exactly one negative survives."""
+    from raptor_spark.operators.graph import link_training_pairs
+
+    edges = spark.createDataFrame([(10, 20), (20, 30)], "a long, b long")
+    out = sorted(tuple(r) for r in link_training_pairs(edges).collect())
+    assert out == [(10, 20, 1), (10, 30, 0), (20, 30, 1)]
