@@ -4524,8 +4524,9 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries from a pure-BIGINT window polynomial, chunks = spans
     between boundaries (insertion-robust, unlike fixed spans); summary =
     chunk counts, distinct hashes, hashes shared across docs, duplicate
-    ratio, mean chunk length. Only (doc, start, md5) rows ever shuffle —
-    never chunk bytes."""
+    ratio, mean chunk length. Each text crosses the wire once (the
+    doc-keyed md5 join); only (doc, start, len, md5) rows leave that
+    stage."""
     from raptor_spark.operators.dedup import content_defined_chunks
 
     ch = content_defined_chunks(

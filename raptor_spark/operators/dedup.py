@@ -1117,8 +1117,10 @@ def content_defined_chunks(
     sequential dependency). Sentinel boundaries at 1 and len+1 close the
     first/last chunk; a doc with no content boundary is one whole-doc
     chunk. One posexplode over (doc, position), one per-doc window sort
-    over BOUNDARY rows only (few per doc), chunk bytes never shuffle —
-    only (doc, start, md5)."""
+    over BOUNDARY rows only (few per doc), then one doc-keyed join that
+    moves each text exactly once for the in-place md5 pass — individual
+    chunk substrings are hashed where the text lands and only
+    (doc, start, len, md5) rows leave the stage."""
     from pyspark.sql.window import Window
 
     t = F.col("_t")
