@@ -4591,6 +4591,20 @@ def q_link_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b", "label")
 
 
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Wald-Wolfowitz runs test of document lengths in doc_id
+    order (operators/profile.runs_test) — does a source interleave long
+    and short docs randomly, or arrive in sorted/templated streaks that
+    break downstream samplers' i.i.d. assumption? Above/below-median
+    decided as 2v vs m1+m2 in BIGINT (tie-order-invariant order
+    statistics), ties dropped; only the z-score divides."""
+    from raptor_spark.operators.profile import runs_test
+
+    return runs_test(
+        _t(spark, sf_dir, "documents"), "source", "doc_id", "n_chars"
+    )
+
+
 def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-5-iteration PERSONALIZED PageRank on the near-dup graph with
     seed set {vertices with id % 10 == 0} (graph.personalized_pagerank) —
@@ -4849,6 +4863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "graph_ktruss": q_graph_ktruss,
         "link_training_pairs": q_link_training_pairs,
+        "runs_test": q_runs_test,
         "graph_ppr": q_graph_ppr,
         "graph_walks": q_graph_walks,
     }
@@ -9443,6 +9458,57 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_merge_pairs": _bpe_oracle(4),
         "diverse_exemplars": _kcenter_oracle(5),
+        "runs_test": """
+            WITH base AS (
+              SELECT source AS g, doc_id AS o, n_chars AS v FROM documents
+            ),
+            ranked AS (
+              SELECT g, o, v,
+                     row_number() OVER (PARTITION BY g ORDER BY v, o) AS rn,
+                     count(*) OVER (PARTITION BY g) AS n
+              FROM base
+            ),
+            msum AS (
+              SELECT g,
+                     CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN v ELSE 0 END)
+                        + sum(CASE WHEN rn = n // 2 + 1 THEN v ELSE 0 END)
+                        AS BIGINT) AS m2sum
+              FROM ranked GROUP BY g
+            ),
+            signed AS (
+              SELECT b.g, b.o,
+                     CASE WHEN b.v * 2 > m.m2sum THEN 1 ELSE 0 END AS s
+              FROM base b JOIN msum m ON b.g = m.g
+              WHERE b.v * 2 != m.m2sum
+            ),
+            runs AS (
+              SELECT g, s,
+                     CASE WHEN lag(s) OVER (PARTITION BY g ORDER BY o) IS NULL
+                            OR lag(s) OVER (PARTITION BY g ORDER BY o) = s
+                          THEN 0 ELSE 1 END AS chg
+              FROM signed
+            ),
+            per AS (
+              SELECT g, CAST(sum(s) AS BIGINT) AS n_above,
+                     CAST(sum(1 - s) AS BIGINT) AS n_below,
+                     CAST(sum(chg) + 1 AS BIGINT) AS n_runs
+              FROM runs GROUP BY g
+            )
+            SELECT g AS source, n_above, n_below, n_runs,
+                   round(CASE WHEN n_above > 0 AND n_below > 0
+                               AND 2 * n_above * n_below
+                                   > n_above + n_below
+                         THEN (n_runs - (1 + (2.0::DOUBLE * n_above * n_below)
+                                   / (n_above + n_below)))
+                              / sqrt((2.0::DOUBLE * n_above * n_below)
+                                   * (2.0 * n_above * n_below
+                                      - (n_above + n_below))
+                                   / ((n_above + n_below)
+                                      * (n_above + n_below)
+                                      * (n_above + n_below - 1)))
+                         END, 6) + 0.0 AS z
+            FROM per ORDER BY source
+        """,
         "link_training_pairs": f"""
             WITH {_GRAPH_PAIR_CTE},
             pos AS MATERIALIZED (SELECT a, b FROM p),

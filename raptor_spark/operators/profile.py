@@ -1594,3 +1594,82 @@ def theil_sen_slopes(
         )
         .orderBy(*key_cols)
     )
+
+
+def runs_test(
+    df: DataFrame, group_col: str, order_col: str, value_col: str
+) -> DataFrame:
+    """Per-group Wald-Wolfowitz runs test: is the sequence of
+    above/below-median values random in ``order_col`` order, or does it
+    clump (batch effects, sorted dumps, template streaks — orderings
+    that break the i.i.d. assumption every sampler downstream makes)?
+    Exactness discipline: the above/below verdict is decided as
+    2·v vs m1+m2 where m1, m2 are the two middle VALUES (BIGINT order
+    statistics, tie-order invariant) — no double median ever enters a
+    comparison; exact-median ties are dropped per the classic test; run
+    and sign counts are integers. Only the z-score divides (same IEEE
+    ops, round 6, +0.0 against −0; NULL when a group is one-sided so
+    the variance degenerates).
+
+    Shape: one group shuffle; two group windows (value order for the
+    order statistics, stream order for the lag) over group-sized
+    partitions."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("o"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    wv = Window.partitionBy("g").orderBy("v", "o")
+    cnt = Window.partitionBy("g")
+    ranked = base.select(
+        "g", "o", "v",
+        F.row_number().over(wv).alias("rn"),
+        F.count("*").over(cnt).alias("n"),
+    )
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.floor(F.col("n") / 2) + 1
+    msum = ranked.groupBy("g").agg(
+        (
+            F.sum(F.when(F.col("rn") == lo, F.col("v")).otherwise(0))
+            + F.sum(F.when(F.col("rn") == hi, F.col("v")).otherwise(0))
+        ).alias("m2sum")
+    )
+    signed = (
+        base.join(msum, "g")
+        .filter(F.col("v") * 2 != F.col("m2sum"))
+        .withColumn("s", (F.col("v") * 2 > F.col("m2sum")).cast("int"))
+    )
+    wo = Window.partitionBy("g").orderBy("o")
+    runs = signed.withColumn(
+        "chg",
+        F.when(
+            F.lag("s").over(wo).isNull()
+            | (F.lag("s").over(wo) == F.col("s")),
+            0,
+        ).otherwise(1),
+    )
+    per = runs.groupBy("g").agg(
+        F.sum("s").cast("long").alias("n_above"),
+        F.sum(1 - F.col("s")).cast("long").alias("n_below"),
+        (F.sum("chg") + 1).cast("long").alias("n_runs"),
+    )
+    n1, n2 = F.col("n_above"), F.col("n_below")
+    n = n1 + n2
+    e = 1 + (2.0 * n1 * n2) / n
+    v = (
+        (2.0 * n1 * n2) * (2.0 * n1 * n2 - n)
+        / (n * n * (n - 1))
+    )
+    z = F.when(
+        (n1 > 0) & (n2 > 0) & (2 * n1 * n2 > n),
+        (F.col("n_runs") - e) / F.sqrt(v),
+    )
+    return per.select(
+        F.col("g").alias(group_col),
+        "n_above",
+        "n_below",
+        "n_runs",
+        (F.round(z, 6) + 0.0).alias("z"),
+    ).orderBy(group_col)

@@ -1543,3 +1543,20 @@ def test_cdc_chunks_cover_exactly(spark):
         assert r.chunk_start == pos
         pos += r.chunk_len
     assert pos == len(text) + 1
+
+
+def test_runs_test_extremes(spark):
+    """Perfectly alternating sequence -> maximum runs (n), positive z;
+    perfectly sorted halves -> 2 runs, strongly negative z; a one-sided
+    group (all equal -> all ties dropped... use strictly above) -> NULL z."""
+    from raptor_spark.operators.profile import runs_test
+
+    alt = [("alt", i, 10 if i % 2 == 0 else 20) for i in range(12)]
+    srt = [("srt", i, 10 if i < 6 else 20) for i in range(12)]
+    one = [("one", i, 5) for i in range(4)]  # every value ties the median
+    df = spark.createDataFrame(alt + srt + one, "g string, o long, v long")
+    out = {r.g: r for r in runs_test(df, "g", "o", "v").collect()}
+    assert out["alt"].n_runs == 12 and out["alt"].z > 3
+    assert out["srt"].n_runs == 2 and out["srt"].z < -3
+    assert out["alt"].n_above == 6 and out["alt"].n_below == 6
+    assert "one" not in out or out["one"].z is None

@@ -544,7 +544,7 @@ def test_session8_9_addition_plans_stay_clean(spark):
         "calibration_audit", "zipf_audit", "landmark_distances",
         "diverse_exemplars", "wasserstein_drift", "conformal_coverage",
         "theilsen_trends", "label_spreading", "cdc_chunks", "graph_ktruss",
-        "link_training_pairs",
+        "link_training_pairs", "runs_test",
     )
     for name in names:
         p = plan_str(QUERIES[name](spark, SF_DIR))
