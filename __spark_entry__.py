@@ -4490,6 +4490,126 @@ def q_theilsen_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+
+
+def q_event_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the daily error-count and
+    purchase-count series (operators/profile.cross_correlation): Pearson
+    r of x_t vs y_{t+lag} for lag −3..+3 over days both series exist —
+    the lead-lag companion of event_acf. Moment sums stay BIGINT on both
+    engines; r is one double expression (x·x products, never pow),
+    round 6, −0 repaired."""
+    from raptor_spark.operators.profile import cross_correlation
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(
+        F.col("ts").cast("timestamp").cast("double") / 86400.0
+    ).cast("long")
+
+    def _daily(etype):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(day.alias("o"))
+            .agg(F.count("*").cast("long").alias("v"))
+        )
+
+    out = cross_correlation(_daily("error"), _daily("purchase"), max_lag=3)
+    return out.orderBy("lag")
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query MRR + AP@20 binary retrieval audit (operators/ranking.
+    rank_eval_binary) — does ranking a user's events by value surface
+    their purchases? queries = user_id < 15, candidates = that user's
+    events ranked by (value desc, event_id), relevant = purchase events.
+    Ranks/hit counts are integers from per-query windows (engine-stable:
+    the score is a BIGINT); rr/ap are ≤ 20-term double sums rounded 6
+    (the dcg discipline). Completes the eval triad: roc_auc (binary,
+    rank-free), ndcg (graded), mrr/map (binary, rank-sensitive)."""
+    from raptor_spark.operators.ranking import rank_eval_binary
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 15)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            (F.col("event_type") == "purchase").cast("int").alias("rel"),
+        )
+    )
+    out = rank_eval_binary(ev, "user_id", "rel", "value", "event_id", k=20)
+    return out.select(
+        "user_id",
+        "n_rel",
+        F.col("first_hit_rank").cast("long").alias("first_hit_rank"),
+        "rr",
+        "ap",
+    ).orderBy("user_id")
+
+
+def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking candidates (operators/dedup.
+    sorted_neighborhood_pairs): documents sorted by a normalized 24-char
+    prefix key; each record pairs with its 2 successors in rank order,
+    scored by Levenshtein on the keys — the rank-adjacency blocking that
+    survives first-char typos equality blocking cannot. Ranks are
+    distributed (per-range-partition row_numbers + broadcast offsets,
+    partition-count invariant); the oracle replays the same (key, id)
+    total order with a plain window. ASCII-only keys keep the two
+    engines' string collations identical."""
+    from raptor_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), 1, 24
+        ).alias("key"),
+    )
+    out = sorted_neighborhood_pairs(docs, "doc_id", "key", window=2)
+    return out.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "gap",
+        "dist",
+    ).orderBy("a", "b", "gap")
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Mann-Kendall monotonic-trend test (operators/profile.
+    mann_kendall) over daily value sums for user_id < 40 — the
+    non-parametric drift TEST beside the Theil-Sen slope estimate: S and
+    the tie-corrected variance numerator stay exact BIGINT on both
+    engines (signs are integer CASEs, never signum), only the
+    continuity-corrected z divides (round 6, −0 repaired). The day
+    pre-aggregation makes (user, day) unique, the operator's stated
+    contract."""
+    from raptor_spark.operators.profile import mann_kendall
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 40)
+        .groupBy(
+            "user_id",
+            F.floor(
+                F.col("ts").cast("timestamp").cast("double") / 86400.0
+            ).cast("long").alias("day"),
+        )
+        # integer cents BEFORE the sum: floor(value·100) is the same IEEE
+        # multiply+floor on both engines, so the BIGINT day sums are exact
+        # (a double day-sum cast to BIGINT truncates on Spark but ROUNDS
+        # on DuckDB, and FP sum order flips ±1 sign decisions in S)
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long").alias("day_value")
+        )
+    )
+    out = mann_kendall(ev, ["user_id"], "day", "day_value")
+    return out.orderBy("user_id")
+
+
 def q_label_spreading(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised label spreading over the near-dup graph
     (operators/graph.label_spreading): seeds = vertices with id%5==0,
@@ -4572,6 +4692,24 @@ def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
     ).orderBy("a", "b")
+
+
+
+def q_graph_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal independent set of the near-dup graph
+    (operators/graph.maximal_independent_set): greedy MIS under a
+    deterministic priority permutation (Luby's rounds with the random
+    draws replaced by an LCG hash, the repo determinism rule) — the
+    anchor-selection primitive (no two chosen docs are near-dups; every
+    unchosen doc has a chosen neighbor). The oracle unrolls the same
+    8 local-minimum/remove rounds MATERIALIZED with identical BIGINT
+    priorities, so selection replays exactly."""
+    from raptor_spark.operators.graph import maximal_independent_set
+
+    out = maximal_independent_set(_jaccard_edge_set(spark, sf_dir), max_rounds=8)
+    return out.select(
+        F.col("id").cast("long").alias("id"), "round"
+    ).orderBy("id")
 
 
 def q_link_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4859,9 +4997,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein_drift": q_wasserstein_drift,
         "conformal_coverage": q_conformal_coverage,
         "theilsen_trends": q_theilsen_trends,
+        "mann_kendall": q_mann_kendall,
+        "snm_pairs": q_snm_pairs,
+        "retrieval_eval": q_retrieval_eval,
+        "event_xcorr": q_event_xcorr,
         "label_spreading": q_label_spreading,
         "cdc_chunks": q_cdc_chunks,
         "graph_ktruss": q_graph_ktruss,
+        "graph_mis": q_graph_mis,
         "link_training_pairs": q_link_training_pairs,
         "runs_test": q_runs_test,
         "graph_ppr": q_graph_ppr,
@@ -9552,6 +9695,127 @@ def oracle_sql() -> dict[str, str]:
         # 3-truss: unrolled peeling rounds, every round MATERIALIZED
         # (referenced by the next round and by its own support subquery
         # three times — CLAUDE.md CTE-inlining rule); integer supports.
+        "graph_mis": f"""
+            WITH {GRAPH_EDGE_CTE.replace("e AS (", "e AS MATERIALIZED (")},
+            a0 AS MATERIALIZED (
+              SELECT DISTINCT s AS id,
+                     (s % 1000000007) * 2654435761 % 1000000007 AS pr
+              FROM e),
+            s1 AS MATERIALIZED (
+              SELECT x.id, 1 AS round FROM a0 x
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e JOIN a0 y ON e.d = y.id
+                WHERE e.s = x.id
+                  AND (y.pr < x.pr OR (y.pr = x.pr AND y.id < x.id)))
+            ),
+            a1 AS MATERIALIZED (
+              SELECT x.id, x.pr FROM a0 x
+              WHERE NOT EXISTS (SELECT 1 FROM s1 WHERE s1.id = x.id)
+                AND NOT EXISTS (
+                  SELECT 1 FROM e JOIN s1 ON e.d = s1.id
+                  WHERE e.s = x.id)
+            ),
+            s2 AS MATERIALIZED (
+              SELECT x.id, 2 AS round FROM a1 x
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e JOIN a1 y ON e.d = y.id
+                WHERE e.s = x.id
+                  AND (y.pr < x.pr OR (y.pr = x.pr AND y.id < x.id)))
+            ),
+            a2 AS MATERIALIZED (
+              SELECT x.id, x.pr FROM a1 x
+              WHERE NOT EXISTS (SELECT 1 FROM s2 WHERE s2.id = x.id)
+                AND NOT EXISTS (
+                  SELECT 1 FROM e JOIN s2 ON e.d = s2.id
+                  WHERE e.s = x.id)
+            ),
+            s3 AS MATERIALIZED (
+              SELECT x.id, 3 AS round FROM a2 x
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e JOIN a2 y ON e.d = y.id
+                WHERE e.s = x.id
+                  AND (y.pr < x.pr OR (y.pr = x.pr AND y.id < x.id)))
+            ),
+            a3 AS MATERIALIZED (
+              SELECT x.id, x.pr FROM a2 x
+              WHERE NOT EXISTS (SELECT 1 FROM s3 WHERE s3.id = x.id)
+                AND NOT EXISTS (
+                  SELECT 1 FROM e JOIN s3 ON e.d = s3.id
+                  WHERE e.s = x.id)
+            ),
+            s4 AS MATERIALIZED (
+              SELECT x.id, 4 AS round FROM a3 x
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e JOIN a3 y ON e.d = y.id
+                WHERE e.s = x.id
+                  AND (y.pr < x.pr OR (y.pr = x.pr AND y.id < x.id)))
+            ),
+            a4 AS MATERIALIZED (
+              SELECT x.id, x.pr FROM a3 x
+              WHERE NOT EXISTS (SELECT 1 FROM s4 WHERE s4.id = x.id)
+                AND NOT EXISTS (
+                  SELECT 1 FROM e JOIN s4 ON e.d = s4.id
+                  WHERE e.s = x.id)
+            ),
+            s5 AS MATERIALIZED (
+              SELECT x.id, 5 AS round FROM a4 x
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e JOIN a4 y ON e.d = y.id
+                WHERE e.s = x.id
+                  AND (y.pr < x.pr OR (y.pr = x.pr AND y.id < x.id)))
+            ),
+            a5 AS MATERIALIZED (
+              SELECT x.id, x.pr FROM a4 x
+              WHERE NOT EXISTS (SELECT 1 FROM s5 WHERE s5.id = x.id)
+                AND NOT EXISTS (
+                  SELECT 1 FROM e JOIN s5 ON e.d = s5.id
+                  WHERE e.s = x.id)
+            ),
+            s6 AS MATERIALIZED (
+              SELECT x.id, 6 AS round FROM a5 x
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e JOIN a5 y ON e.d = y.id
+                WHERE e.s = x.id
+                  AND (y.pr < x.pr OR (y.pr = x.pr AND y.id < x.id)))
+            ),
+            a6 AS MATERIALIZED (
+              SELECT x.id, x.pr FROM a5 x
+              WHERE NOT EXISTS (SELECT 1 FROM s6 WHERE s6.id = x.id)
+                AND NOT EXISTS (
+                  SELECT 1 FROM e JOIN s6 ON e.d = s6.id
+                  WHERE e.s = x.id)
+            ),
+            s7 AS MATERIALIZED (
+              SELECT x.id, 7 AS round FROM a6 x
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e JOIN a6 y ON e.d = y.id
+                WHERE e.s = x.id
+                  AND (y.pr < x.pr OR (y.pr = x.pr AND y.id < x.id)))
+            ),
+            a7 AS MATERIALIZED (
+              SELECT x.id, x.pr FROM a6 x
+              WHERE NOT EXISTS (SELECT 1 FROM s7 WHERE s7.id = x.id)
+                AND NOT EXISTS (
+                  SELECT 1 FROM e JOIN s7 ON e.d = s7.id
+                  WHERE e.s = x.id)
+            ),
+            s8 AS MATERIALIZED (
+              SELECT x.id, 8 AS round FROM a7 x
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e JOIN a7 y ON e.d = y.id
+                WHERE e.s = x.id
+                  AND (y.pr < x.pr OR (y.pr = x.pr AND y.id < x.id)))
+            ),
+            a8 AS MATERIALIZED (
+              SELECT x.id, x.pr FROM a7 x
+              WHERE NOT EXISTS (SELECT 1 FROM s8 WHERE s8.id = x.id)
+                AND NOT EXISTS (
+                  SELECT 1 FROM e JOIN s8 ON e.d = s8.id
+                  WHERE e.s = x.id)
+            )
+            SELECT id, round FROM (SELECT id, round FROM s1 UNION ALL SELECT id, round FROM s2 UNION ALL SELECT id, round FROM s3 UNION ALL SELECT id, round FROM s4 UNION ALL SELECT id, round FROM s5 UNION ALL SELECT id, round FROM s6 UNION ALL SELECT id, round FROM s7 UNION ALL SELECT id, round FROM s8)
+            ORDER BY id
+        """,
         "graph_ktruss": f"""
             WITH {_GRAPH_PAIR_CTE},
             t0 AS MATERIALIZED (SELECT a, b FROM p),
@@ -9731,6 +9995,151 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, round(score, 6) AS score
             FROM r5 ORDER BY id
+        """,
+        "event_xcorr": """
+            WITH x AS (
+              SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS o,
+                     CAST(count(*) AS BIGINT) AS x
+              FROM events WHERE event_type = 'error'
+              GROUP BY CAST(floor(epoch(ts) / 86400) AS BIGINT)
+            ),
+            y AS (
+              SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS o,
+                     CAST(count(*) AS BIGINT) AS y
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY CAST(floor(epoch(ts) / 86400) AS BIGINT)
+            ),
+            lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+            j AS (
+              SELECT l.lag, x.x, y.y
+              FROM lags l, x, y
+              WHERE y.o - l.lag = x.o
+            ),
+            agg AS (
+              SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy
+              FROM j GROUP BY lag
+            )
+            SELECT lag, n,
+                   round(CASE WHEN n * sxx - sx * sx > 0
+                              AND n * syy - sy * sy > 0
+                         THEN (n * sxy - sx * sy)
+                              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                     * CAST(n * syy - sy * sy AS DOUBLE))
+                         END, 6) + 0.0 AS r
+            FROM agg ORDER BY lag
+        """,
+        "retrieval_eval": """
+            WITH base AS (
+              SELECT user_id AS q, event_id AS id, value AS s,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+              FROM events WHERE user_id < 15
+            ),
+            nr AS (
+              SELECT q, CAST(sum(hit) AS BIGINT) AS n_rel
+              FROM base GROUP BY q
+            ),
+            ranked AS (
+              SELECT q, hit,
+                     row_number() OVER (
+                       PARTITION BY q ORDER BY s DESC, id) AS r
+              FROM base
+            ),
+            topk AS (SELECT * FROM ranked WHERE r <= 20),
+            cum AS (
+              SELECT q, hit, r,
+                     CAST(sum(hit) OVER (
+                       PARTITION BY q ORDER BY r) AS BIGINT) AS ch
+              FROM topk
+            ),
+            per AS (
+              SELECT q,
+                     min(CASE WHEN hit = 1 THEN r END) AS first_hit_rank,
+                     sum(CASE WHEN hit = 1 THEN ch / CAST(r AS DOUBLE)
+                              ELSE CAST(0 AS DOUBLE) END) AS ap_num
+              FROM cum GROUP BY q
+            )
+            SELECT nr.q AS user_id, nr.n_rel,
+                   CAST(per.first_hit_rank AS BIGINT) AS first_hit_rank,
+                   round(coalesce(CAST(1 AS DOUBLE) / per.first_hit_rank,
+                                  CAST(0 AS DOUBLE)), 6) AS rr,
+                   round(CASE WHEN least(nr.n_rel, 20) > 0
+                         THEN coalesce(per.ap_num, CAST(0 AS DOUBLE))
+                              / least(nr.n_rel, 20)
+                         ELSE CAST(0 AS DOUBLE) END, 6) AS ap
+            FROM nr LEFT JOIN per ON nr.q = per.q
+            ORDER BY user_id
+        """,
+        "snm_pairs": """
+            WITH base AS (
+              SELECT doc_id AS id,
+                     substring(regexp_replace(lower(text),
+                                              '[^a-z0-9 ]', '', 'g'),
+                               1, 24) AS key
+              FROM documents
+            ),
+            ranked AS (
+              SELECT id, key,
+                     row_number() OVER (ORDER BY key, id) AS r
+              FROM base
+            )
+            SELECT a.id AS a, b.id AS b,
+                   CAST(b.r - a.r AS INTEGER) AS gap,
+                   CAST(levenshtein(a.key, b.key) AS INTEGER) AS dist
+            FROM ranked a JOIN ranked b
+              ON b.r - a.r BETWEEN 1 AND 2
+            ORDER BY a, b, gap
+        """,
+        "mann_kendall": """
+            WITH base AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) AS o,
+                     CAST(sum(CAST(floor(value * 100) AS BIGINT))
+                          AS BIGINT) AS y
+              FROM events WHERE user_id < 40
+              GROUP BY user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+            ),
+            s AS (
+              SELECT a.user_id,
+                     CAST(sum(CASE WHEN b.y > a.y THEN 1
+                                   WHEN b.y < a.y THEN -1
+                                   ELSE 0 END) AS BIGINT) AS s_stat
+              FROM base a JOIN base b
+                ON a.user_id = b.user_id AND a.o < b.o
+              GROUP BY a.user_id
+            ),
+            nn AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n
+              FROM base GROUP BY user_id
+            ),
+            t AS (
+              SELECT user_id,
+                     CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+              FROM (SELECT user_id, y, CAST(count(*) AS BIGINT) AS t
+                    FROM base GROUP BY user_id, y)
+              GROUP BY user_id
+            ),
+            per AS (
+              SELECT nn.user_id, nn.n, t.tie_term,
+                     CAST(coalesce(s.s_stat, 0) AS BIGINT) AS s_stat,
+                     CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tie_term
+                          AS BIGINT) AS var_num
+              FROM nn JOIN t ON nn.user_id = t.user_id
+              LEFT JOIN s ON nn.user_id = s.user_id
+            )
+            SELECT user_id, n, s_stat, var_num,
+                   round(CASE WHEN var_num > 0 THEN
+                     CASE WHEN s_stat > 0
+                            THEN (s_stat - 1) / sqrt(var_num / CAST(18 AS DOUBLE))
+                          WHEN s_stat < 0
+                            THEN (s_stat + 1) / sqrt(var_num / CAST(18 AS DOUBLE))
+                          ELSE CAST(0 AS DOUBLE) END
+                   END, 6) + 0.0 AS z
+            FROM per ORDER BY user_id
         """,
         "theilsen_trends": """
             WITH base AS (

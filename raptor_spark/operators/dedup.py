@@ -1162,3 +1162,73 @@ def content_defined_chunks(
             "chunk_md5"
         ),
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 3,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) blocking: sort every record by a fuzzy
+    sort key, then emit each record paired with its ``window`` successors
+    in that order — the classic entity-resolution blocking method
+    (Hernández/Stolfo) that catches near-matches equality blocking splits
+    across blocks (a typo in the first char of a block key sends the twin
+    to a far block; in SNM it usually stays within a few rank positions).
+    Output: (a, b, gap, dist) — ids ordered by rank, their rank gap
+    (1..window), and the Levenshtein distance between their sort keys
+    (JVM-side, O(|key|²) per pair) for the caller's match threshold.
+
+    Scale shape — the global sort WITHOUT a single-partition window:
+    ranks compose per-partition row_numbers with broadcast partition
+    offsets (repartitionByRange on (key, id) → row_number inside each
+    partition in parallel → one |partitions|-row count collect → offset
+    join). Ranks depend only on the (key, id) total order, never on where
+    range boundaries land, so output is partition-count invariant. The
+    neighbor join is ``window`` integer EQUI-joins (rank_b = rank_a + k),
+    each a plain hash join on a dense unique key — no range join, no
+    skew (ranks are unique by construction)."""
+    from pyspark.sql.window import Window
+
+    base = df.select(F.col(id_col).alias("id"), F.col(key_col).alias("key"))
+    part = (
+        base.repartitionByRange(n_parts, "key", "id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    local = part.withColumn(
+        "lr", F.row_number().over(Window.partitionBy("pid").orderBy("key", "id"))
+    ).localCheckpoint()
+    counts = sorted(
+        (r.pid, r.c)
+        for r in local.groupBy("pid").agg(F.count("*").alias("c")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, c in counts:
+        offsets[pid] = acc
+        acc += c
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "pid int, off long"
+        )
+    )
+    ranked = local.join(off_df, "pid").select(
+        "id", "key", (F.col("off") + F.col("lr")).alias("r")
+    )
+    out = None
+    for k in range(1, window + 1):
+        right = ranked.select(
+            (F.col("r") - k).alias("r"),
+            F.col("id").alias("b"),
+            F.col("key").alias("key_b"),
+        )
+        p = ranked.join(right, "r").select(
+            F.col("id").alias("a"),
+            "b",
+            F.lit(k).alias("gap"),
+            F.levenshtein(F.col("key"), F.col("key_b")).alias("dist"),
+        )
+        out = p if out is None else out.unionByName(p)
+    return out

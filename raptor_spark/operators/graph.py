@@ -1329,3 +1329,90 @@ def link_training_pairs(
         .withColumn("label", F.lit(0))
     )
     return pos.withColumn("label", F.lit(1)).unionByName(negs)
+
+
+MIS_PRIORITY_MOD = 1_000_000_007
+MIS_PRIORITY_MULT = 2_654_435_761
+
+
+def _mis_priority(col):
+    """Deterministic vertex priority: (id mod p) · c mod p with p prime —
+    a permutation of Z_p, so distinct ids below p never tie (content-derived
+    determinism rule: no rand(), the oracle replays every priority in the
+    same BIGINT arithmetic; products stay < p·c ≈ 2.7e18 < 2^63 under ANSI
+    mode). Ties from ids ≥ p wrapping are still broken by id in the
+    comparison, so the output is well-defined for any id domain."""
+    return (col % MIS_PRIORITY_MOD) * MIS_PRIORITY_MULT % MIS_PRIORITY_MOD
+
+
+def maximal_independent_set(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
+    """(id, round): a maximal independent set of the undirected graph —
+    the classic parallel primitive behind symbol-table anchor selection
+    (pick one canonical representative per neighborhood such that no two
+    picked entities are near-dups of each other; every unpicked entity has
+    a picked neighbor to attach to).
+
+    Greedy MIS under a deterministic priority permutation (Blelloch/
+    Fineman/Shun's parallel greedy MIS — Luby's algorithm with the random
+    draws replaced by a fixed hash permutation, the repo's determinism
+    rule): each round selects every still-alive vertex that is a LOCAL
+    MINIMUM of (priority, id) among its alive neighbors (isolated alive
+    vertices select trivially), then removes the selected set and its
+    neighborhood. Local minima under a permutation are an independent set
+    by construction, and every removed vertex is selected-or-adjacent-to-
+    selected, so when the alive set empties the result is maximal. Random-
+    permutation greedy MIS completes in O(log n) rounds w.h.p.; the round
+    cap keeps the loop equal to the oracle's fixed unroll (an empty alive
+    set makes further rounds no-ops, so early exit is output-identical).
+
+    Per round: one edge×alive double semi-equi-join + one distinct on the
+    dominated-vertex set + two anti-joins — all shuffles are on vertex
+    ids, nothing ever materializes a neighborhood list, and the alive
+    frame shrinks geometrically. localCheckpoint per round truncates the
+    iterative lineage (same discipline as kcore/pagerank)."""
+    sym = symmetrize(edges).persist()
+    alive = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", _mis_priority(F.col("id")).alias("pr"))
+        .localCheckpoint()
+    )
+    picked = None
+    for rnd in range(1, max_rounds + 1):
+        if alive.isEmpty():
+            break
+        # vertices with an alive (priority, id)-smaller neighbor: dominated
+        dominated = (
+            sym.join(
+                alive.select(F.col("id").alias("src"), F.col("pr").alias("ps")),
+                "src",
+            )
+            .join(
+                alive.select(F.col("id").alias("dst"), F.col("pr").alias("pd")),
+                "dst",
+            )
+            .filter(
+                (F.col("pd") < F.col("ps"))
+                | ((F.col("pd") == F.col("ps")) & (F.col("dst") < F.col("src")))
+            )
+            .select(F.col("src").alias("id"))
+            .distinct()
+        )
+        sel = alive.join(dominated, "id", "left_anti").select(
+            "id", F.lit(rnd).alias("round")
+        ).localCheckpoint()
+        picked = sel if picked is None else picked.unionByName(sel)
+        nbrs = (
+            sym.join(
+                sel.select(F.col("id").alias("src")), "src", "left_semi"
+            )
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        alive = (
+            alive.join(sel.select("id"), "id", "left_anti")
+            .join(nbrs, "id", "left_anti")
+            .localCheckpoint()
+        )
+    sym.unpersist()
+    return picked

@@ -1673,3 +1673,131 @@ def runs_test(
         "n_runs",
         (F.round(z, 6) + 0.0).alias("z"),
     ).orderBy(group_col)
+
+
+def mann_kendall(
+    df: DataFrame, group_cols: list[str], order_col: str, value_col: str
+) -> DataFrame:
+    """Per-group Mann-Kendall monotonic-trend test — the non-parametric
+    companion to theil_sen_slopes (same robustness rationale, but as a
+    significance TEST): S = Σ_{i<j} sign(y_j − y_i) over the
+    ``order_col``-ordered series, with the classic tie-corrected variance
+    Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18 and the ±1
+    continuity-corrected z. A |z| ≫ 0 series drifts monotonically — the
+    drift alarm that needs no distributional assumption and no slope
+    units.
+
+    Exactness discipline (cross-engine): values are BIGINT, every sign is
+    a CASE on integer comparisons (never signum → double), S / n / the
+    tie term / the variance NUMERATOR are all exact integers (n ≤ ~10⁶
+    keeps n·(n−1)·(2n+5) < 2^63 — far above any per-key series this
+    engine groups); only the final z divides, rounded and −0-repaired.
+    Var = 0 (all values tied, or n < 2) yields NULL z.
+
+    Caller contract: (group, order) pairs are unique (pre-aggregate the
+    series — the day-sum query shape); the per-key pair set is quadratic
+    like theil_sen_slopes, bounded by the series length. One key shuffle
+    for the self-join, map-side-combinable aggs for S and the tie term.
+    """
+    base = df.select(
+        *group_cols,
+        F.col(order_col).cast("long").alias("o"),
+        F.col(value_col).cast("long").alias("y"),
+    ).localCheckpoint()
+    b = base.select(
+        *[F.col(c).alias(f"{c}_b") for c in group_cols],
+        F.col("o").alias("ob"),
+        F.col("y").alias("yb"),
+    )
+    cond = [F.col(k) == F.col(f"{k}_b") for k in group_cols]
+    sgn = (
+        F.when(F.col("yb") > F.col("y"), 1)
+        .when(F.col("yb") < F.col("y"), -1)
+        .otherwise(0)
+    )
+    s_stat = (
+        base.join(b, cond + [F.col("o") < F.col("ob")])
+        .groupBy(*group_cols)
+        .agg(F.sum(sgn).cast("long").alias("s_stat"))
+    )
+    n_per = base.groupBy(*group_cols).agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        base.groupBy(*group_cols, "y")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("long").alias("tie_term")
+        )
+    )
+    per = n_per.join(ties, group_cols).join(s_stat, group_cols, "left")
+    n = F.col("n")
+    var_num = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")).cast("long")
+    s = F.coalesce(F.col("s_stat"), F.lit(0)).cast("long")
+    z = F.when(
+        var_num > 0,
+        F.when(s > 0, (s - 1) / F.sqrt(var_num / 18.0))
+        .when(s < 0, (s + 1) / F.sqrt(var_num / 18.0))
+        .otherwise(F.lit(0.0)),
+    )
+    return per.select(
+        *group_cols,
+        n.alias("n"),
+        s.alias("s_stat"),
+        var_num.alias("var_num"),
+        (F.round(z, 6) + 0.0).alias("z"),
+    )
+
+
+def cross_correlation(
+    x_df: DataFrame, y_df: DataFrame, max_lag: int = 3
+) -> DataFrame:
+    """Lagged Pearson cross-correlation between two integer time series —
+    does series y lead or lag series x? For each lag ℓ ∈ [−max_lag,
+    +max_lag], correlate x_t with y_{t+ℓ} over the days both exist
+    (inner join on the shifted key; missing buckets are missing, not
+    zero-filled). The lead-lag companion of the single-series event_acf:
+    a peak at ℓ > 0 means x moves first (error bursts precede purchase
+    dips, ingest spikes precede dedup-queue growth).
+
+    Inputs: (o, v) frames with a unique integer bucket key ``o`` (the
+    caller pre-aggregates — day grids, the mann_kendall contract).
+    Exactness: all five moment sums and n stay BIGINT (values are cast
+    long; products bounded by |series|·max(v)² — the caller's bucket
+    aggregation keeps v near corpus scale, documented like
+    assortativity); r computes in ONE double expression at the end,
+    x·x written as products (never pow), zero variance → NULL, round 6,
+    −0 repaired. Shape: 2·max_lag+1 hash equi-joins of two bucket-sized
+    frames + a map-side-combinable 1-row agg per lag."""
+    x = x_df.select(F.col("o").cast("long").alias("o"), F.col("v").cast("long").alias("x"))
+    y = y_df.select(F.col("o").cast("long").alias("o"), F.col("v").cast("long").alias("y"))
+    x = x.localCheckpoint()
+    y = y.localCheckpoint()
+    out = None
+    for lag in range(-max_lag, max_lag + 1):
+        shifted = y.select((F.col("o") - lag).alias("o"), "y")
+        joined = x.join(shifted, "o").select(
+            F.lit(lag).alias("lag"), "x", "y"
+        )
+        agg = joined.groupBy("lag").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        (n * sxy - sx * sy)
+        / F.sqrt(vx.cast("double") * vy.cast("double")),
+    )
+    return out.select(
+        "lag", "n", (F.round(r, 6) + 0.0).alias("r")
+    )

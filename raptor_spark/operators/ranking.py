@@ -758,3 +758,63 @@ def ndcg_at_k(
         )
         .orderBy("k")
     )
+
+
+def rank_eval_binary(
+    scored: DataFrame,
+    query_col: str,
+    rel_col: str,
+    score_col: str,
+    id_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Per-query binary retrieval metrics — MRR and AP@k, the binary
+    companions of the graded ndcg_at_k (together they are the standard
+    search-eval triad): for each query, rank candidates by
+    (score desc, id asc — pass a PRE-ROUNDED or integer score so the
+    prefix is engine-stable), then
+      first_hit_rank = rank of the first relevant candidate in the top-k
+                       (NULL if none),
+      rr             = 1/first_hit_rank (0.0 if no hit — the MRR term),
+      ap             = Σ_{hits at rank r ≤ k} (hits≤r)/r ÷ min(n_rel, k)
+                       (0.0 when the query has no relevant candidates).
+
+    Exactness: ranks and hit counts are integers from a per-query window
+    (partition size = that query's candidate set — the caller bounds it);
+    rr/ap are ≤ k-term double sums rounded to 6 (the dcg discipline).
+    One query-key shuffle; n_rel is a map-side-combinable count joined
+    back on the query key."""
+    base = scored.select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("id"),
+        F.col(score_col).alias("s"),
+        (F.col(rel_col) > 0).cast("int").alias("hit"),
+    )
+    n_rel = base.groupBy("q").agg(F.sum("hit").cast("long").alias("n_rel"))
+    w = Window.partitionBy("q").orderBy(F.desc("s"), F.asc("id"))
+    ranked = base.select(
+        "q", "hit", F.row_number().over(w).alias("r")
+    ).filter(F.col("r") <= k)
+    wc = Window.partitionBy("q").orderBy("r")
+    cum = ranked.withColumn("ch", F.sum("hit").over(wc))
+    per = cum.groupBy("q").agg(
+        F.min(F.when(F.col("hit") == 1, F.col("r"))).alias("first_hit_rank"),
+        F.sum(
+            F.when(F.col("hit") == 1, F.col("ch") / F.col("r")).otherwise(0.0)
+        ).alias("ap_num"),
+    )
+    out = n_rel.join(per, "q", "left")
+    denom = F.least(F.col("n_rel"), F.lit(k).cast("long"))
+    return out.select(
+        F.col("q").alias(query_col),
+        "n_rel",
+        "first_hit_rank",
+        F.round(
+            F.coalesce(1.0 / F.col("first_hit_rank"), F.lit(0.0)), 6
+        ).alias("rr"),
+        F.round(
+            F.when(denom > 0, F.coalesce(F.col("ap_num"), F.lit(0.0)) / denom)
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("ap"),
+    )

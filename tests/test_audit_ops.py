@@ -11,6 +11,8 @@ from __future__ import annotations
 import hashlib
 import math
 
+import pytest
+
 import numpy as np
 
 from raptor_spark.operators.dedup import (
@@ -1560,3 +1562,106 @@ def test_runs_test_extremes(spark):
     assert out["srt"].n_runs == 2 and out["srt"].z < -3
     assert out["alt"].n_above == 6 and out["alt"].n_below == 6
     assert "one" not in out or out["one"].z is None
+
+
+def test_mann_kendall_monotone_and_python_replay(spark):
+    from raptor_spark.operators.profile import mann_kendall
+
+    # strictly increasing: S = n(n-1)/2, z > 0; strictly decreasing mirrors;
+    # constant: var_num = 0 -> z NULL
+    rows = (
+        [("up", i, 10 + i) for i in range(8)]
+        + [("down", i, 50 - 3 * i) for i in range(8)]
+        + [("flat", i, 7) for i in range(8)]
+        + [("mix", i, v) for i, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6])]
+    )
+    df = spark.createDataFrame(rows, "g string, o long, y long")
+    out = {r.g: r for r in mann_kendall(df, ["g"], "o", "y").collect()}
+    assert out["up"].s_stat == 28 and out["up"].z > 0
+    assert out["down"].s_stat == -28 and out["down"].z < 0
+    assert out["flat"].var_num == 0 and out["flat"].z is None
+
+    # python replay incl. tie-corrected variance and continuity correction
+    def mk(ys):
+        n = len(ys)
+        s = sum(
+            (ys[j] > ys[i]) - (ys[j] < ys[i])
+            for i in range(n) for j in range(i + 1, n)
+        )
+        from collections import Counter
+        tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(ys).values())
+        vn = n * (n - 1) * (2 * n + 5) - tie
+        if vn <= 0:
+            return s, vn, None
+        import math
+        z = 0.0 if s == 0 else (s - (1 if s > 0 else -1)) / math.sqrt(vn / 18.0)
+        return s, vn, round(z, 6) + 0.0
+    for g, ys in [("up", [10 + i for i in range(8)]),
+                  ("mix", [3, 1, 4, 1, 5, 9, 2, 6])]:
+        s, vn, z = mk(ys)
+        assert (out[g].s_stat, out[g].var_num) == (s, vn)
+        assert out[g].z == pytest.approx(z, abs=1e-9)
+
+
+def test_mann_kendall_single_point_group(spark):
+    from raptor_spark.operators.profile import mann_kendall
+
+    df = spark.createDataFrame([("solo", 1, 5)], "g string, o long, y long")
+    r = mann_kendall(df, ["g"], "o", "y").collect()[0]
+    assert (r.n, r.s_stat, r.var_num, r.z) == (1, 0, 0, None)
+
+
+def test_cross_correlation_shifted_series_peak(spark):
+    from raptor_spark.operators.profile import cross_correlation
+
+    # y is x shifted forward by 2 buckets: the r=1 peak must land at lag +2
+    # (x_t == y_{t+2}), other aligned lags correlate weakly or not at all
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    x = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(xs)], "o long, v long"
+    )
+    y = spark.createDataFrame(
+        [(i + 2, v) for i, v in enumerate(xs)], "o long, v long"
+    )
+    out = {r.lag: r for r in cross_correlation(x, y, max_lag=3).collect()}
+    assert out[2].r == 1.0
+    assert out[2].n == len(xs)
+    assert all(
+        out[l].r is None or out[l].r < 1.0 for l in out if l != 2
+    )
+
+
+def test_cross_correlation_matches_python_pearson(spark):
+    from raptor_spark.operators.profile import cross_correlation
+    import math
+    import random
+
+    rng = random.Random(3)
+    xs = [rng.randrange(100) for _ in range(30)]
+    ys = [rng.randrange(100) for _ in range(30)]
+    x = spark.createDataFrame(list(enumerate(xs)), "o long, v long")
+    y = spark.createDataFrame(list(enumerate(ys)), "o long, v long")
+    out = {r.lag: r.r for r in cross_correlation(x, y, max_lag=2).collect()}
+    for lag in range(-2, 3):
+        pairs = [
+            (xs[t], ys[t + lag])
+            for t in range(30)
+            if 0 <= t + lag < 30
+        ]
+        n = len(pairs)
+        sx = sum(p[0] for p in pairs); sy = sum(p[1] for p in pairs)
+        sxy = sum(a * b for a, b in pairs)
+        sxx = sum(a * a for a, _ in pairs); syy = sum(b * b for _, b in pairs)
+        r = (n * sxy - sx * sy) / math.sqrt(
+            float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+        )
+        assert out[lag] == pytest.approx(round(r, 6), abs=1e-9)
+
+
+def test_cross_correlation_zero_variance_null(spark):
+    from raptor_spark.operators.profile import cross_correlation
+
+    x = spark.createDataFrame([(i, 5) for i in range(6)], "o long, v long")
+    y = spark.createDataFrame([(i, i) for i in range(6)], "o long, v long")
+    out = cross_correlation(x, y, max_lag=0).collect()
+    assert len(out) == 1 and out[0].r is None

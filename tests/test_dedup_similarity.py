@@ -743,3 +743,58 @@ def test_ivfpq_written_index_layout_and_determinism(spark, emb, tmp_path):
     a = {(r.id, r.cell, tuple(r.codes)) for r in rows}
     b = {(r.id, r.cell, tuple(r.codes)) for r in spark.read.parquet(idx2).collect()}
     assert a == b
+
+
+def test_sorted_neighborhood_matches_python_replay(spark):
+    from raptor_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "alpha corp"),
+        (2, "alpha korp"),
+        (3, "beta inc"),
+        (4, "beta inc"),
+        (5, "gamma llc"),
+        (6, "aalpha corp"),
+        (7, "zeta"),
+    ]
+    df = spark.createDataFrame(rows, "id long, key string")
+    got = {
+        (r.a, r.b, r.gap): r.dist
+        for r in sorted_neighborhood_pairs(df, "id", "key", window=3).collect()
+    }
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    expect = {}
+    for i, (ida, ka) in enumerate(order):
+        for k in range(1, 4):
+            if i + k < len(order):
+                idb, kb = order[i + k]
+                expect[(ida, idb, k)] = _lev(ka, kb)
+    assert got == expect
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_sorted_neighborhood_partition_count_invariant(spark):
+    from raptor_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [(i, f"key{(i * 37) % 50:03d}x{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    one = {
+        (r.a, r.b, r.gap, r.dist)
+        for r in sorted_neighborhood_pairs(df, "id", "key", window=2, n_parts=1).collect()
+    }
+    many = {
+        (r.a, r.b, r.gap, r.dist)
+        for r in sorted_neighborhood_pairs(df, "id", "key", window=2, n_parts=13).collect()
+    }
+    assert one == many
+    # every record except the last two pairs with exactly 2 successors
+    assert len(one) == 2 * 200 - 3

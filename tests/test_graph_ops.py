@@ -1059,3 +1059,71 @@ def test_link_training_pairs_hand_lcg(spark):
     edges = spark.createDataFrame([(10, 20), (20, 30)], "a long, b long")
     out = sorted(tuple(r) for r in link_training_pairs(edges).collect())
     assert out == [(10, 20, 1), (10, 30, 0), (20, 30, 1)]
+
+
+def test_mis_independence_and_maximality_random_graph(spark):
+    # Deterministic pseudo-random graph: independence (no edge inside the
+    # set) and maximality (every non-member has a member neighbor) are the
+    # defining properties; both must hold once the alive set empties.
+    import random
+
+    rng = random.Random(7)
+    pairs = list({(rng.randrange(40), rng.randrange(40)) for _ in range(120)})
+    e = _edges(spark, [(a, b) for a, b in pairs if a != b])
+    from raptor_spark.operators.graph import maximal_independent_set, symmetrize
+
+    mis = {r.id for r in maximal_independent_set(e, max_rounds=16).collect()}
+    sym = [(r.src, r.dst) for r in symmetrize(e).collect()]
+    verts = {s for s, _ in sym}
+    assert all(not (a in mis and b in mis) for a, b in sym), "not independent"
+    nbrs = {}
+    for s, d in sym:
+        nbrs.setdefault(s, set()).add(d)
+    for v in verts - mis:
+        assert nbrs[v] & mis, f"vertex {v} has no MIS neighbor (not maximal)"
+
+
+def test_mis_matches_python_greedy_replay(spark):
+    # The operator is greedy MIS under the (priority, id) permutation —
+    # a sequential scan in that order must produce the IDENTICAL set.
+    import random
+
+    rng = random.Random(11)
+    pairs = list({(rng.randrange(30), rng.randrange(30)) for _ in range(80)})
+    e = _edges(spark, [(a, b) for a, b in pairs if a != b])
+    from raptor_spark.operators.graph import (
+        MIS_PRIORITY_MOD,
+        MIS_PRIORITY_MULT,
+        maximal_independent_set,
+        symmetrize,
+    )
+
+    sym = [(r.src, r.dst) for r in symmetrize(e).collect()]
+    verts = sorted({s for s, _ in sym})
+    nbrs = {}
+    for s, d in sym:
+        nbrs.setdefault(s, set()).add(d)
+    order = sorted(verts, key=lambda v: ((v % MIS_PRIORITY_MOD) * MIS_PRIORITY_MULT % MIS_PRIORITY_MOD, v))
+    expect = set()
+    for v in order:
+        if not (nbrs[v] & expect):
+            expect.add(v)
+    got = {r.id for r in maximal_independent_set(e, max_rounds=16).collect()}
+    assert got == expect
+
+
+def test_mis_path_graph_rounds(spark):
+    # Path 0-1-2-3-4: priorities are the LCG permutation; the local minima
+    # go in round 1, the rest resolve by round 2 — and isolated vertices
+    # (5,6 via their own component edge) behave as local minima trivially.
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6)])
+    from raptor_spark.operators.graph import maximal_independent_set
+
+    out = {r.id: r.round for r in maximal_independent_set(e, max_rounds=8).collect()}
+    # independence + maximality on the path
+    mis = set(out)
+    for a, b in [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6)]:
+        assert not (a in mis and b in mis)
+    assert all(v in mis or ({v - 1, v + 1} & mis) for v in range(5))
+    assert len({5, 6} & mis) == 1
+    assert max(out.values()) <= 8

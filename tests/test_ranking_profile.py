@@ -592,3 +592,42 @@ def test_ndcg_plan_uses_bounded_topk(spark):
     )
     plan = ndcg_at_k(df, score_col="s")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rank_eval_binary_hand_fixture(spark):
+    from raptor_spark.operators.ranking import rank_eval_binary
+
+    # q1 ranking by score desc: ids 1(hit) 2 3(hit) 4 -> rr=1,
+    # ap = (1/1 + 2/3)/2 = 0.833333
+    # q2: hits at ranks 2 and 4 -> rr=0.5, ap=(1/2+2/4)/2=0.5
+    # q3: no hits -> rr=0, ap=0, first_hit NULL
+    rows = [
+        ("q1", 1, 40, 1), ("q1", 2, 30, 0), ("q1", 3, 20, 1), ("q1", 4, 10, 0),
+        ("q2", 1, 40, 0), ("q2", 2, 30, 1), ("q2", 3, 20, 0), ("q2", 4, 10, 1),
+        ("q3", 1, 40, 0), ("q3", 2, 30, 0),
+    ]
+    df = spark.createDataFrame(rows, "q string, id long, s long, rel int")
+    out = {r.q: r for r in rank_eval_binary(df, "q", "rel", "s", "id", k=10).collect()}
+    assert out["q1"].first_hit_rank == 1 and out["q1"].rr == 1.0
+    assert out["q1"].ap == pytest.approx(5 / 6, abs=1e-6)
+    assert out["q2"].first_hit_rank == 2 and out["q2"].rr == 0.5
+    assert out["q2"].ap == pytest.approx(0.5, abs=1e-9)
+    assert out["q3"].first_hit_rank is None
+    assert (out["q3"].rr, out["q3"].ap) == (0.0, 0.0)
+    assert out["q3"].n_rel == 0
+
+
+def test_rank_eval_binary_k_cutoff_and_tie_break(spark):
+    from raptor_spark.operators.ranking import rank_eval_binary
+
+    # equal scores tie-break by id asc: hit at id 2 ranks SECOND;
+    # with k=1 the hit falls outside the prefix -> rr=0, ap=0, but n_rel
+    # still counts it (denominator min(n_rel, k) = 1)
+    rows = [("q", 1, 10, 0), ("q", 2, 10, 1)]
+    df = spark.createDataFrame(rows, "q string, id long, s long, rel int")
+    r = rank_eval_binary(df, "q", "rel", "s", "id", k=1).collect()[0]
+    assert r.first_hit_rank is None and r.rr == 0.0 and r.ap == 0.0
+    assert r.n_rel == 1
+    r2 = rank_eval_binary(df, "q", "rel", "s", "id", k=2).collect()[0]
+    assert r2.first_hit_rank == 2 and r2.rr == 0.5
+    assert r2.ap == pytest.approx(0.5, abs=1e-9)
