@@ -4577,6 +4577,36 @@ def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b", "gap")
 
 
+
+def q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jones-Plassmann greedy coloring of the near-dup graph
+    (operators/graph.greedy_coloring): color classes are independent
+    sets under the same deterministic LCG priority permutation as
+    graph_mis — the conflict-scheduling read path (a color class can be
+    batch-processed with no two near-dups together). Oracle unrolls the
+    identical local-minimum/retire rounds MATERIALIZED; the row count
+    pins that every vertex colors within the cap."""
+    from raptor_spark.operators.graph import greedy_coloring
+
+    out = greedy_coloring(_jaccard_edge_set(spark, sf_dir), max_rounds=12)
+    return out.select(
+        F.col("id").cast("long").alias("id"), "color"
+    ).orderBy("id")
+
+
+def q_graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound of the near-dup graph
+    (operators/graph.diameter_double_sweep): BFS from min(id), BFS again
+    from the farthest vertex (ties to smallest id), report the farthest
+    distance — the Magnien/Latapy/Habib estimate, the only diameter
+    probe that survives web-scale graphs (two BFS, never all-pairs).
+    The oracle replays both sweeps as recursive CTEs with the same
+    (level desc, id asc) argmax."""
+    from raptor_spark.operators.graph import diameter_double_sweep
+
+    return diameter_double_sweep(_jaccard_edge_set(spark, sf_dir))
+
+
 def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Mann-Kendall monotonic-trend test (operators/profile.
     mann_kendall) over daily value sums for user_id < 40 — the
@@ -5005,6 +5035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "graph_ktruss": q_graph_ktruss,
         "graph_mis": q_graph_mis,
+        "graph_coloring": q_graph_coloring,
+        "graph_diameter": q_graph_diameter,
         "link_training_pairs": q_link_training_pairs,
         "runs_test": q_runs_test,
         "graph_ppr": q_graph_ppr,
@@ -9695,6 +9727,172 @@ def oracle_sql() -> dict[str, str]:
         # 3-truss: unrolled peeling rounds, every round MATERIALIZED
         # (referenced by the next round and by its own support subquery
         # three times — CLAUDE.md CTE-inlining rule); integer supports.
+        "graph_coloring": f"""
+            WITH {GRAPH_EDGE_CTE.replace("e AS (", "e AS MATERIALIZED (")},
+            a0 AS MATERIALIZED (
+              SELECT DISTINCT s AS id,
+                     (s % 1000000007) * 2654435761 % 1000000007 AS pr
+              FROM e),
+            c1 AS MATERIALIZED (
+              SELECT x.id, 1 AS color FROM a0 x
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e JOIN a0 y ON e.d = y.id
+                WHERE e.s = x.id
+                  AND (y.pr < x.pr OR (y.pr = x.pr AND y.id < x.id)))
+            ),
+            a1 AS MATERIALIZED (
+              SELECT x.id, x.pr FROM a0 x
+              WHERE NOT EXISTS (SELECT 1 FROM c1 WHERE c1.id = x.id)
+            ),
+            c2 AS MATERIALIZED (
+              SELECT x.id, 2 AS color FROM a1 x
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e JOIN a1 y ON e.d = y.id
+                WHERE e.s = x.id
+                  AND (y.pr < x.pr OR (y.pr = x.pr AND y.id < x.id)))
+            ),
+            a2 AS MATERIALIZED (
+              SELECT x.id, x.pr FROM a1 x
+              WHERE NOT EXISTS (SELECT 1 FROM c2 WHERE c2.id = x.id)
+            ),
+            c3 AS MATERIALIZED (
+              SELECT x.id, 3 AS color FROM a2 x
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e JOIN a2 y ON e.d = y.id
+                WHERE e.s = x.id
+                  AND (y.pr < x.pr OR (y.pr = x.pr AND y.id < x.id)))
+            ),
+            a3 AS MATERIALIZED (
+              SELECT x.id, x.pr FROM a2 x
+              WHERE NOT EXISTS (SELECT 1 FROM c3 WHERE c3.id = x.id)
+            ),
+            c4 AS MATERIALIZED (
+              SELECT x.id, 4 AS color FROM a3 x
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e JOIN a3 y ON e.d = y.id
+                WHERE e.s = x.id
+                  AND (y.pr < x.pr OR (y.pr = x.pr AND y.id < x.id)))
+            ),
+            a4 AS MATERIALIZED (
+              SELECT x.id, x.pr FROM a3 x
+              WHERE NOT EXISTS (SELECT 1 FROM c4 WHERE c4.id = x.id)
+            ),
+            c5 AS MATERIALIZED (
+              SELECT x.id, 5 AS color FROM a4 x
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e JOIN a4 y ON e.d = y.id
+                WHERE e.s = x.id
+                  AND (y.pr < x.pr OR (y.pr = x.pr AND y.id < x.id)))
+            ),
+            a5 AS MATERIALIZED (
+              SELECT x.id, x.pr FROM a4 x
+              WHERE NOT EXISTS (SELECT 1 FROM c5 WHERE c5.id = x.id)
+            ),
+            c6 AS MATERIALIZED (
+              SELECT x.id, 6 AS color FROM a5 x
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e JOIN a5 y ON e.d = y.id
+                WHERE e.s = x.id
+                  AND (y.pr < x.pr OR (y.pr = x.pr AND y.id < x.id)))
+            ),
+            a6 AS MATERIALIZED (
+              SELECT x.id, x.pr FROM a5 x
+              WHERE NOT EXISTS (SELECT 1 FROM c6 WHERE c6.id = x.id)
+            ),
+            c7 AS MATERIALIZED (
+              SELECT x.id, 7 AS color FROM a6 x
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e JOIN a6 y ON e.d = y.id
+                WHERE e.s = x.id
+                  AND (y.pr < x.pr OR (y.pr = x.pr AND y.id < x.id)))
+            ),
+            a7 AS MATERIALIZED (
+              SELECT x.id, x.pr FROM a6 x
+              WHERE NOT EXISTS (SELECT 1 FROM c7 WHERE c7.id = x.id)
+            ),
+            c8 AS MATERIALIZED (
+              SELECT x.id, 8 AS color FROM a7 x
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e JOIN a7 y ON e.d = y.id
+                WHERE e.s = x.id
+                  AND (y.pr < x.pr OR (y.pr = x.pr AND y.id < x.id)))
+            ),
+            a8 AS MATERIALIZED (
+              SELECT x.id, x.pr FROM a7 x
+              WHERE NOT EXISTS (SELECT 1 FROM c8 WHERE c8.id = x.id)
+            ),
+            c9 AS MATERIALIZED (
+              SELECT x.id, 9 AS color FROM a8 x
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e JOIN a8 y ON e.d = y.id
+                WHERE e.s = x.id
+                  AND (y.pr < x.pr OR (y.pr = x.pr AND y.id < x.id)))
+            ),
+            a9 AS MATERIALIZED (
+              SELECT x.id, x.pr FROM a8 x
+              WHERE NOT EXISTS (SELECT 1 FROM c9 WHERE c9.id = x.id)
+            ),
+            c10 AS MATERIALIZED (
+              SELECT x.id, 10 AS color FROM a9 x
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e JOIN a9 y ON e.d = y.id
+                WHERE e.s = x.id
+                  AND (y.pr < x.pr OR (y.pr = x.pr AND y.id < x.id)))
+            ),
+            a10 AS MATERIALIZED (
+              SELECT x.id, x.pr FROM a9 x
+              WHERE NOT EXISTS (SELECT 1 FROM c10 WHERE c10.id = x.id)
+            ),
+            c11 AS MATERIALIZED (
+              SELECT x.id, 11 AS color FROM a10 x
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e JOIN a10 y ON e.d = y.id
+                WHERE e.s = x.id
+                  AND (y.pr < x.pr OR (y.pr = x.pr AND y.id < x.id)))
+            ),
+            a11 AS MATERIALIZED (
+              SELECT x.id, x.pr FROM a10 x
+              WHERE NOT EXISTS (SELECT 1 FROM c11 WHERE c11.id = x.id)
+            ),
+            c12 AS MATERIALIZED (
+              SELECT x.id, 12 AS color FROM a11 x
+              WHERE NOT EXISTS (
+                SELECT 1 FROM e JOIN a11 y ON e.d = y.id
+                WHERE e.s = x.id
+                  AND (y.pr < x.pr OR (y.pr = x.pr AND y.id < x.id)))
+            ),
+            a12 AS MATERIALIZED (
+              SELECT x.id, x.pr FROM a11 x
+              WHERE NOT EXISTS (SELECT 1 FROM c12 WHERE c12.id = x.id)
+            )
+            SELECT id, color FROM (SELECT id, color FROM c1 UNION ALL SELECT id, color FROM c2 UNION ALL SELECT id, color FROM c3 UNION ALL SELECT id, color FROM c4 UNION ALL SELECT id, color FROM c5 UNION ALL SELECT id, color FROM c6 UNION ALL SELECT id, color FROM c7 UNION ALL SELECT id, color FROM c8 UNION ALL SELECT id, color FROM c9 UNION ALL SELECT id, color FROM c10 UNION ALL SELECT id, color FROM c11 UNION ALL SELECT id, color FROM c12)
+            ORDER BY id
+        """,
+        "graph_diameter": f"""
+            WITH RECURSIVE {GRAPH_EDGE_CTE},
+            s0 AS (SELECT min(s) AS id FROM e),
+            b1 AS (
+              SELECT id, 0 AS level FROM s0
+              UNION
+              SELECT e.d, b1.level + 1
+              FROM b1 JOIN e ON b1.id = e.s WHERE b1.level < 20
+            ),
+            l1 AS (SELECT id, min(level) AS level FROM b1 GROUP BY id),
+            m AS (SELECT id FROM l1 ORDER BY level DESC, id LIMIT 1),
+            b2 AS (
+              SELECT id, 0 AS level FROM m
+              UNION
+              SELECT e.d, b2.level + 1
+              FROM b2 JOIN e ON b2.id = e.s WHERE b2.level < 20
+            ),
+            l2 AS (SELECT id, min(level) AS level FROM b2 GROUP BY id),
+            f AS (SELECT id, level FROM l2 ORDER BY level DESC, id LIMIT 1)
+            SELECT (SELECT id FROM s0) AS start,
+                   (SELECT id FROM m) AS mid,
+                   f.id AS far,
+                   CAST(f.level AS INTEGER) AS diameter_lb
+            FROM f
+        """,
         "graph_mis": f"""
             WITH {GRAPH_EDGE_CTE.replace("e AS (", "e AS MATERIALIZED (")},
             a0 AS MATERIALIZED (

@@ -1416,3 +1416,107 @@ def maximal_independent_set(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
         )
     sym.unpersist()
     return picked
+
+
+def greedy_coloring(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
+    """(id, color): a proper vertex coloring by Jones-Plassmann rounds
+    under the same deterministic priority permutation as
+    maximal_independent_set — the conflict-scheduling primitive (color
+    classes are independent sets, so every class can be processed
+    concurrently with no two near-dup docs in the same batch: write-
+    partitioning for idempotent catalog merges, embarrassingly-parallel
+    re-extraction waves).
+
+    Each round the still-uncolored vertices that are local
+    (priority, id)-minima among their UNCOLORED neighbors take
+    color = round and retire — unlike MIS, their neighbors stay for
+    later rounds. Adjacent vertices can never retire in the same round
+    (one dominates the other), so same-color ⇒ non-adjacent: proper by
+    construction. Under a random permutation the expected round count is
+    O(log n / log log n)-ish on bounded-degree graphs; the cap keeps the
+    loop equal to the oracle's fixed unroll (empty alive ⇒ no-op rounds),
+    and a vertex still alive at the cap is simply absent — callers treat
+    missing as overflow (none at the query's graph size, pinned by the
+    oracle row count).
+
+    Same per-round shape as MIS: edge×alive double semi-join, distinct
+    dominated set, one anti-join; alive shrinks every round (each
+    round's minima are nonempty on any finite nonempty alive set)."""
+    sym = symmetrize(edges).persist()
+    alive = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", _mis_priority(F.col("id")).alias("pr"))
+        .localCheckpoint()
+    )
+    colored = None
+    for rnd in range(1, max_rounds + 1):
+        if alive.isEmpty():
+            break
+        dominated = (
+            sym.join(
+                alive.select(F.col("id").alias("src"), F.col("pr").alias("ps")),
+                "src",
+            )
+            .join(
+                alive.select(F.col("id").alias("dst"), F.col("pr").alias("pd")),
+                "dst",
+            )
+            .filter(
+                (F.col("pd") < F.col("ps"))
+                | ((F.col("pd") == F.col("ps")) & (F.col("dst") < F.col("src")))
+            )
+            .select(F.col("src").alias("id"))
+            .distinct()
+        )
+        sel = alive.join(dominated, "id", "left_anti").select(
+            "id", F.lit(rnd).alias("color")
+        ).localCheckpoint()
+        colored = sel if colored is None else colored.unionByName(sel)
+        alive = alive.join(sel.select("id"), "id", "left_anti").localCheckpoint()
+    sym.unpersist()
+    return colored
+
+
+def diameter_double_sweep(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """One row (start, mid, far, diameter_lb): the classic double-sweep
+    diameter lower bound — BFS from a deterministic start vertex (the
+    smallest id in the LARGEST connected component's BFS tree is
+    unnecessary; we sweep from min(id) of the whole graph), take the
+    farthest vertex (ties to smallest id), BFS again from there, and
+    report the farthest distance reached. On real graphs the double
+    sweep is usually exact or within 1 of the true diameter (Magnien/
+    Latapy/Habib) at the cost of TWO BFS instead of all-pairs — the only
+    diameter estimate that survives a 10^12-edge graph. Covers only the
+    start vertex's component (its own contract — run per component for
+    a census; component_census already audits sizes).
+
+    Both sweeps are the level-synchronous bfs_levels frontier (one
+    edge-keyed join + vertex groupBy per level, localCheckpoint lineage
+    truncation); argmax vertices are decided on (level desc, id asc) via
+    a 1-row TakeOrdered, never a global window."""
+    sym = symmetrize(edges).persist()
+    start_row = sym.select(F.min("src").alias("id")).collect()[0]
+    if start_row.id is None:
+        sym.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "start long, mid long, far long, diameter_lb int"
+        )
+    start = int(start_row.id)
+    spark = edges.sparkSession
+
+    def _sweep(src_id):
+        lv = bfs_levels(
+            sym.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            spark.createDataFrame([(src_id,)], "id long"),
+            max_levels=max_rounds,
+        )
+        far = lv.orderBy(F.desc("level"), F.asc("id")).limit(1).collect()[0]
+        return int(far.id), int(far.level)
+
+    mid, _ = _sweep(start)
+    far, diam = _sweep(mid)
+    sym.unpersist()
+    return spark.createDataFrame(
+        [(start, mid, far, diam)], "start long, mid long, far long, diameter_lb int"
+    )

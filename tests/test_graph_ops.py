@@ -1127,3 +1127,73 @@ def test_mis_path_graph_rounds(spark):
     assert all(v in mis or ({v - 1, v + 1} & mis) for v in range(5))
     assert len({5, 6} & mis) == 1
     assert max(out.values()) <= 8
+
+
+def test_greedy_coloring_proper_and_complete(spark):
+    import random
+
+    rng = random.Random(13)
+    pairs = list({(rng.randrange(35), rng.randrange(35)) for _ in range(110)})
+    e = _edges(spark, [(a, b) for a, b in pairs if a != b])
+    from raptor_spark.operators.graph import greedy_coloring, symmetrize
+
+    colors = {r.id: r.color for r in greedy_coloring(e, max_rounds=30).collect()}
+    sym = [(r.src, r.dst) for r in symmetrize(e).collect()]
+    verts = {s for s, _ in sym}
+    assert set(colors) == verts, "every vertex colored within the cap"
+    assert all(colors[a] != colors[b] for a, b in sym), "proper coloring"
+
+
+def test_greedy_coloring_matches_sequential_jones_plassmann(spark):
+    # color(v) under JP with a fixed permutation = 1 + length of the
+    # longest decreasing-priority path semantics; replay sequentially:
+    # process vertices in priority order, assign round = 1 + max(round of
+    # already-processed neighbors with smaller priority)... which is
+    # exactly: round(v) = 1 + max(round(u) for u in nbrs if pr(u) < pr(v))
+    import random
+
+    rng = random.Random(5)
+    pairs = list({(rng.randrange(25), rng.randrange(25)) for _ in range(60)})
+    e = _edges(spark, [(a, b) for a, b in pairs if a != b])
+    from raptor_spark.operators.graph import (
+        MIS_PRIORITY_MOD,
+        MIS_PRIORITY_MULT,
+        greedy_coloring,
+        symmetrize,
+    )
+
+    sym = [(r.src, r.dst) for r in symmetrize(e).collect()]
+    nbrs = {}
+    for s, d in sym:
+        nbrs.setdefault(s, set()).add(d)
+    pr = lambda v: ((v % MIS_PRIORITY_MOD) * MIS_PRIORITY_MULT % MIS_PRIORITY_MOD, v)
+    expect = {}
+    for v in sorted(nbrs, key=pr):
+        expect[v] = 1 + max(
+            (expect[u] for u in nbrs[v] if pr(u) < pr(v)), default=0
+        )
+    got = {r.id: r.color for r in greedy_coloring(e, max_rounds=30).collect()}
+    assert got == expect
+
+
+def test_diameter_double_sweep_path_and_cycle(spark):
+    from raptor_spark.operators.graph import diameter_double_sweep
+
+    # path 0-1-2-3-4-5: start=0, first sweep reaches 5 (level 5), second
+    # sweep from 5 reaches 0 at distance 5 = exact diameter
+    e = _edges(spark, [(i, i + 1) for i in range(5)])
+    r = diameter_double_sweep(e).collect()[0]
+    assert (r.start, r.mid, r.diameter_lb) == (0, 5, 5)
+    assert r.far == 0
+    # 6-cycle: true diameter 3; double sweep from 0 finds level-3 vertex,
+    # sweep back gives 3 (exact on cycles of even length)
+    c = _edges(spark, [(i, (i + 1) % 6) for i in range(6)])
+    r2 = diameter_double_sweep(c).collect()[0]
+    assert r2.diameter_lb == 3
+
+
+def test_diameter_double_sweep_empty_graph(spark):
+    from raptor_spark.operators.graph import diameter_double_sweep
+
+    e = _edges(spark, []).filter("a IS NOT NULL")
+    assert diameter_double_sweep(e).collect() == []
