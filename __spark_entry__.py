@@ -4578,6 +4578,73 @@ def q_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (dedup read path): the near-dup
+    pairs of the shared bounded graph (exact 1-gram Jaccard ≥ 0.8,
+    doc_id < 150 — the _jaccard_edge_set definition) grouped by the
+    unordered SOURCE pair — which sources copy from which is the
+    mixing-weight correction every corpus curator runs (a source whose
+    mass duplicates another contributes less novel signal than its row
+    count claims). Counts and min/max Jaccard are exact (order
+    statistics, no FP sums)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
+    srcs = docs.select("doc_id", "source")
+    enriched = (
+        pairs.join(
+            srcs.select(F.col("doc_id").alias("a"), F.col("source").alias("sa")),
+            "a",
+        )
+        .join(
+            srcs.select(F.col("doc_id").alias("b"), F.col("source").alias("sb")),
+            "b",
+        )
+    )
+    return (
+        enriched.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size coverage curve (operators/text.vocab_coverage):
+    in-vocab token share at candidate vocab sizes 500..8000 over the
+    whole documents corpus — the OOV audit beside heaps_fit and the BPE
+    trainer. Exact BIGINT counts; oov_rate is the single division."""
+    from raptor_spark.operators.text import vocab_coverage
+
+    # cutoffs sized to the synthetic corpus's ~31-type template
+    # vocabulary so the curve is non-vacuous (default 500..8000 covers
+    # 100% at every cutoff here and would pass on any corpus)
+    return vocab_coverage(
+        _t(spark, sf_dir, "documents"), "text", cutoffs=(4, 8, 12, 16, 24)
+    ).orderBy("vocab_size")
+
+
+def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label 10-NN agreement over the embeddings table
+    (operators/similarity.knn_label_agreement) — the confident-learning
+    label-noise screen: fraction of each vector's exact-cosine nearest
+    neighbors (self excluded BEFORE ranking) sharing its label, rolled
+    up per label. Integer agreement counts; one division, round 6."""
+    from raptor_spark.operators.similarity import knn_label_agreement
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec"), "label"
+    )
+    out = knn_label_agreement(emb, "id", "vec", "label", k=10)
+    return out.orderBy("label")
+
+
 def q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jones-Plassmann greedy coloring of the near-dup graph
     (operators/graph.greedy_coloring): color classes are independent
@@ -5036,6 +5103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ktruss": q_graph_ktruss,
         "graph_mis": q_graph_mis,
         "graph_coloring": q_graph_coloring,
+        "cross_source_dups": q_cross_source_dups,
+        "vocab_coverage": q_vocab_coverage,
+        "knn_label_agreement": q_knn_label_agreement,
         "graph_diameter": q_graph_diameter,
         "link_training_pairs": q_link_training_pairs,
         "runs_test": q_runs_test,
@@ -9727,6 +9797,89 @@ def oracle_sql() -> dict[str, str]:
         # 3-truss: unrolled peeling rounds, every round MATERIALIZED
         # (referenced by the next round and by its own support subquery
         # three times — CLAUDE.md CTE-inlining rule); integer supports.
+        "cross_source_dups": f"""
+            WITH {_GRAPH_PAIR_CTE},
+            e AS (
+              SELECT p.a, p.b, p.j, da.source AS sa, db.source AS sb
+              FROM p
+              JOIN documents da ON p.a = da.doc_id
+              JOIN documents db ON p.b = db.doc_id
+            )
+            SELECT least(sa, sb) AS source_a,
+                   greatest(sa, sb) AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   round(min(j), 6) AS min_jaccard,
+                   round(max(j), 6) AS max_jaccard
+            FROM e
+            GROUP BY least(sa, sb), greatest(sa, sb)
+            ORDER BY source_a, source_b
+        """,
+        "vocab_coverage": r"""
+            WITH words AS (
+              SELECT w FROM (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+                FROM documents
+              ) WHERE w != ''
+            ),
+            freq AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS c
+              FROM words GROUP BY w
+            ),
+            ranked AS (
+              SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rk
+              FROM freq
+            ),
+            cum AS (
+              SELECT rk,
+                     CAST(sum(c) OVER (
+                       ORDER BY rk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS cum
+              FROM ranked
+            ),
+            total AS (SELECT max(cum) AS total FROM cum),
+            cuts AS (SELECT unnest([4, 8, 12, 16, 24]) AS vocab_size)
+            SELECT cuts.vocab_size,
+                   CAST(max(cum.cum) AS BIGINT) AS covered_tokens,
+                   CAST((SELECT total FROM total) AS BIGINT) AS total_tokens,
+                   round(CAST(1 AS DOUBLE)
+                         - max(cum.cum)
+                           / CAST((SELECT total FROM total) AS DOUBLE),
+                         6) AS oov_rate
+            FROM cum JOIN cuts ON cum.rk <= cuts.vocab_size
+            GROUP BY cuts.vocab_size
+            ORDER BY vocab_size
+        """,
+        "knn_label_agreement": """
+            WITH e AS (
+              SELECT vec_id AS id, embedding AS v, label FROM embeddings
+            ),
+            s AS (
+              SELECT q.id AS qid, q.label AS qlabel, c.id, c.label AS clabel,
+                     list_cosine_similarity(c.v, q.v) AS cos
+              FROM e c CROSS JOIN e q
+              WHERE c.id != q.id
+            ),
+            r AS (
+              SELECT qid, qlabel, clabel,
+                     row_number() OVER (
+                       PARTITION BY qid ORDER BY cos DESC, id ASC) AS rk
+              FROM s
+            ),
+            per AS (
+              SELECT qid, qlabel,
+                     CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END)
+                          AS BIGINT) AS agree
+              FROM r WHERE rk <= 10
+              GROUP BY qid, qlabel
+            )
+            SELECT qlabel AS label,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(agree) AS BIGINT) AS n_agree,
+                   round(sum(agree) / CAST(10 * count(*) AS DOUBLE), 6)
+                     AS mean_agree
+            FROM per GROUP BY qlabel ORDER BY label
+        """,
         "graph_coloring": f"""
             WITH {GRAPH_EDGE_CTE.replace("e AS (", "e AS MATERIALIZED (")},
             a0 AS MATERIALIZED (

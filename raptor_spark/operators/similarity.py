@@ -1104,3 +1104,71 @@ def kcenter_exemplars(
     for x in rows[1:]:
         out = out.unionByName(x)
     return out
+
+
+def knn_label_agreement(
+    emb: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    label_col: str = "label",
+    k: int = 10,
+) -> DataFrame:
+    """Per-label kNN agreement — the confident-learning-style label-noise
+    screen over an embedded, labeled corpus: for each vector, what
+    fraction of its k nearest neighbors (exact cosine, self excluded)
+    carries the same label? A label whose members' neighborhoods
+    disagree is noisy, mis-split, or semantically overlapping with
+    another — the audit run before anyone trains a classifier head or
+    stratifies a split on that label. Output one row per label:
+    (label, n_docs, n_agree, mean_agree) with n_agree = Σ per-doc
+    same-label neighbor counts (exact integers; mean_agree =
+    n_agree/(k·n_docs) is the single division, round 6).
+
+    Shape: the labeled corpus is broadcast as the query side and scored
+    map-side (zip_with/aggregate dot products, JVM-only) against itself;
+    self-pairs are excluded BEFORE ranking (an exact-duplicate twin with
+    a smaller id would otherwise displace the self row and silently eat
+    a neighbor slot); ranks come from per-query windows (|corpus|-sized
+    partitions). The stated contract is the brute-force one — quadratic
+    scoring, the audit's exact baseline; at corpus scale swap the scored
+    set for ANN/IVF candidates (operators/similarity.ann_topk) and keep
+    the agreement aggregation unchanged."""
+    q = F.broadcast(
+        emb.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qvec"),
+            F.col(label_col).alias("qlabel"),
+        )
+    )
+    scored = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("cvec"),
+            F.col(label_col).alias("clabel"),
+        )
+        .join(q)
+        .filter(F.col("id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "id",
+            "clabel",
+            cosine_col(F.col("cvec"), F.col("qvec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("id"))
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= k
+    )
+    per_doc = top.groupBy("qid", "qlabel").agg(
+        F.sum((F.col("clabel") == F.col("qlabel")).cast("int"))
+        .cast("long")
+        .alias("agree")
+    )
+    return per_doc.groupBy(F.col("qlabel").alias(label_col)).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("agree").cast("long").alias("n_agree"),
+        F.round(
+            F.sum("agree") / (F.lit(k) * F.count("*")).cast("double"), 6
+        ).alias("mean_agree"),
+    )

@@ -813,3 +813,61 @@ def zipf_audit(
         (F.round(slope, 6) + 0.0).alias("zipf_slope"),
         F.round(r2, 6).alias("r2"),
     ).orderBy(group_col)
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str, cutoffs: tuple[int, ...] = (500, 1000, 2000, 4000, 8000)
+) -> DataFrame:
+    """Token-coverage curve for vocabulary sizing — for each candidate
+    vocab size k, what fraction of all corpus token OCCURRENCES would be
+    in-vocabulary if the vocab were the k most frequent words? The
+    companion to heaps_fit (which sizes the vocab's GROWTH) and the BPE
+    trainer (which spends its merge budget by exactly this curve): the
+    audit that answers "is 8k types enough, or does OOV still eat 5% of
+    the stream?". Output (vocab_size, covered_tokens, total_tokens,
+    oov_rate) — counts exact BIGINT, oov_rate = 1 − covered/total the
+    single division (round 6).
+
+    Shape: the corpus collapses to the Heaps-bounded (word, freq) table
+    in ONE shuffle (the BPE discipline); ranking + the cumulative sum
+    run on the vocab table only (freq DESC, word ASC — deterministic,
+    ASCII collation identical cross-engine); cutoffs broadcast."""
+    from pyspark.sql.window import Window
+
+    words = (
+        df.select(
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+    )
+    freq = words.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    ranked = freq.select(
+        "c",
+        F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w"))).alias("rk"),
+    )
+    cum = ranked.select(
+        "rk",
+        F.sum("c")
+        .over(Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+    ).localCheckpoint()
+    total = cum.agg(F.max("cum").cast("long").alias("total"))
+    spark = df.sparkSession
+    cut = spark.createDataFrame([(int(c),) for c in sorted(cutoffs)], "vocab_size int")
+    covered = (
+        cum.join(F.broadcast(cut), F.col("rk") <= F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(F.max("cum").cast("long").alias("covered_tokens"))
+    )
+    return (
+        covered.crossJoin(F.broadcast(total))
+        .select(
+            "vocab_size",
+            "covered_tokens",
+            F.col("total").alias("total_tokens"),
+            F.round(
+                1.0 - F.col("covered_tokens") / F.col("total").cast("double"), 6
+            ).alias("oov_rate"),
+        )
+    )

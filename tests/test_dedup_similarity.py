@@ -798,3 +798,46 @@ def test_sorted_neighborhood_partition_count_invariant(spark):
     assert one == many
     # every record except the last two pairs with exactly 2 successors
     assert len(one) == 2 * 200 - 3
+
+
+def test_knn_label_agreement_planted_bundles(spark):
+    from raptor_spark.operators.similarity import knn_label_agreement
+
+    # two orthogonal direction bundles with tiny distinct perturbations:
+    # neighbors of an A vector are the other A vectors -> agreement 1.0
+    rows = []
+    for i in range(4):
+        rows.append((i, [10.0 + i * 0.01, 0.0, 1.0], "A"))
+    for i in range(4):
+        rows.append((10 + i, [0.0, 10.0 + i * 0.01, 1.0], "B"))
+    df = spark.createDataFrame(rows, "id long, vec array<double>, label string")
+    out = {r.label: r for r in knn_label_agreement(df, "id", "vec", "label", k=3).collect()}
+    assert out["A"].mean_agree == 1.0 and out["B"].mean_agree == 1.0
+    assert out["A"].n_docs == 4 and out["A"].n_agree == 12
+
+    # flip one B vector's label to A: its 3 NN are all labeled B -> 0
+    # agreement for that doc, and it pollutes the B bundle's neighborhoods
+    rows2 = [r for r in rows if r[0] != 13] + [(13, [0.0, 10.03, 1.0], "A")]
+    df2 = spark.createDataFrame(rows2, "id long, vec array<double>, label string")
+    out2 = {r.label: r for r in knn_label_agreement(df2, "id", "vec", "label", k=3).collect()}
+    assert out2["A"].mean_agree < 1.0 and out2["B"].mean_agree < 1.0
+
+
+def test_knn_label_agreement_duplicate_twin_keeps_slot(spark):
+    from raptor_spark.operators.similarity import knn_label_agreement
+
+    # id 5 is an EXACT duplicate of id 1 with a smaller-id twin: self is
+    # excluded before ranking, so the twin occupies rank 1 (cos == 1)
+    # and still leaves k-1 informative slots
+    rows = [
+        (1, [1.0, 0.0], "A"),
+        (5, [1.0, 0.0], "A"),
+        (2, [0.9, 0.1], "A"),
+        (3, [0.0, 1.0], "B"),
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>, label string")
+    out = {r.label: r for r in knn_label_agreement(df, "id", "vec", "label", k=2).collect()}
+    # A docs: 1 -> {5, 2} both A; 5 -> {1, 2} both A; 2 -> {1, 5} both A
+    assert out["A"].n_agree == 6 and out["A"].mean_agree == 1.0
+    # B doc's 2 neighbors are both A
+    assert out["B"].n_agree == 0

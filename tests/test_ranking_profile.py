@@ -631,3 +631,28 @@ def test_rank_eval_binary_k_cutoff_and_tie_break(spark):
     r2 = rank_eval_binary(df, "q", "rel", "s", "id", k=2).collect()[0]
     assert r2.first_hit_rank == 2 and r2.rr == 0.5
     assert r2.ap == pytest.approx(0.5, abs=1e-9)
+
+
+def test_vocab_coverage_hand_corpus(spark):
+    from raptor_spark.operators.text import vocab_coverage
+
+    # frequencies: a=4, b=3, c=2, d=1 (total 10); rank order a,b,c,d
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b d"), (3, "a b c")], "id long, text string"
+    )
+    out = {r.vocab_size: r for r in vocab_coverage(df, "text", cutoffs=(1, 2, 3, 4, 9)).collect()}
+    assert out[1].covered_tokens == 4 and out[1].oov_rate == 0.6
+    assert out[2].covered_tokens == 7 and out[2].oov_rate == pytest.approx(0.3)
+    assert out[3].covered_tokens == 9
+    assert out[4].covered_tokens == 10 and out[4].oov_rate == 0.0
+    # cutoff past the vocab end covers everything
+    assert out[9].covered_tokens == 10 and out[9].total_tokens == 10
+
+
+def test_vocab_coverage_tie_break_by_word(spark):
+    from raptor_spark.operators.text import vocab_coverage
+
+    # all freq 1: rank by word asc -> k=2 covers exactly 2 tokens
+    df = spark.createDataFrame([(1, "z m a q")], "id long, text string")
+    out = {r.vocab_size: r for r in vocab_coverage(df, "text", cutoffs=(2,)).collect()}
+    assert out[2].covered_tokens == 2
