@@ -556,3 +556,28 @@ def test_session8_9_addition_plans_stay_clean(spark):
     assert "BroadcastHashJoin" in p, p[:800]
     p = plan_str(QUERIES["ndcg_audit"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in p, p[:800]
+
+
+def test_session10_addition_plans_stay_clean(spark):
+    """Session-10 additions: zero Python, no cartesians anywhere; the SNM
+    rank composition must NOT contain a single-partition Exchange (the
+    distributed-rank point of the operator), and the kNN agreement must
+    broadcast its query side."""
+    names = (
+        "graph_mis", "graph_coloring", "graph_diameter", "mann_kendall",
+        "snm_pairs", "retrieval_eval", "event_xcorr", "cross_source_dups",
+        "vocab_coverage", "knn_label_agreement",
+    )
+    for name in names:
+        p = plan_str(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in p, name
+        assert "PythonUDF" not in p, name
+        assert "CartesianProduct" not in p, name
+    # SNM: ranks come from per-range-partition row_numbers + broadcast
+    # offsets — never a SinglePartition exchange over the corpus
+    p = plan_str(QUERIES["snm_pairs"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in p, p[:1200]
+    assert "BroadcastHashJoin" in p, p[:1200]
+    # kNN agreement: query side broadcast, scoring map-side
+    p = plan_str(QUERIES["knn_label_agreement"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p[:1200]
