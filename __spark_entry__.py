@@ -4630,6 +4630,26 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vocab_size")
 
 
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption training pairs over the documents corpus
+    (operators/text.span_corruption): ~15% of each token stream masked in
+    ~3-token spans chosen by integer congruential mixing (no rand() —
+    the oracle replays every mask decision and incremental rebuilds emit
+    byte-identical training data); input gets one <X_k> sentinel per
+    span, target carries the masked spans behind their sentinels."""
+    from raptor_spark.operators.text import span_corruption
+
+    out = span_corruption(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "input_text",
+        "target_text",
+        "n_spans",
+        "n_masked",
+    ).orderBy("doc_id")
+
+
 def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label 10-NN agreement over the embeddings table
     (operators/similarity.knn_label_agreement) — the confident-learning
@@ -5106,6 +5126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dups": q_cross_source_dups,
         "vocab_coverage": q_vocab_coverage,
         "knn_label_agreement": q_knn_label_agreement,
+        "span_corruption": q_span_corruption,
         "graph_diameter": q_graph_diameter,
         "link_training_pairs": q_link_training_pairs,
         "runs_test": q_runs_test,
@@ -9849,6 +9870,58 @@ def oracle_sql() -> dict[str, str]:
             FROM cum JOIN cuts ON cum.rk <= cuts.vocab_size
             GROUP BY cuts.vocab_size
             ORDER BY vocab_size
+        """,
+        "span_corruption": r"""
+            WITH t AS (
+              SELECT doc_id AS id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x != '') AS ws
+              FROM documents
+            ),
+            tok AS (
+              SELECT id, unnest(ws) AS w,
+                     generate_subscripts(ws, 1) - 1 AS pos
+              FROM t
+            ),
+            f AS (
+              SELECT id, pos, w,
+                     CASE WHEN (id * 131 + pos * 31) % 97 < 5
+                          THEN 1 ELSE 0 END AS sf
+              FROM tok
+            ),
+            m AS (
+              SELECT *, max(sf) OVER (
+                PARTITION BY id ORDER BY pos
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mk
+              FROM f
+            ),
+            r AS (
+              SELECT *, CASE WHEN mk = 1 AND coalesce(
+                       lag(mk) OVER (PARTITION BY id ORDER BY pos), 0) = 0
+                     THEN 1 ELSE 0 END AS rs
+              FROM m
+            ),
+            kk AS (
+              SELECT *, CAST(sum(rs) OVER (
+                PARTITION BY id ORDER BY pos) AS BIGINT) AS k
+              FROM r
+            ),
+            p AS (
+              SELECT id, pos, mk, rs,
+                     CASE WHEN mk = 0 THEN w
+                          WHEN rs = 1 THEN '<X_' || k || '>'
+                          ELSE NULL END AS ip,
+                     CASE WHEN rs = 1 THEN '<X_' || k || '> ' || w
+                          WHEN mk = 1 THEN w
+                          ELSE NULL END AS tp
+              FROM kk
+            )
+            SELECT id AS doc_id,
+                   coalesce(string_agg(ip, ' ' ORDER BY pos), '') AS input_text,
+                   coalesce(string_agg(tp, ' ' ORDER BY pos), '') AS target_text,
+                   CAST(sum(rs) AS BIGINT) AS n_spans,
+                   CAST(sum(mk) AS BIGINT) AS n_masked
+            FROM p GROUP BY id ORDER BY doc_id
         """,
         "knn_label_agreement": """
             WITH e AS (

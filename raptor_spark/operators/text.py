@@ -871,3 +871,93 @@ def vocab_coverage(
             ).alias("oov_rate"),
         )
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_len: int = 3,
+    start_mod: int = 97,
+    start_thresh: int = 5,
+) -> DataFrame:
+    """T5-style span-corruption training pairs, deterministically: mask
+    ~span_len·(start_thresh/start_mod) of each document's token stream in
+    multi-token spans, emit (input_text with one sentinel per span,
+    target_text = sentinel + the masked tokens) — the seq2seq
+    pretraining objective (Raffel et al.) as a corpus operator. Span
+    starts are drawn by integer congruential mixing over (doc, position)
+    instead of rand() (the repo determinism rule: the oracle replays
+    every mask decision, and an incremental rebuild emits byte-identical
+    training data); adjacent/overlapping starts merge into longer spans
+    exactly as T5's span sampling does.
+
+    Shape: one posexplode shuffle to (doc, pos, token) rows; mask /
+    run-id assignment are three per-doc windows sharing the same
+    (doc, pos) sort (span membership = max(start_flag) over the last
+    span_len positions, run starts by lag, sentinel index by running
+    sum); the rebuild is one ordered-struct collect per doc (the
+    text_chunks positional-concat pattern). Everything is integer
+    arithmetic + string concat — JVM-side end to end."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("pos", "w"),
+    )
+    start = (
+        (F.col("id") * 131 + F.col("pos") * 31) % start_mod < start_thresh
+    ).cast("int")
+    wdoc = Window.partitionBy("id").orderBy("pos")
+    flagged = toks.select("id", "pos", "w", start.alias("sf"))
+    masked = flagged.withColumn(
+        "m",
+        F.max("sf").over(wdoc.rowsBetween(-(span_len - 1), 0)),
+    )
+    runs = masked.withColumn(
+        "rs",
+        F.when(
+            (F.col("m") == 1)
+            & (F.coalesce(F.lag("m").over(wdoc), F.lit(0)) == 0),
+            1,
+        ).otherwise(0),
+    ).withColumn("k", F.sum("rs").over(wdoc))
+    sentinel = F.concat(F.lit("<X_"), F.col("k"), F.lit(">"))
+    pieces = runs.select(
+        "id",
+        "pos",
+        "m",
+        "rs",
+        F.when(F.col("m") == 0, F.col("w"))
+        .when(F.col("rs") == 1, sentinel)
+        .otherwise(F.lit("")).alias("in_piece"),
+        F.when(F.col("rs") == 1, F.concat(sentinel, F.lit(" "), F.col("w")))
+        .when(F.col("m") == 1, F.col("w"))
+        .otherwise(F.lit("")).alias("tg_piece"),
+    )
+
+    def _joined(col):
+        return F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", F.col(col).alias("p")))
+                    ),
+                    lambda s: s["p"] != "",
+                ),
+                lambda s: s["p"],
+            ),
+            " ",
+        )
+
+    return pieces.groupBy("id").agg(
+        _joined("in_piece").alias("input_text"),
+        _joined("tg_piece").alias("target_text"),
+        F.sum("rs").cast("long").alias("n_spans"),
+        F.sum("m").cast("long").alias("n_masked"),
+    )

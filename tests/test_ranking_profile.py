@@ -656,3 +656,54 @@ def test_vocab_coverage_tie_break_by_word(spark):
     df = spark.createDataFrame([(1, "z m a q")], "id long, text string")
     out = {r.vocab_size: r for r in vocab_coverage(df, "text", cutoffs=(2,)).collect()}
     assert out[2].covered_tokens == 2
+
+
+def test_span_corruption_reconstruction_invariant(spark):
+    from raptor_spark.operators.text import span_corruption
+
+    docs = [
+        (7, "the quick brown fox jumps over the lazy dog again and again"),
+        (13, "pack my box with five dozen liquor jugs right now"),
+        (42, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+        (99, "one"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.id: r for r in span_corruption(df, "doc_id", "text").collect()}
+    for did, text in docs:
+        r = out[did]
+        orig = text.lower().split()
+        # splice each sentinel's span from the target back into the input
+        spans = {}
+        cur = None
+        for tok in r.target_text.split():
+            if tok.startswith("<X_"):
+                cur = tok
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        rebuilt = []
+        for tok in r.input_text.split():
+            if tok.startswith("<X_"):
+                rebuilt.extend(spans[tok])
+            else:
+                rebuilt.append(tok)
+        assert rebuilt == orig, did
+        assert r.n_masked == sum(len(v) for v in spans.values())
+        assert r.n_spans == len(spans)
+        # sentinels are sequentially numbered from 1 in input order
+        sents = [t for t in r.input_text.split() if t.startswith("<X_")]
+        assert sents == [f"<X_{i+1}>" for i in range(len(sents))]
+
+
+def test_span_corruption_is_deterministic_and_masks_something(spark):
+    from raptor_spark.operators.text import span_corruption
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta " * 6) for i in range(30)],
+        "doc_id long, text string",
+    )
+    a = {(r.id, r.input_text, r.target_text) for r in span_corruption(df, "doc_id", "text").collect()}
+    b = {(r.id, r.input_text, r.target_text) for r in span_corruption(df, "doc_id", "text").collect()}
+    assert a == b
+    total_masked = sum(r.n_masked for r in span_corruption(df, "doc_id", "text").collect())
+    assert total_masked > 0
