@@ -4631,6 +4631,45 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_causal_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal-LM (context → next-token) training windows over the
+    documents corpus (operators/text.causal_lm_windows): every 4
+    positions past the first 8 tokens, an 8-token context and its
+    target — the GPT-objective face of the pretraining-data family
+    (span_corruption = T5, mlm_masking = BERT). Array-slice windows,
+    no per-token explode."""
+    from raptor_spark.operators.text import causal_lm_windows
+
+    out = causal_lm_windows(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", context=8, stride=4
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "pos", "context_text", "target"
+    ).orderBy("doc_id", "pos")
+
+
+def q_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style MLM corpus prep (operators/text.mlm_masking): ~15% of
+    positions selected by LCG mixing, 80/10/10 mask/replace/keep (the
+    replacement drawn from the doc's own stream at an LCG offset —
+    deterministic corpus-draw stand-in); labels carry the original
+    tokens at selected positions. Every decision replays in the
+    oracle."""
+    from raptor_spark.operators.text import mlm_masking
+
+    out = mlm_masking(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "masked_text",
+        "labels_text",
+        "n_selected",
+        "n_masked",
+        "n_replaced",
+        "n_kept",
+    ).orderBy("doc_id")
+
+
 def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5-style span-corruption training pairs over the documents corpus
     (operators/text.span_corruption): ~15% of each token stream masked in
@@ -5127,6 +5166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "knn_label_agreement": q_knn_label_agreement,
         "span_corruption": q_span_corruption,
+        "causal_windows": q_causal_windows,
+        "mlm_masking": q_mlm_masking,
         "graph_diameter": q_graph_diameter,
         "link_training_pairs": q_link_training_pairs,
         "runs_test": q_runs_test,
@@ -9870,6 +9911,73 @@ def oracle_sql() -> dict[str, str]:
             FROM cum JOIN cuts ON cum.rk <= cuts.vocab_size
             GROUP BY cuts.vocab_size
             ORDER BY vocab_size
+        """,
+        "causal_windows": r"""
+            WITH t AS (
+              SELECT doc_id AS id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x != '') AS ws
+              FROM documents
+            ),
+            big AS (SELECT id, ws FROM t WHERE len(ws) > 8),
+            p AS (
+              SELECT id, ws,
+                     unnest(generate_series(8, len(ws) - 1, 4)) AS pos
+              FROM big
+            )
+            SELECT id AS doc_id, CAST(pos AS BIGINT) AS pos,
+                   array_to_string(list_slice(ws, pos - 7, pos), ' ')
+                     AS context_text,
+                   ws[pos + 1] AS target
+            FROM p ORDER BY doc_id, pos
+        """,
+        "mlm_masking": r"""
+            WITH t AS (
+              SELECT doc_id AS id,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x != '') AS ws
+              FROM documents
+            ),
+            tok AS (
+              SELECT id, unnest(ws) AS w,
+                     generate_subscripts(ws, 1) - 1 AS pos,
+                     len(ws) AS n
+              FROM t
+            ),
+            f AS (
+              SELECT id, pos, w,
+                     CASE WHEN (id * 61 + pos * 53) % 100 < 15
+                          THEN 1 ELSE 0 END AS s,
+                     (id * 43 + pos * 29) % 10 AS act,
+                     (id + pos * 7) % n AS rp
+              FROM tok
+            ),
+            r AS (
+              SELECT f.*, t2.w AS rw
+              FROM f LEFT JOIN tok t2 ON f.id = t2.id AND f.rp = t2.pos
+            ),
+            p AS (
+              SELECT id, pos, w, s,
+                     CASE WHEN s = 0 THEN w
+                          WHEN act < 8 THEN '[MASK]'
+                          WHEN act = 8 THEN coalesce(rw, w)
+                          ELSE w END AS piece,
+                     CASE WHEN s = 1 THEN w END AS label,
+                     CASE WHEN s = 1 AND act < 8 THEN 1 ELSE 0 END AS im,
+                     CASE WHEN s = 1 AND act = 8 THEN 1 ELSE 0 END AS ir,
+                     CASE WHEN s = 1 AND act = 9 THEN 1 ELSE 0 END AS ik
+              FROM r
+            )
+            SELECT id AS doc_id,
+                   coalesce(string_agg(piece, ' ' ORDER BY pos), '')
+                     AS masked_text,
+                   coalesce(string_agg(label, ' ' ORDER BY pos), '')
+                     AS labels_text,
+                   CAST(sum(s) AS BIGINT) AS n_selected,
+                   CAST(sum(im) AS BIGINT) AS n_masked,
+                   CAST(sum(ir) AS BIGINT) AS n_replaced,
+                   CAST(sum(ik) AS BIGINT) AS n_kept
+            FROM p GROUP BY id ORDER BY doc_id
         """,
         "span_corruption": r"""
             WITH t AS (

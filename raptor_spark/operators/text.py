@@ -961,3 +961,138 @@ def span_corruption(
         F.sum("rs").cast("long").alias("n_spans"),
         F.sum("m").cast("long").alias("n_masked"),
     )
+
+
+def causal_lm_windows(
+    df: DataFrame, id_col: str, text_col: str, context: int = 8, stride: int = 4
+) -> DataFrame:
+    """Causal-LM training windows — the GPT-objective face of the
+    pretraining-data family (span_corruption is the T5 face, mlm_masking
+    the BERT face): every ``stride`` positions past the first ``context``
+    tokens, emit (context window, next token) — the (x, y) pairs of
+    next-token prediction with a fixed context length. Output:
+    (id, pos, context_text, target) where pos is the 0-based position of
+    the TARGET token.
+
+    Shape: no per-token explode — windows are sliced from the token
+    ARRAY (one row per emitted window via an exploded stride sequence,
+    then two O(context) slices); a doc emits ⌈(n−context)/stride⌉
+    windows, so output volume is corpus/stride — the operator the
+    packing/sharding family feeds. `F.sequence` guarded for n ≤ context
+    (a negative-end sequence DESCENDS rather than emptying — repo
+    pitfall)."""
+    ws = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col).alias("id"), ws.alias("ws")).filter(
+        F.size("ws") > context
+    )
+    pos = base.select(
+        "id",
+        "ws",
+        F.explode(
+            F.sequence(F.lit(context), F.size("ws") - 1, F.lit(stride))
+        ).alias("pos"),
+    )
+    return pos.select(
+        "id",
+        F.col("pos").cast("long").alias("pos"),
+        F.array_join(
+            F.slice(F.col("ws"), F.col("pos") - context + 1, context), " "
+        ).alias("context_text"),
+        F.element_at(F.col("ws"), F.col("pos") + 1).alias("target"),
+    )
+
+
+def mlm_masking(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    select_pct: int = 15,
+    mask_token: str = "[MASK]",
+) -> DataFrame:
+    """BERT-style masked-LM corpus preparation, deterministically: select
+    ~select_pct% of token positions by integer congruential mixing, then
+    apply the classic 80/10/10 rule — 80% become ``mask_token``, 10% are
+    replaced by another corpus token (drawn from the doc's own stream at
+    an LCG offset — deterministic stand-in for a corpus-uniform draw,
+    documented simplification), 10% stay unchanged (but are still
+    predicted). Output per doc: (id, masked_text, labels_text = the
+    original tokens at selected positions in order, n_selected, n_masked,
+    n_replaced, n_kept). No rand() anywhere — the oracle replays every
+    decision and incremental rebuilds are byte-identical (the repo
+    determinism rule).
+
+    Shape: one posexplode shuffle, per-row integer decisions, one
+    positional-concat rebuild per doc (same skeleton as
+    span_corruption, minus the run windows — single-token masking needs
+    no lag/run machinery)."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("pos", "w"),
+    ).localCheckpoint()  # feeds both the mask decisions AND the
+    # replacement-token lookup self-join (persist-before-self-join pitfall)
+    n_w = Window.partitionBy("id")
+    sel = ((F.col("id") * 61 + F.col("pos") * 53) % 100) < select_pct
+    action = (F.col("id") * 43 + F.col("pos") * 29) % 10
+    rep_pos = (
+        (F.col("id") + F.col("pos") * 7) % F.count("*").over(n_w)
+    ).cast("int")
+    flagged = toks.select(
+        "id", "pos", "w", sel.cast("int").alias("s"), action.alias("act"),
+        rep_pos.alias("rp"),
+    )
+    rep = flagged.join(
+        toks.select(
+            F.col("id").alias("id"),
+            F.col("pos").alias("rp"),
+            F.col("w").alias("rw"),
+        ),
+        ["id", "rp"],
+        "left",
+    )
+    piece = (
+        F.when(F.col("s") == 0, F.col("w"))
+        .when(F.col("act") < 8, F.lit(mask_token))
+        .when(F.col("act") == 8, F.coalesce(F.col("rw"), F.col("w")))
+        .otherwise(F.col("w"))
+    )
+    marked = rep.select(
+        "id", "pos", "w", "s",
+        piece.alias("piece"),
+        F.when(F.col("s") == 1, F.col("w")).alias("label"),
+        (F.col("s") == 1).cast("int").alias("is_sel"),
+        ((F.col("s") == 1) & (F.col("act") < 8)).cast("int").alias("is_mask"),
+        ((F.col("s") == 1) & (F.col("act") == 8)).cast("int").alias("is_rep"),
+        ((F.col("s") == 1) & (F.col("act") == 9)).cast("int").alias("is_keep"),
+    )
+
+    def _ordered(col):
+        return F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", F.col(col).alias("p")))
+                    ),
+                    lambda st: st["p"].isNotNull(),
+                ),
+                lambda st: st["p"],
+            ),
+            " ",
+        )
+
+    return marked.groupBy("id").agg(
+        _ordered("piece").alias("masked_text"),
+        _ordered("label").alias("labels_text"),
+        F.sum("is_sel").cast("long").alias("n_selected"),
+        F.sum("is_mask").cast("long").alias("n_masked"),
+        F.sum("is_rep").cast("long").alias("n_replaced"),
+        F.sum("is_keep").cast("long").alias("n_kept"),
+    )

@@ -707,3 +707,48 @@ def test_span_corruption_is_deterministic_and_masks_something(spark):
     assert a == b
     total_masked = sum(r.n_masked for r in span_corruption(df, "doc_id", "text").collect())
     assert total_masked > 0
+
+
+def test_causal_lm_windows_python_replay(spark):
+    from raptor_spark.operators.text import causal_lm_windows
+
+    docs = [
+        (3, "a b c d e f g h i j k l m"),
+        (4, "one two three"),          # too short: no windows
+        (5, "t0 t1 t2 t3 t4 t5 t6 t7 t8"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id, r.pos): (r.context_text, r.target)
+        for r in causal_lm_windows(df, "doc_id", "text", context=4, stride=2).collect()
+    }
+    expect = {}
+    for did, text in docs:
+        ws = text.lower().split()
+        for p in range(4, len(ws), 2):
+            expect[(did, p)] = (" ".join(ws[p - 4:p]), ws[p])
+    assert got == expect
+
+
+def test_mlm_masking_invariants(spark):
+    from raptor_spark.operators.text import mlm_masking
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4)
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    rows = mlm_masking(df, "doc_id", "text").collect()
+    assert sum(r.n_selected for r in rows) > 0
+    for r in rows:
+        orig = df.filter(F.col("doc_id") == r.id).collect()[0].text.lower().split()
+        masked = r.masked_text.split()
+        # same length, labels count selected positions, actions partition
+        assert len(masked) == len(orig)
+        assert len(r.labels_text.split()) == r.n_selected
+        assert r.n_selected == r.n_masked + r.n_replaced + r.n_kept
+        # non-selected positions unchanged; [MASK] count matches
+        assert masked.count("[MASK]") == r.n_masked
+    a = {(r.id, r.masked_text) for r in rows}
+    b = {(r.id, r.masked_text) for r in mlm_masking(df, "doc_id", "text").collect()}
+    assert a == b
