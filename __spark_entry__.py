@@ -4415,6 +4415,31 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lm", "id")
 
 
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-approximated harmonic centrality over the near-dup graph
+    (operators/graph.harmonic_centrality): Σ 1/d from the id%7==0
+    landmark set within 4 hops — Boldi/Vigna's disconnection-safe
+    centrality, carried as the exact integer Σ 12/d (never an FP sum of
+    1/3-style terms) and divided once for display."""
+    from raptor_spark.operators.graph import harmonic_centrality, symmetrize
+
+    edges = _jaccard_edge_set(spark, sf_dir)
+    landmarks = (
+        symmetrize(edges)
+        .select(F.col("src").alias("id"))
+        .distinct()
+        .filter(F.col("id") % 7 == 0)
+    )
+    out = harmonic_centrality(edges, landmarks, max_hops=4)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        "n_reached",
+        "harmonic_x12",
+        "harmonic",
+    ).orderBy("id")
+
+
 def q_diverse_exemplars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center exemplar selection over the bounded embedding set
     (operators/similarity.kcenter_exemplars, k=5, vec_id < 200) — the
@@ -5168,6 +5193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption": q_span_corruption,
         "causal_windows": q_causal_windows,
         "mlm_masking": q_mlm_masking,
+        "harmonic_centrality": q_harmonic_centrality,
         "graph_diameter": q_graph_diameter,
         "link_training_pairs": q_link_training_pairs,
         "runs_test": q_runs_test,
@@ -10758,6 +10784,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS source, n_g AS n_rows, w1_scaled,
                    round(w1_scaled::DOUBLE / (n_g * n_total), 6) AS w1
             FROM per ORDER BY source
+        """,
+        "harmonic_centrality": f"""
+            WITH RECURSIVE {GRAPH_EDGE_CTE},
+            b AS (
+              SELECT DISTINCT s AS lm, s AS id, 0 AS dist
+              FROM e WHERE s % 7 = 0
+              UNION
+              SELECT b.lm, e.d, b.dist + 1
+              FROM b JOIN e ON b.id = e.s WHERE b.dist < 4
+            ),
+            m AS (
+              SELECT lm, id, min(dist) AS dist
+              FROM b GROUP BY lm, id
+            )
+            SELECT id,
+                   CAST(count(*) AS BIGINT) AS n_reached,
+                   CAST(sum(12 // dist) AS BIGINT) AS harmonic_x12,
+                   round(CAST(sum(12 // dist) AS BIGINT)
+                         / CAST(12 AS DOUBLE), 6) AS harmonic
+            FROM m WHERE dist > 0
+            GROUP BY id ORDER BY id
         """,
         "landmark_distances": f"""
             WITH RECURSIVE {GRAPH_EDGE_CTE},

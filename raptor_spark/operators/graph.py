@@ -1520,3 +1520,42 @@ def diameter_double_sweep(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
     return spark.createDataFrame(
         [(start, mid, far, diam)], "start long, mid long, far long, diameter_lb int"
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame, landmarks: DataFrame, max_hops: int = 4
+) -> DataFrame:
+    """(id, n_reached, harmonic_x12, harmonic): landmark-approximated
+    harmonic centrality — C_H(v) = Σ_landmarks 1/d(lm, v) over the
+    landmarks that reach v within ``max_hops`` (Boldi/Vigna's centrality
+    of choice for disconnected web graphs: unreachable pairs contribute
+    0 instead of breaking the mean, and the landmark sample replaces the
+    all-sources sum — the only form that survives 10^12 edges).
+
+    Exactness discipline: 1/d is NOT summed in floating point (a
+    Σ(1/3)-style sum is association-order sensitive cross-engine) —
+    the sum is carried as the exact integer Σ LCM(1..max_hops)/d
+    (harmonic_x12 for the default max_hops=4, d ∈ {1,2,3,4} →
+    {12,6,4,3}) and divided ONCE for display. Self-distances (d=0,
+    the landmark itself) are excluded per the definition. One groupBy
+    over the landmark_distances sketch table."""
+    import math
+
+    lcm = math.lcm(*range(1, max_hops + 1))
+    dists = landmark_distances(edges, landmarks, max_hops=max_hops)
+    per = (
+        dists.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.sum(F.floor(F.lit(lcm) / F.col("dist")).cast("long"))
+            .cast("long")
+            .alias("harmonic_x12"),
+        )
+    )
+    return per.select(
+        "id",
+        "n_reached",
+        "harmonic_x12",
+        F.round(F.col("harmonic_x12") / F.lit(float(lcm)), 6).alias("harmonic"),
+    )

@@ -1197,3 +1197,58 @@ def test_diameter_double_sweep_empty_graph(spark):
 
     e = _edges(spark, []).filter("a IS NOT NULL")
     assert diameter_double_sweep(e).collect() == []
+
+
+def test_harmonic_centrality_hand_star_and_path(spark):
+    from raptor_spark.operators.graph import harmonic_centrality
+
+    # path 0-1-2-3-4 with landmarks {0, 4} (via mod filter in caller we
+    # pass explicit landmarks here): C_H(2) from {0,4} = 1/2 + 1/2 = 1
+    e = _edges(spark, [(i, i + 1) for i in range(4)])
+    lms = spark.createDataFrame([(0,), (4,)], "id long")
+    out = {r.id: r for r in harmonic_centrality(e, lms, max_hops=4).collect()}
+    assert out[2].harmonic_x12 == 12 and out[2].harmonic == 1.0
+    # vertex 1: d(0,1)=1, d(4,1)=3 -> 12 + 4 = 16
+    assert out[1].harmonic_x12 == 16
+    assert out[1].n_reached == 2
+    # landmark 0 itself: self excluded, d(4,0)=4 -> 3
+    assert out[0].harmonic_x12 == 3
+
+
+def test_harmonic_centrality_matches_python_bfs(spark):
+    import random
+    from collections import deque
+    from raptor_spark.operators.graph import harmonic_centrality, symmetrize
+
+    rng = random.Random(17)
+    pairs = list({(rng.randrange(30), rng.randrange(30)) for _ in range(70)})
+    e = _edges(spark, [(a, b) for a, b in pairs if a != b])
+    sym = [(r.src, r.dst) for r in symmetrize(e).collect()]
+    verts = sorted({s for s, _ in sym})
+    nbrs = {}
+    for s, d in sym:
+        nbrs.setdefault(s, set()).add(d)
+    lm_ids = [v for v in verts if v % 5 == 0]
+    lms = spark.createDataFrame([(v,) for v in lm_ids], "id long")
+
+    def bfs(src):
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            if dist[u] >= 4:
+                continue
+            for w in nbrs[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        return dist
+
+    expect = {}
+    for lm in lm_ids:
+        for v, d in bfs(lm).items():
+            if d > 0:
+                n, h = expect.get(v, (0, 0))
+                expect[v] = (n + 1, h + 12 // d)
+    got = {r.id: (r.n_reached, r.harmonic_x12) for r in harmonic_centrality(e, lms, max_hops=4).collect()}
+    assert got == expect
