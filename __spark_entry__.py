@@ -4416,6 +4416,31 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_supplier_price_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier Kendall tau-b between line price and quantity
+    (operators/profile.kendall_tau) over l_suppkey < 20 — the
+    pair-concordance completion of the rank-correlation family
+    (Spearman ranks, Mann-Kendall trends, tau-b measures): price is
+    quantity-driven in TPC-H, so tau is strongly positive and the
+    massive quantity ties exercise the tie correction. All five pair
+    buckets are exact BIGINTs from the value-collapsed combo join;
+    tau_b divides once."""
+    from raptor_spark.operators.profile import kendall_tau
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") < 20)
+        .select(
+            "l_suppkey",
+            F.floor(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+            F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+        )
+    )
+    out = kendall_tau(li, ["l_suppkey"], "price_c", "qty")
+    return out.orderBy("l_suppkey")
+
+
 def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark-approximated harmonic centrality over the near-dup graph
     (operators/graph.harmonic_centrality): Σ 1/d from the id%7==0
@@ -5194,6 +5219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "causal_windows": q_causal_windows,
         "mlm_masking": q_mlm_masking,
         "harmonic_centrality": q_harmonic_centrality,
+        "supplier_price_tau": q_supplier_price_tau,
         "graph_diameter": q_graph_diameter,
         "link_training_pairs": q_link_training_pairs,
         "runs_test": q_runs_test,
@@ -10784,6 +10810,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS source, n_g AS n_rows, w1_scaled,
                    round(w1_scaled::DOUBLE / (n_g * n_total), 6) AS w1
             FROM per ORDER BY source
+        """,
+        "supplier_price_tau": """
+            WITH base AS (
+              SELECT l_suppkey,
+                     CAST(floor(l_extendedprice * 100) AS BIGINT) AS x,
+                     CAST(floor(l_quantity) AS BIGINT) AS y
+              FROM lineitem WHERE l_suppkey < 20
+            ),
+            cnt AS (
+              SELECT l_suppkey, x, y, CAST(count(*) AS BIGINT) AS m
+              FROM base GROUP BY l_suppkey, x, y
+            ),
+            cross_p AS (
+              SELECT a.l_suppkey,
+                     a.m * b.m AS w,
+                     CASE WHEN a.x != b.x THEN 1 ELSE 0 END AS xd,
+                     CASE WHEN b.y > a.y THEN 1
+                          WHEN b.y < a.y THEN -1 ELSE 0 END AS cy
+              FROM cnt a JOIN cnt b
+                ON a.l_suppkey = b.l_suppkey
+               AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+            ),
+            agg AS (
+              SELECT l_suppkey,
+                     CAST(sum(CASE WHEN xd = 1 AND cy = 1 THEN w ELSE 0 END) AS BIGINT) AS concordant,
+                     CAST(sum(CASE WHEN xd = 1 AND cy = -1 THEN w ELSE 0 END) AS BIGINT) AS discordant,
+                     CAST(sum(CASE WHEN xd = 0 AND cy != 0 THEN w ELSE 0 END) AS BIGINT) AS tx,
+                     CAST(sum(CASE WHEN xd = 1 AND cy = 0 THEN w ELSE 0 END) AS BIGINT) AS ty
+              FROM cross_p GROUP BY l_suppkey
+            ),
+            within AS (
+              SELECT l_suppkey,
+                     CAST(sum(m * (m - 1)) // 2 AS BIGINT) AS txy,
+                     CAST(sum(m) AS BIGINT) AS n
+              FROM cnt GROUP BY l_suppkey
+            )
+            SELECT w.l_suppkey, w.n,
+                   CAST(coalesce(a.concordant, 0) AS BIGINT) AS concordant,
+                   CAST(coalesce(a.discordant, 0) AS BIGINT) AS discordant,
+                   CAST(coalesce(a.tx, 0) AS BIGINT) AS tx,
+                   CAST(coalesce(a.ty, 0) AS BIGINT) AS ty,
+                   w.txy,
+                   round(CASE WHEN coalesce(a.concordant, 0) + coalesce(a.discordant, 0) + coalesce(a.tx, 0) > 0
+                              AND coalesce(a.concordant, 0) + coalesce(a.discordant, 0) + coalesce(a.ty, 0) > 0
+                         THEN (a.concordant - a.discordant)
+                              / sqrt(CAST(a.concordant + a.discordant + a.tx AS DOUBLE)
+                                     * CAST(a.concordant + a.discordant + a.ty AS DOUBLE))
+                         END, 6) + 0.0 AS tau_b
+            FROM within w LEFT JOIN agg a ON w.l_suppkey = a.l_suppkey
+            ORDER BY w.l_suppkey
         """,
         "harmonic_centrality": f"""
             WITH RECURSIVE {GRAPH_EDGE_CTE},

@@ -1801,3 +1801,89 @@ def cross_correlation(
     return out.select(
         "lag", "n", (F.round(r, 6) + 0.0).alias("r")
     )
+
+
+def kendall_tau(
+    df: DataFrame, group_cols: list[str], x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group Kendall tau-b rank correlation between two integer
+    columns — the pair-concordance completion of the rank-correlation
+    family (value_spearman ranks then correlates; mann_kendall is tau of
+    value vs TIME; this is tau between two measures, tie-corrected).
+
+    The pair space is never enumerated row-by-row: rows collapse to
+    distinct (x, y) value combos with multiplicities in one shuffle, and
+    pairs are counted BETWEEN combos (weight m_a·m_b, each unordered
+    combo pair visited once via the lexicographic (x, y) order) plus
+    both-tied pairs WITHIN combos (m·(m−1)/2) — so the self-join is
+    |distinct combos|², not |rows|², and every bucket (concordant,
+    discordant, x-tie-only, y-tie-only, both-tied) is an exact BIGINT.
+    tau_b = (C − D)/√((C+D+Tx)·(C+D+Ty)) is the single double
+    expression (legs cast to double BEFORE the product — their BIGINT
+    product could overflow at large n, the doubles cannot); NULL when a
+    leg is 0 (a constant column has no rank signal — in-expression
+    guard per the ANSI rule).
+
+    Caller contract: integer inputs (pre-scale currency to cents);
+    per-key distinct-combo sets bounded (value collapsing does the
+    bounding on discrete measures — the l_quantity/l_extendedprice
+    shape collapses 60k rows to ~?k combos)."""
+    cnt = df.groupBy(
+        *group_cols,
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    ).agg(F.count("*").cast("long").alias("m")).localCheckpoint()
+    b = cnt.select(
+        *[F.col(c).alias(f"{c}_b") for c in group_cols],
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("m").alias("mb"),
+    )
+    cond = [F.col(k) == F.col(f"{k}_b") for k in group_cols]
+    lex = (F.col("x") < F.col("xb")) | (
+        (F.col("x") == F.col("xb")) & (F.col("y") < F.col("yb"))
+    )
+    pairs = cnt.join(b, cond + [lex])
+    cy = F.when(F.col("yb") > F.col("y"), 1).when(
+        F.col("yb") < F.col("y"), -1
+    ).otherwise(0)
+    w = F.col("m") * F.col("mb")
+    cross = pairs.select(
+        *group_cols,
+        w.alias("w"),
+        (F.col("x") != F.col("xb")).cast("int").alias("xd"),
+        cy.alias("cy"),
+    ).groupBy(*group_cols).agg(
+        F.sum(F.when((F.col("xd") == 1) & (F.col("cy") == 1), F.col("w")).otherwise(0)).cast("long").alias("concordant"),
+        F.sum(F.when((F.col("xd") == 1) & (F.col("cy") == -1), F.col("w")).otherwise(0)).cast("long").alias("discordant"),
+        F.sum(F.when((F.col("xd") == 0) & (F.col("cy") != 0), F.col("w")).otherwise(0)).cast("long").alias("tx"),
+        F.sum(F.when((F.col("xd") == 1) & (F.col("cy") == 0), F.col("w")).otherwise(0)).cast("long").alias("ty"),
+    )
+    within = cnt.groupBy(*group_cols).agg(
+        # m·(m−1) is even; the shiftright halving stays in BIGINT (a /2
+        # would detour through double)
+        F.shiftright(
+            F.sum(F.col("m") * (F.col("m") - 1)).cast("long"), 1
+        ).alias("txy"),
+        F.sum("m").cast("long").alias("n"),
+    )
+    agg = within.join(cross, group_cols, "left").na.fill(
+        {"concordant": 0, "discordant": 0, "tx": 0, "ty": 0}
+    )
+    c, d = F.col("concordant"), F.col("discordant")
+    leg_a = (c + d + F.col("tx")).cast("double")
+    leg_b = (c + d + F.col("ty")).cast("double")
+    tau = F.when(
+        (c + d + F.col("tx") > 0) & (c + d + F.col("ty") > 0),
+        (c - d) / F.sqrt(leg_a * leg_b),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        "concordant",
+        "discordant",
+        "tx",
+        "ty",
+        "txy",
+        (F.round(tau, 6) + 0.0).alias("tau_b"),
+    )

@@ -1665,3 +1665,45 @@ def test_cross_correlation_zero_variance_null(spark):
     y = spark.createDataFrame([(i, i) for i in range(6)], "o long, v long")
     out = cross_correlation(x, y, max_lag=0).collect()
     assert len(out) == 1 and out[0].r is None
+
+
+def test_kendall_tau_matches_scipy_free_python_reference(spark):
+    from raptor_spark.operators.profile import kendall_tau
+    import math
+    import random
+
+    rng = random.Random(23)
+    rows = [("g", rng.randrange(8), rng.randrange(8)) for _ in range(60)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    r = kendall_tau(df, ["g"], "x", "y").collect()[0]
+    xs = [x for _, x, _ in rows]; ys = [y for _, _, y in rows]
+    C = D = TX = TY = TXY = 0
+    n = len(rows)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = (xs[j] > xs[i]) - (xs[j] < xs[i])
+            dy = (ys[j] > ys[i]) - (ys[j] < ys[i])
+            if dx and dy:
+                if dx == dy: C += 1
+                else: D += 1
+            elif dx and not dy: TY += 1
+            elif dy and not dx: TX += 1
+            else: TXY += 1
+    assert (r.concordant, r.discordant, r.tx, r.ty, r.txy) == (C, D, TX, TY, TXY)
+    assert r.n == n
+    tau = (C - D) / math.sqrt(float(C + D + TX) * float(C + D + TY))
+    assert r.tau_b == pytest.approx(round(tau, 6) + 0.0, abs=1e-9)
+
+
+def test_kendall_tau_perfect_and_constant(spark):
+    from raptor_spark.operators.profile import kendall_tau
+
+    inc = [("inc", i, i * 2) for i in range(10)]
+    dec = [("dec", i, 100 - i) for i in range(10)]
+    const = [("const", i, 7) for i in range(10)]
+    df = spark.createDataFrame(inc + dec + const, "g string, x long, y long")
+    out = {r.g: r for r in kendall_tau(df, ["g"], "x", "y").collect()}
+    assert out["inc"].tau_b == 1.0
+    assert out["dec"].tau_b == -1.0
+    assert out["const"].tau_b is None  # y constant: no rank signal
+    assert out["const"].ty == 45 and out["const"].concordant == 0
