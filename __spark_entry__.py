@@ -4417,6 +4417,31 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_bloom_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi-join (operators/relational.bloom_semi_join):
+    orders of rich customers (c_acctbal > 9000) with a broadcast Bloom
+    bitmap probed MAP-SIDE before any shuffle — the runtime-filter join
+    every warehouse uses, made explicit; the exact semi-join on the
+    survivors removes false positives, so the result ≡ the oracle's
+    plain EXISTS semi-join, and the bloom pass only shrinks the
+    shuffle."""
+    from raptor_spark.operators.relational import bloom_semi_join
+
+    big = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+    )
+    small = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    out = bloom_semi_join(big, small, "custkey")
+    return out.orderBy("o_orderkey")
+
+
 def q_supplier_price_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-supplier Kendall tau-b between line price and quantity
     (operators/profile.kendall_tau) over l_suppkey < 20 — the
@@ -5220,6 +5245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlm_masking": q_mlm_masking,
         "harmonic_centrality": q_harmonic_centrality,
         "supplier_price_tau": q_supplier_price_tau,
+        "bloom_join_orders": q_bloom_join_orders,
         "graph_diameter": q_graph_diameter,
         "link_training_pairs": q_link_training_pairs,
         "runs_test": q_runs_test,
@@ -10810,6 +10836,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS source, n_g AS n_rows, w1_scaled,
                    round(w1_scaled::DOUBLE / (n_g * n_total), 6) AS w1
             FROM per ORDER BY source
+        """,
+        "bloom_join_orders": """
+            SELECT o_orderkey, o_custkey AS custkey,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents
+            FROM orders o
+            WHERE EXISTS (
+              SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 9000)
+            ORDER BY o_orderkey
         """,
         "supplier_price_tau": """
             WITH base AS (

@@ -747,3 +747,27 @@ def dsir_importance(
         # sign-crossing after round: +0.0 normalizes -0.0 (both engines)
         (F.round(F.avg("lr"), 4) + F.lit(0.0)).alias("dsir_logratio"),
     )
+
+
+def bloom_from_keys(
+    df: DataFrame, key: str, m_bits: int = 1 << 20, k: int = 3
+) -> DataFrame:
+    """Bloom bitmap over a KEY column (the join-pruning face of
+    bloom_build's shingle bitmap): distinct keys stringified, k md5
+    positions each, word-packed (word_idx, word) rows — ≤ m/63 rows
+    whatever the key cardinality, mergeable by bit_or, always
+    broadcastable."""
+    keys = df.select(F.col(key).cast("string").alias("s")).distinct()
+    pos = keys.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("s"), i, m_bits) for i in range(1, k + 1)])
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word_idx"),
+            F.expr(f"shiftleft(1L, CAST(pos % {BLOOM_WORD_BITS} AS INT))").alias("w1"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("w1").alias("word"))
+    )

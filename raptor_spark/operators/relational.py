@@ -594,3 +594,62 @@ def pareto_frontier(
         .filter("_keep")
         .select(id_col, x_col, y_col)
     )
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """Semi-join ``big`` to ``small`` on ``key`` with a Bloom pre-filter —
+    the classic runtime-filter join (what Spark's AQE runtime filters and
+    every warehouse's bloom-join do, made explicit as an operator): a
+    ≤ m/63-row bitmap built from the small side's distinct keys is
+    broadcast and probed MAP-SIDE on the big side, so the expensive
+    shuffle of the big relation carries only rows that (probably) have a
+    partner — at a 1e-5-ish false-positive rate the shuffle shrinks to
+    the true match set, the difference between shipping 100 TB and
+    shipping the answer. The exact semi-join then runs on the survivors,
+    removing false positives — output ≡ ``big.join(small, key,
+    "left_semi")`` exactly (the oracle's plain semi-join), the bloom pass
+    costs only CPU.
+
+    Reuses the decontamination bitmap machinery (curation.bloom_build's
+    word-packed layout, md5 positions — byte-reproducible in SQL)."""
+    from raptor_spark.operators.curation import (
+        BLOOM_WORD_BITS,
+        _bloom_pos,
+        bloom_from_keys,
+    )
+
+    bitmap = bloom_from_keys(small, key, m_bits=m_bits, k=k).localCheckpoint()
+    probe = big.withColumn("__s", F.col(key).cast("string"))
+    hits = []
+    for i in range(1, k + 1):
+        probe = probe.withColumn(f"__p{i}", _bloom_pos(F.col("__s"), i, m_bits))
+        side = bitmap.select(
+            F.col("word_idx").alias(f"__w{i}"), F.col("word").alias(f"__wd{i}")
+        )
+        probe = probe.join(
+            F.broadcast(side),
+            F.expr(f"__p{i} div {BLOOM_WORD_BITS}") == F.col(f"__w{i}"),
+            "left",
+        )
+        hits.append(
+            F.coalesce(
+                F.expr(
+                    f"(shiftright(__wd{i}, CAST(__p{i} % {BLOOM_WORD_BITS} AS INT))"
+                    " & 1L) = 1L"
+                ),
+                F.lit(False),
+            )
+        )
+    flagged = hits[0]
+    for h in hits[1:]:
+        flagged = flagged & h
+    pruned = probe.filter(flagged).select(*big.columns)
+    return pruned.join(
+        small.select(key).distinct(), key, "left_semi"
+    )

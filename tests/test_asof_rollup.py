@@ -226,3 +226,35 @@ def test_pareto_frontier_partition_invariant(spark):
     a = {r["id"] for r in pareto_frontier(df.repartition(1), "x", "y", "id").collect()}
     b = {r["id"] for r in pareto_frontier(df.repartition(17), "x", "y", "id").collect()}
     assert a == b and a
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark):
+    from raptor_spark.operators.relational import bloom_semi_join
+
+    big = spark.createDataFrame(
+        [(i, i % 50, i * 10) for i in range(2000)], "id long, custkey long, v long"
+    )
+    small = spark.createDataFrame(
+        [(c,) for c in range(0, 50, 7)], "custkey long"
+    )
+    got = {r.id for r in bloom_semi_join(big, small, "custkey").collect()}
+    want = {r.id for r in big.join(small, "custkey", "left_semi").collect()}
+    assert got == want and len(got) > 0
+
+
+def test_bloom_prefilter_passes_superset_and_prunes(spark):
+    # with a tiny bitmap the bloom stage has real false positives — the
+    # exact semi-join must remove them; with the default bitmap the
+    # pruned set should be close to the true match set (the pruning
+    # payoff the operator exists for)
+    from raptor_spark.operators.curation import bloom_from_keys, _bloom_pos, BLOOM_WORD_BITS
+    from raptor_spark.operators.relational import bloom_semi_join
+    import pyspark.sql.functions as F
+
+    big = spark.createDataFrame(
+        [(i, i) for i in range(5000)], "id long, custkey long"
+    )
+    small = spark.createDataFrame([(c,) for c in range(100)], "custkey long")
+    out = bloom_semi_join(big, small, "custkey", m_bits=1 << 8, k=2)
+    want = {r.id for r in big.join(small, "custkey", "left_semi").collect()}
+    assert {r.id for r in out.collect()} == want  # FPs removed even at 256 bits
