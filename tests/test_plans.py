@@ -566,7 +566,9 @@ def test_session10_addition_plans_stay_clean(spark):
     names = (
         "graph_mis", "graph_coloring", "graph_diameter", "mann_kendall",
         "snm_pairs", "retrieval_eval", "event_xcorr", "cross_source_dups",
-        "vocab_coverage", "knn_label_agreement",
+        "vocab_coverage", "knn_label_agreement", "span_corruption",
+        "causal_windows", "mlm_masking", "harmonic_centrality",
+        "supplier_price_tau", "bloom_join_orders",
     )
     for name in names:
         p = plan_str(QUERIES[name](spark, SF_DIR))
@@ -581,3 +583,8 @@ def test_session10_addition_plans_stay_clean(spark):
     # kNN agreement: query side broadcast, scoring map-side
     p = plan_str(QUERIES["knn_label_agreement"](spark, SF_DIR))
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p[:1200]
+    # bloom join: the bitmap probes are broadcast joins; the final exact
+    # semi-join survives
+    p = plan_str(QUERIES["bloom_join_orders"](spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") >= 3, p[:1500]
+    assert "LeftSemi" in p, p[:1500]
