@@ -4418,6 +4418,22 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_hub_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted-attack robustness of the near-dup graph
+    (operators/graph.hub_robustness): component census after deleting
+    the top-{0,3,6}-degree hubs — scale-free structure shatters, random
+    structure holds (Albert/Jeong/Barabási); a corpus glued together by
+    one template collapses at k=3. Per k: TakeOrdered hub list (k-row
+    broadcast), two anti-joins, the shared CC loop; the oracle recomputes
+    each variant with recursive min-label reachability."""
+    from raptor_spark.operators.graph import hub_robustness
+
+    return hub_robustness(
+        _jaccard_edge_set(spark, sf_dir), removals=(0, 3, 6)
+    ).orderBy("k_removed")
+
+
 def q_bloom_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned semi-join (operators/relational.bloom_semi_join):
     orders of rich customers (c_acctbal > 9000) with a broadcast Bloom
@@ -5246,6 +5262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic_centrality,
         "supplier_price_tau": q_supplier_price_tau,
         "bloom_join_orders": q_bloom_join_orders,
+        "hub_robustness": q_hub_robustness,
         "graph_diameter": q_graph_diameter,
         "link_training_pairs": q_link_training_pairs,
         "runs_test": q_runs_test,
@@ -10836,6 +10853,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS source, n_g AS n_rows, w1_scaled,
                    round(w1_scaled::DOUBLE / (n_g * n_total), 6) AS w1
             FROM per ORDER BY source
+        """,
+        "hub_robustness": f"""
+            WITH RECURSIVE {GRAPH_EDGE_CTE},
+            deg AS (SELECT s AS id, count(*) AS degree FROM e GROUP BY s),
+            h0 AS (SELECT CAST(NULL AS BIGINT) AS id WHERE false),
+            e0 AS (
+              SELECT s, d FROM e
+              WHERE s NOT IN (SELECT id FROM h0)
+                AND d NOT IN (SELECT id FROM h0)
+            ),
+            r0 AS (
+              SELECT s AS id, s AS lbl FROM e0
+              UNION
+              SELECT x.d, r0.lbl FROM r0 JOIN e0 x ON r0.id = x.s
+            ),
+            c0 AS (SELECT id, min(lbl) AS comp FROM r0 GROUP BY id),
+            s0 AS (
+              SELECT 0 AS k_removed,
+                     CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_vertices,
+                     CAST(count(*) AS BIGINT) AS n_components,
+                     CAST(coalesce(max(cnt), 0) AS BIGINT) AS largest_cc
+              FROM (SELECT comp, count(*) AS cnt FROM c0 GROUP BY comp)
+            ),
+            h3 AS (SELECT id FROM deg ORDER BY degree DESC, id LIMIT 3),
+            e3 AS (
+              SELECT s, d FROM e
+              WHERE s NOT IN (SELECT id FROM h3)
+                AND d NOT IN (SELECT id FROM h3)
+            ),
+            r3 AS (
+              SELECT s AS id, s AS lbl FROM e3
+              UNION
+              SELECT x.d, r3.lbl FROM r3 JOIN e3 x ON r3.id = x.s
+            ),
+            c3 AS (SELECT id, min(lbl) AS comp FROM r3 GROUP BY id),
+            s3 AS (
+              SELECT 3 AS k_removed,
+                     CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_vertices,
+                     CAST(count(*) AS BIGINT) AS n_components,
+                     CAST(coalesce(max(cnt), 0) AS BIGINT) AS largest_cc
+              FROM (SELECT comp, count(*) AS cnt FROM c3 GROUP BY comp)
+            ),
+            h6 AS (SELECT id FROM deg ORDER BY degree DESC, id LIMIT 6),
+            e6 AS (
+              SELECT s, d FROM e
+              WHERE s NOT IN (SELECT id FROM h6)
+                AND d NOT IN (SELECT id FROM h6)
+            ),
+            r6 AS (
+              SELECT s AS id, s AS lbl FROM e6
+              UNION
+              SELECT x.d, r6.lbl FROM r6 JOIN e6 x ON r6.id = x.s
+            ),
+            c6 AS (SELECT id, min(lbl) AS comp FROM r6 GROUP BY id),
+            s6 AS (
+              SELECT 6 AS k_removed,
+                     CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_vertices,
+                     CAST(count(*) AS BIGINT) AS n_components,
+                     CAST(coalesce(max(cnt), 0) AS BIGINT) AS largest_cc
+              FROM (SELECT comp, count(*) AS cnt FROM c6 GROUP BY comp)
+            )
+            SELECT * FROM (
+              SELECT * FROM s0 UNION ALL SELECT * FROM s3
+              UNION ALL SELECT * FROM s6)
+            ORDER BY k_removed
         """,
         "bloom_join_orders": """
             SELECT o_orderkey, o_custkey AS custkey,

@@ -1559,3 +1559,64 @@ def harmonic_centrality(
         "harmonic_x12",
         F.round(F.col("harmonic_x12") / F.lit(float(lcm)), 6).alias("harmonic"),
     )
+
+
+def hub_robustness(
+    edges: DataFrame, removals: tuple[int, ...] = (0, 3, 6)
+) -> DataFrame:
+    """(k_removed, n_vertices, n_components, largest_cc): targeted-attack
+    robustness of the graph — recompute connected components after
+    deleting the top-k-degree hubs (ties by smaller id first) for each k
+    in ``removals``. Scale-free graphs (KG symbol graphs, near-dup
+    graphs with template heads) shatter under hub removal while random
+    graphs barely notice (Albert/Jeong/Barabási); a corpus whose
+    near-dup structure collapses at k=3 is held together by a template,
+    not by genuine duplication — the structural twin of the
+    component_census size audit.
+
+    Per k: one TakeOrdered top-k of the degree table (never a global
+    sort), two broadcast anti-joins to drop hub endpoints, then the
+    shared cc.connected_components pointer-jumping loop. The hub list is
+    a k-row broadcast; everything else is the CC machinery's own
+    shapes."""
+    from raptor_spark.cc import connected_components
+
+    sym = symmetrize(edges).persist()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("degree")
+    ).localCheckpoint()
+    spark = edges.sparkSession
+    out_rows = None
+    for k in removals:
+        hubs = (
+            deg.orderBy(F.desc("degree"), F.asc("id")).limit(k).select("id")
+            if k > 0
+            else spark.createDataFrame([], "id long")
+        )
+        kept = (
+            sym.join(
+                F.broadcast(hubs.select(F.col("id").alias("src"))),
+                "src",
+                "left_anti",
+            )
+            .join(
+                F.broadcast(hubs.select(F.col("id").alias("dst"))),
+                "dst",
+                "left_anti",
+            )
+            .filter(F.col("src") < F.col("dst"))
+            .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        )
+        comp = connected_components(kept)
+        stats = comp.groupBy("component").agg(F.count("*").alias("sz")).agg(
+            F.count("*").cast("long").alias("n_components"),
+            F.coalesce(F.max("sz"), F.lit(0)).cast("long").alias("largest_cc"),
+            F.coalesce(F.sum("sz"), F.lit(0)).cast("long").alias("n_vertices"),
+        ).select(
+            F.lit(k).alias("k_removed"), "n_vertices", "n_components",
+            "largest_cc",
+        )
+        out_rows = stats if out_rows is None else out_rows.unionByName(stats)
+    result = out_rows.localCheckpoint()
+    sym.unpersist()
+    return result

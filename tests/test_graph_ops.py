@@ -1252,3 +1252,20 @@ def test_harmonic_centrality_matches_python_bfs(spark):
                 expect[v] = (n + 1, h + 12 // d)
     got = {r.id: (r.n_reached, r.harmonic_x12) for r in harmonic_centrality(e, lms, max_hops=4).collect()}
     assert got == expect
+
+
+def test_hub_robustness_star_shatters_ring_holds(spark):
+    from raptor_spark.operators.graph import hub_robustness
+
+    # star: removing the hub (vertex 0) leaves no edges at all
+    star = _edges(spark, [(0, i) for i in range(1, 8)])
+    out = {r.k_removed: r for r in hub_robustness(star, removals=(0, 1)).collect()}
+    assert out[0].largest_cc == 8 and out[0].n_components == 1
+    assert out[1].n_vertices == 0 and out[1].largest_cc == 0
+
+    # ring: removing any 2 vertices leaves one path (plus maybe a second)
+    ring = _edges(spark, [(i, (i + 1) % 10) for i in range(10)])
+    out2 = {r.k_removed: r for r in hub_robustness(ring, removals=(0, 2)).collect()}
+    assert out2[0].largest_cc == 10
+    # 8 surviving vertices stay largely connected (1 or 2 chains)
+    assert out2[2].n_vertices == 8 and out2[2].n_components <= 2
