@@ -31,7 +31,8 @@ def main() -> None:
     ap.add_argument(
         "--mode",
         default="extract",
-        choices=["extract", "pipeline", "dedup", "curation", "lm", "graph"],
+        choices=["extract", "pipeline", "dedup", "curation", "lm", "graph",
+                 "mask"],
     )
     ap.add_argument("--output", default="", help="pipeline mode: output dir")
     args = ap.parse_args()
@@ -138,6 +139,20 @@ def main() -> None:
             from raptor_spark.operators.graph import pagerank
 
             return pagerank(graph_edges, n_iter=5).count()
+        if args.mode == "mask":
+            # T5 span-corruption training-pair emission over the corpus
+            # content — the pretraining-data face of the same gate: one
+            # posexplode shuffle + shared-sort per-doc windows, map-shaped
+            # like extraction
+            from pyspark.sql import functions as F
+
+            from raptor_spark.operators.text import span_corruption
+
+            docs = files.select(
+                F.xxhash64("repo", "path").alias("doc_id"),
+                F.col("content").alias("text"),
+            )
+            return span_corruption(docs, "doc_id", "text").count()
         from raptor_spark.pipeline import Pipeline
 
         out_dir = args.output or tempfile.mkdtemp(prefix="kg_scaling_pipe_")

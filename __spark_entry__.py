@@ -4419,6 +4419,25 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_order_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority trimmed/winsorized order-value means
+    (operators/profile.trimmed_stats): the bounded-influence robust
+    summaries beside MAD/Theil-Sen — 10% cut each side in integer
+    cents; trimming is sum-invariant under tie reassignment and the
+    winsorize clamps are rank statistics, so both engines agree
+    exactly before the single division."""
+    from raptor_spark.operators.profile import trimmed_stats
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return trimmed_stats(orders, ["o_orderpriority"], "cents").orderBy(
+        "o_orderpriority"
+    )
+
+
 def q_hub_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Targeted-attack robustness of the near-dup graph
     (operators/graph.hub_robustness): component census after deleting
@@ -5263,6 +5282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_price_tau": q_supplier_price_tau,
         "bloom_join_orders": q_bloom_join_orders,
         "hub_robustness": q_hub_robustness,
+        "order_trimmed_stats": q_order_trimmed_stats,
         "graph_diameter": q_graph_diameter,
         "link_training_pairs": q_link_training_pairs,
         "runs_test": q_runs_test,
@@ -10853,6 +10873,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS source, n_g AS n_rows, w1_scaled,
                    round(w1_scaled::DOUBLE / (n_g * n_total), 6) AS w1
             FROM per ORDER BY source
+        """,
+        "order_trimmed_stats": """
+            WITH base AS (
+              SELECT o_orderpriority AS pri,
+                     CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+              FROM orders
+            ),
+            ranked AS (
+              SELECT pri, v,
+                     row_number() OVER (PARTITION BY pri ORDER BY v) AS rn,
+                     count(*) OVER (PARTITION BY pri) AS n
+              FROM base
+            ),
+            m AS (
+              SELECT pri, v, rn, n,
+                     CAST(floor(n * 10 / 100) AS BIGINT) AS k
+              FROM ranked
+            ),
+            agg AS (
+              SELECT pri,
+                     CAST(max(n) AS BIGINT) AS n,
+                     CAST(max(k) AS BIGINT) AS n_trimmed_each,
+                     CAST(sum(CASE WHEN rn > k AND rn <= n - k
+                                   THEN v ELSE 0 END) AS BIGINT) AS trim_sum,
+                     max(CASE WHEN rn = k + 1 THEN v END) AS lo_cut,
+                     max(CASE WHEN rn = n - k THEN v END) AS hi_cut
+              FROM m GROUP BY pri
+            )
+            SELECT pri AS o_orderpriority, n, n_trimmed_each, lo_cut, hi_cut,
+                   CASE WHEN n - 2 * n_trimmed_each > 0 THEN
+                     round(trim_sum
+                           / CAST(n - 2 * n_trimmed_each AS DOUBLE), 6)
+                   END AS trimmed_mean,
+                   CASE WHEN n > 0 THEN
+                     round((trim_sum + n_trimmed_each * lo_cut
+                            + n_trimmed_each * hi_cut)
+                           / CAST(n AS DOUBLE), 6)
+                   END AS winsorized_mean
+            FROM agg ORDER BY o_orderpriority
         """,
         "hub_robustness": f"""
             WITH RECURSIVE {GRAPH_EDGE_CTE},

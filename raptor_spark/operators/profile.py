@@ -1887,3 +1887,69 @@ def kendall_tau(
         "txy",
         (F.round(tau, 6) + 0.0).alias("tau_b"),
     )
+
+
+def trimmed_stats(
+    df: DataFrame, group_cols: list[str], value_col: str, trim_pct: int = 10
+) -> DataFrame:
+    """Per-group trimmed and winsorized means — the bounded-influence
+    completion of the robust family (MAD flags outliers, Theil-Sen
+    survives them in slopes; these SUMMARIZE despite them): drop
+    (trimmed) or clamp to the cut values (winsorized) the lowest and
+    highest ⌊n·p/100⌋ observations. Input is cast to BIGINT (pre-scale
+    currency to cents); every sum stays integer — trimming by
+    row_number over value is tie-assignment-arbitrary but SUM-invariant
+    (rows past the cut with equal values contribute equal amounts
+    whichever copies were cut), and the winsorized clamp values are rank
+    statistics (value-deterministic even when row assignment isn't).
+    The two means divide once each, round 6.
+
+    Shape: one group shuffle, two windows sharing the (value) sort over
+    group-sized partitions, one map-side-combinable final agg."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        *group_cols, F.col(value_col).cast("long").alias("v")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("v")
+    cnt = Window.partitionBy(*group_cols)
+    ranked = base.select(
+        *group_cols,
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cnt).alias("n"),
+    )
+    k = F.floor(F.col("n") * trim_pct / 100).cast("long")
+    marked = ranked.select(
+        *group_cols,
+        "v",
+        "n",
+        k.alias("k"),
+        (F.col("rn") > k).alias("above_lo"),
+        (F.col("rn") <= F.col("n") - k).alias("below_hi"),
+        (F.col("rn") == k + 1).alias("is_lo_cut"),
+        (F.col("rn") == F.col("n") - k).alias("is_hi_cut"),
+    )
+    agg = marked.groupBy(*group_cols).agg(
+        F.first("n").cast("long").alias("n"),
+        F.first("k").cast("long").alias("n_trimmed_each"),
+        F.sum(
+            F.when(F.col("above_lo") & F.col("below_hi"), F.col("v")).otherwise(0)
+        ).cast("long").alias("trim_sum"),
+        F.max(F.when(F.col("is_lo_cut"), F.col("v"))).alias("lo_cut"),
+        F.max(F.when(F.col("is_hi_cut"), F.col("v"))).alias("hi_cut"),
+    )
+    n, kk = F.col("n"), F.col("n_trimmed_each")
+    trim_n = n - 2 * kk
+    win_sum = F.col("trim_sum") + kk * F.col("lo_cut") + kk * F.col("hi_cut")
+    return agg.select(
+        *group_cols,
+        "n",
+        "n_trimmed_each",
+        F.col("lo_cut"),
+        F.col("hi_cut"),
+        F.when(trim_n > 0, F.round(F.col("trim_sum") / trim_n.cast("double"), 6))
+        .alias("trimmed_mean"),
+        F.when(n > 0, F.round(win_sum / n.cast("double"), 6))
+        .alias("winsorized_mean"),
+    )

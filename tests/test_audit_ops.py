@@ -1707,3 +1707,35 @@ def test_kendall_tau_perfect_and_constant(spark):
     assert out["dec"].tau_b == -1.0
     assert out["const"].tau_b is None  # y constant: no rank signal
     assert out["const"].ty == 45 and out["const"].concordant == 0
+
+
+def test_trimmed_stats_hand_fixture(spark):
+    from raptor_spark.operators.profile import trimmed_stats
+
+    # 10 values incl. smashed outliers; 10% trim -> k=1 each side
+    vals = [1000, 5, 7, 9, 11, 13, 15, 17, 19, -50]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    r = trimmed_stats(df, ["g"], "v", trim_pct=10).collect()[0]
+    inner = sorted(vals)[1:-1]
+    assert r.n == 10 and r.n_trimmed_each == 1
+    assert r.lo_cut == inner[0] and r.hi_cut == inner[-1]
+    assert r.trimmed_mean == pytest.approx(sum(inner) / 8, abs=1e-6)
+    wins = sorted(vals)
+    wins[0], wins[-1] = inner[0], inner[-1]
+    assert r.winsorized_mean == pytest.approx(sum(wins) / 10, abs=1e-6)
+    # outliers bent neither mean
+    assert r.trimmed_mean < 20 and r.winsorized_mean < 20
+
+
+def test_trimmed_stats_ties_at_cut_are_sum_invariant(spark):
+    from raptor_spark.operators.profile import trimmed_stats
+
+    # cut lands inside a tie run: whichever copies are cut, sums agree
+    vals = [3, 3, 3, 3, 3, 9, 9, 9, 9, 9]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "g string, v long"
+    ).repartition(7)
+    r = trimmed_stats(df, ["g"], "v", trim_pct=20).collect()[0]
+    assert r.n_trimmed_each == 2
+    assert r.trimmed_mean == pytest.approx((3 * 3 + 9 * 3) / 6, abs=1e-9)
+    assert r.winsorized_mean == pytest.approx(6.0, abs=1e-9)
