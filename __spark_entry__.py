@@ -4420,6 +4420,29 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_length_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of document lengths
+    (operators/profile.quantile_normalize): each source's length
+    distribution mapped onto the pooled one by the midpoint-quantile
+    rank rule — the batch-effect corrector that makes per-source
+    thresholds comparable. Pure integer arithmetic end to end (ranks,
+    ⌈a/b⌉ by SQL div, pooled order statistics); ZERO floating point in
+    the output."""
+    from raptor_spark.operators.profile import quantile_normalize
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.length("text").cast("long").alias("len")
+    )
+    out = quantile_normalize(docs, ["source"], "doc_id", "len")
+    return out.select(
+        "source",
+        F.col("id").alias("doc_id"),
+        F.col("v").alias("len"),
+        F.col("norm_v").alias("norm_len"),
+    ).orderBy("doc_id")
+
+
 def q_order_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority trimmed/winsorized order-value means
     (operators/profile.trimmed_stats): the bounded-influence robust
@@ -5283,6 +5306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_join_orders": q_bloom_join_orders,
         "hub_robustness": q_hub_robustness,
         "order_trimmed_stats": q_order_trimmed_stats,
+        "length_quantile_norm": q_length_quantile_norm,
         "graph_diameter": q_graph_diameter,
         "link_training_pairs": q_link_training_pairs,
         "runs_test": q_runs_test,
@@ -10873,6 +10897,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS source, n_g AS n_rows, w1_scaled,
                    round(w1_scaled::DOUBLE / (n_g * n_total), 6) AS w1
             FROM per ORDER BY source
+        """,
+        "length_quantile_norm": """
+            WITH base AS (
+              SELECT source, doc_id AS id,
+                     CAST(length(text) AS BIGINT) AS v
+              FROM documents
+            ),
+            per AS (
+              SELECT source, id, v,
+                     CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY v, id) AS BIGINT) AS i,
+                     CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_g
+              FROM base
+            ),
+            pooled AS (
+              SELECT CAST(row_number() OVER (ORDER BY v, id) AS BIGINT) AS tr,
+                     v AS norm_v
+              FROM base
+            ),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+            SELECT p.source, p.id AS doc_id, p.v AS len, q.norm_v AS norm_len
+            FROM per p, nt, pooled q
+            WHERE q.tr = ((2 * p.i - 1) * nt.n + 2 * p.n_g - 1) // (2 * p.n_g)
+            ORDER BY doc_id
         """,
         "order_trimmed_stats": """
             WITH base AS (

@@ -1190,32 +1190,11 @@ def sorted_neighborhood_pairs(
     neighbor join is ``window`` integer EQUI-joins (rank_b = rank_a + k),
     each a plain hash join on a dense unique key — no range join, no
     skew (ranks are unique by construction)."""
-    from pyspark.sql.window import Window
+    from raptor_spark.operators.relational import global_ranks
 
     base = df.select(F.col(id_col).alias("id"), F.col(key_col).alias("key"))
-    part = (
-        base.repartitionByRange(n_parts, "key", "id")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    local = part.withColumn(
-        "lr", F.row_number().over(Window.partitionBy("pid").orderBy("key", "id"))
-    ).localCheckpoint()
-    counts = sorted(
-        (r.pid, r.c)
-        for r in local.groupBy("pid").agg(F.count("*").alias("c")).collect()
-    )
-    offsets, acc = {}, 0
-    for pid, c in counts:
-        offsets[pid] = acc
-        acc += c
-    spark = df.sparkSession
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "pid int, off long"
-        )
-    )
-    ranked = local.join(off_df, "pid").select(
-        "id", "key", (F.col("off") + F.col("lr")).alias("r")
+    ranked = global_ranks(base, ["key", "id"], n_parts=n_parts).select(
+        "id", "key", "r"
     )
     out = None
     for k in range(1, window + 1):

@@ -1953,3 +1953,56 @@ def trimmed_stats(
         F.when(n > 0, F.round(win_sum / n.cast("double"), 6))
         .alias("winsorized_mean"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame, group_cols: list[str], id_col: str, value_col: str
+) -> DataFrame:
+    """Quantile normalization across groups — map each group's value
+    distribution onto the POOLED distribution (the bioinformatics
+    batch-effect corrector, here the cross-source score equalizer: after
+    it, every source's quality/length scores are comparable by rank, so
+    a per-source quality threshold stops privileging verbose sources).
+    The i-th smallest of a group's n_g values maps to the pooled order
+    statistic at rank ⌈(2i−1)·N / (2·n_g)⌉ — the midpoint quantile rule
+    in PURE integer arithmetic (⌈a/b⌉ = (a+b−1)//b, every quantity
+    BIGINT); the normalized value is itself a pooled order statistic
+    (value-deterministic whatever the tie assignment), so the operator
+    emits NO floating point at all.
+
+    Shape: per-group ranks from group windows; POOLED ranks from the
+    shared distributed global_ranks (no single-partition window); one
+    equi-join on the target rank."""
+    from pyspark.sql.window import Window
+
+    from raptor_spark.operators.relational import global_ranks
+
+    base = df.select(
+        *group_cols,
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    wg = Window.partitionBy(*group_cols).orderBy("v", "id")
+    cg = Window.partitionBy(*group_cols)
+    per = base.select(
+        *group_cols,
+        "id",
+        "v",
+        F.row_number().over(wg).cast("long").alias("i"),
+        F.count("*").over(cg).cast("long").alias("n_g"),
+    )
+    pooled = global_ranks(
+        base.select(F.col("id").alias("pid"), F.col("v").alias("pv")),
+        ["pv", "pid"],
+    ).select(F.col("r").alias("tr"), F.col("pv").alias("norm_v"))
+    n_total = base.count()
+    # ⌈a/b⌉ via the SQL `div` integer division — never a double detour
+    with_target = (
+        per.withColumn("__a", (2 * F.col("i") - 1) * F.lit(n_total))
+        .withColumn("__b", 2 * F.col("n_g"))
+        .withColumn("tr", F.expr("(__a + __b - 1) div __b").cast("long"))
+        .drop("__a", "__b")
+    )
+    return with_target.join(pooled, "tr").select(
+        *group_cols, "id", "v", F.col("norm_v")
+    )

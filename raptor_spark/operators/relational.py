@@ -653,3 +653,40 @@ def bloom_semi_join(
     return pruned.join(
         small.select(key).distinct(), key, "left_semi"
     )
+
+
+def global_ranks(df: DataFrame, order_cols: list[str], n_parts: int = 32) -> DataFrame:
+    """Dense 1-based global ranks under the total order ``order_cols``
+    WITHOUT a single-partition window: repartitionByRange on the order
+    columns, per-partition row_numbers in parallel, one |partitions|-row
+    count collect, broadcast offsets composed back on. Ranks depend only
+    on the total order (the caller supplies a tie-free column list),
+    never on where range boundaries land — partition-count invariant.
+    The global-sort primitive shared by sorted-neighborhood blocking and
+    quantile normalization."""
+    from pyspark.sql.window import Window
+
+    part = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = part.withColumn(
+        "__lr",
+        F.row_number().over(Window.partitionBy("__pid").orderBy(*order_cols)),
+    ).localCheckpoint()
+    counts = sorted(
+        (r["__pid"], r["c"])
+        for r in local.groupBy("__pid").agg(F.count("*").alias("c")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "__pid int, __off long")
+    )
+    return (
+        local.join(off_df, "__pid")
+        .withColumn("r", F.col("__off") + F.col("__lr"))
+        .drop("__pid", "__lr", "__off")
+    )

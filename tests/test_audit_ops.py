@@ -1739,3 +1739,43 @@ def test_trimmed_stats_ties_at_cut_are_sum_invariant(spark):
     assert r.n_trimmed_each == 2
     assert r.trimmed_mean == pytest.approx((3 * 3 + 9 * 3) / 6, abs=1e-9)
     assert r.winsorized_mean == pytest.approx(6.0, abs=1e-9)
+
+
+def test_quantile_normalize_identical_distributions_are_fixpoint(spark):
+    from raptor_spark.operators.profile import quantile_normalize
+
+    # two groups with the SAME values: pooled distribution has each value
+    # twice; each group's i-th value maps back to (approximately) itself
+    rows = [("a", i, v) for i, v in enumerate([10, 20, 30, 40])]
+    rows += [("b", 10 + i, v) for i, v in enumerate([10, 20, 30, 40])]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    out = quantile_normalize(df, ["g"], "id", "v").collect()
+    assert all(r.norm_v == r.v for r in out)
+
+
+def test_quantile_normalize_matches_python_midpoint_rule(spark):
+    from raptor_spark.operators.profile import quantile_normalize
+    import random
+
+    rng = random.Random(31)
+    rows = []
+    rid = 0
+    for g, n in (("a", 17), ("b", 29), ("c", 8)):
+        for _ in range(n):
+            rows.append((g, rid, rng.randrange(1000)))
+            rid += 1
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    out = {(r.g, r.id): r.norm_v for r in quantile_normalize(df, ["g"], "id", "v").collect()}
+    pooled = sorted((v, i) for _, i, v in rows)
+    N = len(rows)
+    by_g = {}
+    for g, i, v in rows:
+        by_g.setdefault(g, []).append((v, i))
+    expect = {}
+    for g, vals in by_g.items():
+        vals.sort()
+        n_g = len(vals)
+        for idx, (v, i) in enumerate(vals, start=1):
+            tr = -(-((2 * idx - 1) * N) // (2 * n_g))
+            expect[(g, i)] = pooled[tr - 1][0]
+    assert out == expect
