@@ -4421,6 +4421,36 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_incremental_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view-maintenance identity
+    (operators/relational.incremental_agg_merge): the per-type event
+    census materialized from the even-id half, then merged with the
+    odd-id delta batch — the additive merge must equal the full
+    recompute (the oracle aggregates everything at once). The
+    aggregate-level face of checkpoint-restart: history is never
+    re-read, the delta batch alone is aggregated."""
+    from raptor_spark.operators.relational import incremental_agg_merge
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.lit(1).cast("long").alias("n"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def _agg(part):
+        return part.groupBy("event_type").agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+
+    base = _agg(ev.filter(F.col("event_id") % 2 == 0))
+    delta = _agg(ev.filter(F.col("event_id") % 2 == 1))
+    out = incremental_agg_merge(base, delta, ["event_type"], ["n", "cents"])
+    return out.orderBy("event_type")
+
+
 def q_length_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source quantile normalization of document lengths
     (operators/profile.quantile_normalize): each source's length
@@ -5307,6 +5337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hub_robustness": q_hub_robustness,
         "order_trimmed_stats": q_order_trimmed_stats,
         "length_quantile_norm": q_length_quantile_norm,
+        "incremental_event_counts": q_incremental_event_counts,
         "graph_diameter": q_graph_diameter,
         "link_training_pairs": q_link_training_pairs,
         "runs_test": q_runs_test,
@@ -10897,6 +10928,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS source, n_g AS n_rows, w1_scaled,
                    round(w1_scaled::DOUBLE / (n_g * n_total), 6) AS w1
             FROM per ORDER BY source
+        """,
+        "incremental_event_counts": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                     AS cents
+            FROM events
+            GROUP BY event_type ORDER BY event_type
         """,
         "length_quantile_norm": """
             WITH base AS (

@@ -258,3 +258,34 @@ def test_bloom_prefilter_passes_superset_and_prunes(spark):
     out = bloom_semi_join(big, small, "custkey", m_bits=1 << 8, k=2)
     want = {r.id for r in big.join(small, "custkey", "left_semi").collect()}
     assert {r.id for r in out.collect()} == want  # FPs removed even at 256 bits
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark):
+    from raptor_spark.operators.relational import incremental_agg_merge
+
+    rows = [(i, f"k{i % 7}", i * 3) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, k string, v long")
+
+    def agg(part):
+        return part.groupBy("k").agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("v").cast("long").alias("v"),
+        )
+
+    base = agg(df.filter("id % 3 != 0"))
+    delta = agg(df.filter("id % 3 = 0"))
+    merged = {
+        r.k: (r.n, r.v)
+        for r in incremental_agg_merge(base, delta, ["k"], ["n", "v"]).collect()
+    }
+    full = {r.k: (r.n, r.v) for r in agg(df).collect()}
+    assert merged == full
+
+
+def test_incremental_agg_merge_new_and_absent_keys(spark):
+    from raptor_spark.operators.relational import incremental_agg_merge
+
+    prev = spark.createDataFrame([("a", 2, 10), ("b", 1, 5)], "k string, n long, v long")
+    delta = spark.createDataFrame([("b", 3, 7), ("c", 1, 1)], "k string, n long, v long")
+    out = {r.k: (r.n, r.v) for r in incremental_agg_merge(prev, delta, ["k"], ["n", "v"]).collect()}
+    assert out == {"a": (2, 10), "b": (4, 12), "c": (1, 1)}
