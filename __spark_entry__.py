@@ -4422,6 +4422,45 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Brier score + skill (operators/profile.brier_score)
+    of props.k as a high-value forecast — the strictly-proper-scoring
+    companion of calibration_audit's ECE: Σ(k − 100y)² stays BIGINT,
+    the score divides once, and skill compares against the type's own
+    base rate (NULL when one-sided)."""
+    from raptor_spark.operators.profile import brier_score
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT")["k"].alias("k"),
+        (F.col("value") > 30.0).alias("hi"),
+    )
+    return brier_score(ev, ["event_type"], "k", "hi").orderBy("event_type")
+
+
+def q_embedding_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact maximum-inner-product top-5 (operators/similarity.mips_topk)
+    for the vec_id < 5 query set — the magnitude-aware twin of
+    embedding_topk (recommendation scoring; norm-augmentation maps it
+    onto the cosine ANN paths at scale). Double-cast vectors make every
+    partial product the same IEEE double on both engines; ranks decided
+    on the unrounded fold, displayed at round 4."""
+    from raptor_spark.operators.similarity import mips_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    queries = emb.filter(F.col("id") < 5).select(
+        F.col("id").alias("qid"), "vec"
+    )
+    out = mips_topk(emb, queries, k=5, corpus_id="id", query_id="qid", vec="vec")
+    return out.filter(F.col("qid") != F.col("id")).select(
+        "qid", "id", F.round("dot", 4).alias("dot")
+    ).orderBy("qid", F.desc("dot"), "id")
+
+
 def q_incremental_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-view-maintenance identity
     (operators/relational.incremental_agg_merge): the per-type event
@@ -5338,6 +5377,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_trimmed_stats": q_order_trimmed_stats,
         "length_quantile_norm": q_length_quantile_norm,
         "incremental_event_counts": q_incremental_event_counts,
+        "embedding_mips": q_embedding_mips,
+        "brier_score": q_brier_score,
         "graph_diameter": q_graph_diameter,
         "link_training_pairs": q_link_training_pairs,
         "runs_test": q_runs_test,
@@ -10928,6 +10969,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS source, n_g AS n_rows, w1_scaled,
                    round(w1_scaled::DOUBLE / (n_g * n_total), 6) AS w1
             FROM per ORDER BY source
+        """,
+        "brier_score": """
+            WITH base AS (
+              SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                     CASE WHEN value > 30.0 THEN 1 ELSE 0 END AS y
+              FROM events
+            ),
+            agg AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(y) AS BIGINT) AS n_pos,
+                     CAST(sum((k - 100 * y) * (k - 100 * y)) AS BIGINT)
+                       AS sq_err_sum
+              FROM base GROUP BY event_type
+            )
+            SELECT event_type, n, n_pos, sq_err_sum,
+                   round(sq_err_sum / CAST(n * 10000 AS DOUBLE), 6) AS brier,
+                   round(CASE WHEN n_pos > 0 AND n_pos < n THEN
+                     CAST(1 AS DOUBLE)
+                     - (sq_err_sum / CAST(n * 10000 AS DOUBLE))
+                       / ((CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   END, 6) + 0.0 AS brier_skill
+            FROM agg ORDER BY event_type
+        """,
+        "embedding_mips": """
+            WITH q AS (
+              SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 5
+            ),
+            s AS (
+              SELECT q.qid, e.vec_id AS id,
+                     list_reduce(
+                       list_transform(
+                         list_zip(e.embedding::DOUBLE[], q.qv),
+                         s -> s[1] * s[2]),
+                       (a, b) -> a + b) AS dot
+              FROM embeddings e CROSS JOIN q
+            ),
+            r AS (
+              SELECT qid, id, dot,
+                     row_number() OVER (
+                       PARTITION BY qid ORDER BY dot DESC, id ASC) AS rk
+              FROM s
+            )
+            SELECT qid, id, round(dot, 4) AS dot
+            FROM r WHERE rk <= 5 AND qid != id
+            ORDER BY qid, dot DESC, id
         """,
         "incremental_event_counts": """
             SELECT event_type,

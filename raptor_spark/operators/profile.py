@@ -2006,3 +2006,46 @@ def quantile_normalize(
     return with_target.join(pooled, "tr").select(
         *group_cols, "id", "v", F.col("norm_v")
     )
+
+
+def brier_score(
+    df: DataFrame, group_cols: list[str], prob_cents_col: str, outcome_col: str
+) -> DataFrame:
+    """Per-group Brier score + skill — the proper-scoring-rule companion
+    of the reliability-diagram/ECE audit (ECE checks calibration in
+    buckets; Brier is the strictly proper score a forecaster cannot
+    game, and its skill form compares against always-predict-base-rate):
+    BS = mean((p − y)²) over integer-cent probabilities, carried as the
+    exact BIGINT Σ(k − 100·y)² and divided once by 10⁴·n;
+    BS_ref = ȳ(1−ȳ) (climatology), skill = 1 − BS/BS_ref. Every
+    comparison-bearing quantity is integer; the three displayed doubles
+    are single expressions with legs cast to double before any product
+    that could overflow BIGINT at corpus scale. Skill is NULL when the
+    group is one-sided (BS_ref = 0 — no base-rate to beat).
+
+    Shape: one map-side-combinable group agg — |groups| rows out."""
+    base = df.select(
+        *group_cols,
+        F.col(prob_cents_col).cast("long").alias("k"),
+        F.col(outcome_col).cast("int").alias("y"),
+    )
+    d = F.col("k") - 100 * F.col("y")
+    agg = base.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(d * d).cast("long").alias("sq_err_sum"),
+    )
+    n, npos = F.col("n"), F.col("n_pos")
+    brier = F.col("sq_err_sum") / (n * 10000).cast("double")
+    ref = (npos.cast("double") * (n - npos).cast("double")) / (
+        n.cast("double") * n.cast("double")
+    )
+    skill = F.when((npos > 0) & (npos < n), 1.0 - brier / ref)
+    return agg.select(
+        *group_cols,
+        "n",
+        "n_pos",
+        "sq_err_sum",
+        F.round(brier, 6).alias("brier"),
+        (F.round(skill, 6) + 0.0).alias("brier_skill"),
+    )

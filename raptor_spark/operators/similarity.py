@@ -1172,3 +1172,44 @@ def knn_label_agreement(
             F.sum("agree") / (F.lit(k) * F.count("*")).cast("double"), 6
         ).alias("mean_agree"),
     )
+
+
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str = "id",
+    query_id: str = "qid",
+    vec: str = "vec",
+) -> DataFrame:
+    """(qid, id, dot, rank) exact maximum-inner-product top-k — the
+    un-normalized face of brute_force_topk (recommendation scoring,
+    learned-embedding retrieval where magnitude IS signal; at scale,
+    norm-augmentation maps MIPS onto the cosine ANN paths: append
+    sqrt(M²−‖x‖²) and search cosine). Vectors are cast to DOUBLE before
+    the zip_with product so each partial product is the same IEEE double
+    on both engines (float32 inputs would round products engine-side
+    before the fold — the cross-engine seam the cosine paths never hit
+    because both engines see identical float inputs); the left fold from
+    0.0 matches DuckDB's list_reduce from its first element exactly
+    because 0.0 + p₁ ≡ p₁.
+
+    The query side is broadcast; per-qid windows rank the scored corpus
+    (contract: the query side is small — the ANN/IVF routes are the
+    large-query path, as with brute_force_topk)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id).alias("qid"),
+            F.col(vec).cast("array<double>").alias("qvec"),
+        )
+    )
+    scored = corpus.select(
+        F.col(corpus_id).alias("id"),
+        F.col(vec).cast("array<double>").alias("cvec"),
+    ).join(q).select(
+        "qid", "id", dot_col(F.col("cvec"), F.col("qvec")).alias("dot")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -752,3 +752,36 @@ def test_mlm_masking_invariants(spark):
     a = {(r.id, r.masked_text) for r in rows}
     b = {(r.id, r.masked_text) for r in mlm_masking(df, "doc_id", "text").collect()}
     assert a == b
+
+
+def test_brier_score_hand_fixture(spark):
+    from raptor_spark.operators.profile import brier_score
+
+    # perfect forecaster: p=100 when y=1, p=0 when y=0 -> brier 0, skill 1
+    # always-50: brier 0.25; skill 0 when base rate is 0.5
+    rows = (
+        [("perf", 100, 1)] * 3 + [("perf", 0, 0)] * 3
+        + [("half", 50, 1)] * 2 + [("half", 50, 0)] * 2
+        + [("onesided", 70, 1)] * 4
+    )
+    df = spark.createDataFrame(rows, "g string, k int, y int")
+    out = {r.g: r for r in brier_score(df, ["g"], "k", "y").collect()}
+    assert out["perf"].brier == 0.0 and out["perf"].brier_skill == 1.0
+    assert out["half"].brier == 0.25 and out["half"].brier_skill == 0.0
+    assert out["onesided"].brier_skill is None
+    assert out["onesided"].brier == pytest.approx(0.09, abs=1e-9)
+
+
+def test_mips_topk_magnitude_beats_direction(spark):
+    from raptor_spark.operators.similarity import mips_topk
+
+    # q = [1, 0]; candidate 1 aligned but short, candidate 2 slightly
+    # off-axis but LONG: inner product prefers 2, cosine would prefer 1
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [10.0, 3.0]), (3, [0.0, 1.0])],
+        "id long, vec array<double>",
+    )
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "qid long, vec array<double>")
+    out = mips_topk(corpus, q, k=3).orderBy("rank").collect()
+    assert [r.id for r in out] == [2, 1, 3]
+    assert out[0].dot == 10.0
