@@ -568,7 +568,10 @@ def test_session10_addition_plans_stay_clean(spark):
         "snm_pairs", "retrieval_eval", "event_xcorr", "cross_source_dups",
         "vocab_coverage", "knn_label_agreement", "span_corruption",
         "causal_windows", "mlm_masking", "harmonic_centrality",
-        "supplier_price_tau", "bloom_join_orders",
+        "supplier_price_tau", "bloom_join_orders", "hub_robustness",
+        "order_trimmed_stats", "length_quantile_norm",
+        "incremental_event_counts", "embedding_mips", "brier_score",
+        "mann_kendall",
     )
     for name in names:
         p = plan_str(QUERIES[name](spark, SF_DIR))
