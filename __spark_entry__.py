@@ -4424,6 +4424,45 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup operating curve (operators/dedup.threshold_sweep_census):
+    near-dup component census at Jaccard ≥ {0.80, 0.90, 0.95} from ONE
+    scored pair set — the threshold-selection audit run before
+    committing to a cut-off (chaining shows as largest_cc exploding
+    between sweep points). The oracle recomputes each point with
+    recursive min-label reachability over the same exact-rational
+    Jaccard predicate."""
+    from raptor_spark.operators.dedup import threshold_sweep_census
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=1, threshold=0.8)
+    return threshold_sweep_census(pairs, thresholds=(80, 90, 95)).orderBy(
+        "threshold_pct"
+    )
+
+
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch purchase attribution
+    (operators/relational.touch_attribution): last/first/linear credit
+    over the ≤5 most recent non-purchase events within a day of each
+    purchase — the marketing-analytics read path with every credit an
+    exact BIGINT (linear shares ×60, the LCM rule — no 1/3-style FP
+    credit)."""
+    from raptor_spark.operators.relational import touch_attribution
+
+    out = touch_attribution(
+        _t(spark, sf_dir, "events"),
+        "user_id", "event_id", "ts", "event_type", "purchase",
+        # 86400 s lookback: the synthetic stream averages ~2.1 touches
+        # per conversion at a day (600 s gave exactly 1 — the three
+        # models would be indistinguishable and the query vacuous)
+        window_s=86400, max_touches=5,
+    )
+    return out.orderBy("event_type")
+
+
 def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type Brier score + skill (operators/profile.brier_score)
     of props.k as a high-value forecast — the strictly-proper-scoring
@@ -5379,6 +5418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_event_counts": q_incremental_event_counts,
         "embedding_mips": q_embedding_mips,
         "brier_score": q_brier_score,
+        "touch_attribution": q_touch_attribution,
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "graph_diameter": q_graph_diameter,
         "link_training_pairs": q_link_training_pairs,
         "runs_test": q_runs_test,
@@ -10969,6 +11010,110 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS source, n_g AS n_rows, w1_scaled,
                    round(w1_scaled::DOUBLE / (n_g * n_total), 6) AS w1
             FROM per ORDER BY source
+        """,
+        "dedup_threshold_sweep": f"""
+            WITH RECURSIVE {_GRAPH_PAIR_CTE},
+            e80 AS (
+              SELECT a, b FROM p WHERE j >= 80 / CAST(100 AS DOUBLE)
+            ),
+            r80 AS (
+              SELECT a AS id, a AS lbl FROM e80
+              UNION SELECT b, b FROM e80
+              UNION
+              SELECT nxt.id, r80.lbl FROM r80
+              JOIN (SELECT a AS s, b AS id FROM e80
+                    UNION ALL SELECT b AS s, a AS id FROM e80) nxt
+                ON r80.id = nxt.s
+            ),
+            c80 AS (SELECT id, min(lbl) AS comp FROM r80 GROUP BY id),
+            s80 AS (
+              SELECT 80 AS threshold_pct,
+                     CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_vertices,
+                     CAST(count(*) AS BIGINT) AS n_components,
+                     CAST(coalesce(max(cnt), 0) AS BIGINT) AS largest_cc
+              FROM (SELECT comp, count(*) AS cnt FROM c80 GROUP BY comp)
+            ),
+            e90 AS (
+              SELECT a, b FROM p WHERE j >= 90 / CAST(100 AS DOUBLE)
+            ),
+            r90 AS (
+              SELECT a AS id, a AS lbl FROM e90
+              UNION SELECT b, b FROM e90
+              UNION
+              SELECT nxt.id, r90.lbl FROM r90
+              JOIN (SELECT a AS s, b AS id FROM e90
+                    UNION ALL SELECT b AS s, a AS id FROM e90) nxt
+                ON r90.id = nxt.s
+            ),
+            c90 AS (SELECT id, min(lbl) AS comp FROM r90 GROUP BY id),
+            s90 AS (
+              SELECT 90 AS threshold_pct,
+                     CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_vertices,
+                     CAST(count(*) AS BIGINT) AS n_components,
+                     CAST(coalesce(max(cnt), 0) AS BIGINT) AS largest_cc
+              FROM (SELECT comp, count(*) AS cnt FROM c90 GROUP BY comp)
+            ),
+            e95 AS (
+              SELECT a, b FROM p WHERE j >= 95 / CAST(100 AS DOUBLE)
+            ),
+            r95 AS (
+              SELECT a AS id, a AS lbl FROM e95
+              UNION SELECT b, b FROM e95
+              UNION
+              SELECT nxt.id, r95.lbl FROM r95
+              JOIN (SELECT a AS s, b AS id FROM e95
+                    UNION ALL SELECT b AS s, a AS id FROM e95) nxt
+                ON r95.id = nxt.s
+            ),
+            c95 AS (SELECT id, min(lbl) AS comp FROM r95 GROUP BY id),
+            s95 AS (
+              SELECT 95 AS threshold_pct,
+                     CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_vertices,
+                     CAST(count(*) AS BIGINT) AS n_components,
+                     CAST(coalesce(max(cnt), 0) AS BIGINT) AS largest_cc
+              FROM (SELECT comp, count(*) AS cnt FROM c95 GROUP BY comp)
+            )
+            SELECT * FROM (
+              SELECT * FROM s80 UNION ALL SELECT * FROM s90
+              UNION ALL SELECT * FROM s95)
+            ORDER BY threshold_pct
+        """,
+        "touch_attribution": """
+            WITH base AS (
+              SELECT user_id AS u, event_id AS eid, event_type AS etype,
+                     epoch(ts) AS t
+              FROM events
+            ),
+            conv AS (
+              SELECT u, eid AS cid, t AS ct FROM base
+              WHERE etype = 'purchase'
+            ),
+            j AS (
+              SELECT b.etype, c.cid, b.t, b.eid
+              FROM base b JOIN conv c ON b.u = c.u
+              WHERE b.etype != 'purchase'
+                AND b.t < c.ct AND b.t >= c.ct - 86400
+            ),
+            ranked AS (
+              SELECT etype, cid,
+                     row_number() OVER (
+                       PARTITION BY cid ORDER BY t DESC, eid DESC) AS rn
+              FROM j
+            ),
+            capped AS (SELECT * FROM ranked WHERE rn <= 5),
+            marked AS (
+              SELECT etype, cid, rn,
+                     max(rn) OVER (PARTITION BY cid) AS n
+              FROM capped
+            )
+            SELECT etype AS event_type,
+                   CAST(count(*) AS BIGINT) AS n_touches,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS last_credit,
+                   CAST(sum(CASE WHEN rn = n THEN 1 ELSE 0 END) AS BIGINT)
+                     AS first_credit,
+                   CAST(sum(60 // n) AS BIGINT) AS linear_credit_x60
+            FROM marked GROUP BY etype ORDER BY event_type
         """,
         "brier_score": """
             WITH base AS (

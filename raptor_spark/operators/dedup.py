@@ -1211,3 +1211,47 @@ def sorted_neighborhood_pairs(
         )
         out = p if out is None else out.unionByName(p)
     return out
+
+
+def threshold_sweep_census(
+    pairs: DataFrame, thresholds: tuple[int, ...] = (80, 90, 95)
+) -> DataFrame:
+    """(threshold_pct, n_vertices, n_components, largest_cc): the dedup
+    operating curve — connected-component census of the near-dup graph
+    at several Jaccard cut-offs from ONE scored pair set (the pairs are
+    computed once at the loosest threshold; each sweep point only
+    filters and re-clusters). The threshold-selection audit every dedup
+    deployment runs before committing to a cut-off: a largest_cc that
+    explodes between 0.9 and 0.8 says the corpus chains below 0.9
+    (the component_census / hub_robustness family, parameterized by
+    threshold instead of structure).
+
+    The filter compares the exact-rational jaccard against t/100 — both
+    engines compute the identical nearest-doubles, so boundary pairs
+    never flip. Per sweep point: one filter + the shared CC loop."""
+    from raptor_spark.cc import connected_components
+
+    scored = pairs.localCheckpoint()
+    out = None
+    for t in thresholds:
+        kept = scored.filter(
+            F.col("jaccard") >= F.lit(t) / F.lit(100.0)
+        ).select("a", "b")
+        comp = connected_components(kept)
+        stats = (
+            comp.groupBy("component")
+            .agg(F.count("*").alias("sz"))
+            .agg(
+                F.coalesce(F.sum("sz"), F.lit(0)).cast("long").alias("n_vertices"),
+                F.count("*").cast("long").alias("n_components"),
+                F.coalesce(F.max("sz"), F.lit(0)).cast("long").alias("largest_cc"),
+            )
+            .select(
+                F.lit(t).alias("threshold_pct"),
+                "n_vertices",
+                "n_components",
+                "largest_cc",
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out.localCheckpoint()

@@ -724,3 +724,60 @@ def incremental_agg_merge(
             for c in sum_cols
         ],
     )
+
+
+def touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    id_col: str,
+    ts_col: str,
+    type_col: str,
+    conv_type: str,
+    window_s: int = 600,
+    max_touches: int = 5,
+) -> DataFrame:
+    """Multi-touch conversion attribution — for every conversion event,
+    credit the ≤ ``max_touches`` most recent preceding events of OTHER
+    types within ``window_s`` seconds, under the three standard models at
+    once: last-touch (all credit to the nearest), first-touch (all to
+    the earliest in the capped window), linear (equal shares). Linear
+    shares are carried as the exact integer 60/n per touch
+    (LCM(1..5) = 60 — no 1/3-style FP credit ever sums), so every
+    output column is BIGINT. Output per touch type:
+    (type, n_touches, last_credit, first_credit, linear_credit_x60).
+
+    Shape: one user-key equi-join (the time predicate filters inside the
+    per-user join group — bounded by per-user activity, the sessionize
+    contract), one per-conversion window for recency ranks."""
+    from pyspark.sql.window import Window
+
+    ts = F.col(ts_col).cast("timestamp").cast("double")
+    base = df.select(
+        F.col(user_col).alias("u"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("etype"),
+        ts.alias("t"),
+    )
+    conv = base.filter(F.col("etype") == conv_type).select(
+        F.col("u"), F.col("eid").alias("cid"), F.col("t").alias("ct")
+    )
+    touch = base.filter(F.col("etype") != conv_type)
+    joined = touch.join(conv, "u").filter(
+        (F.col("t") < F.col("ct")) & (F.col("t") >= F.col("ct") - window_s)
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("t"), F.desc("eid"))
+    ranked = joined.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= max_touches
+    )
+    nw = Window.partitionBy("cid")
+    marked = ranked.withColumn("n", F.max("rn").over(nw))
+    lcm = 60
+    return (
+        marked.groupBy(F.col("etype").alias(type_col))
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum((F.col("rn") == 1).cast("int")).cast("long").alias("last_credit"),
+            F.sum((F.col("rn") == F.col("n")).cast("int")).cast("long").alias("first_credit"),
+            F.sum(F.floor(F.lit(lcm) / F.col("n")).cast("long")).cast("long").alias("linear_credit_x60"),
+        )
+    )

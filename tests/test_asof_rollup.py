@@ -289,3 +289,46 @@ def test_incremental_agg_merge_new_and_absent_keys(spark):
     delta = spark.createDataFrame([("b", 3, 7), ("c", 1, 1)], "k string, n long, v long")
     out = {r.k: (r.n, r.v) for r in incremental_agg_merge(prev, delta, ["k"], ["n", "v"]).collect()}
     assert out == {"a": (2, 10), "b": (4, 12), "c": (1, 1)}
+
+
+def test_touch_attribution_credit_models(spark):
+    from raptor_spark.operators.relational import touch_attribution
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # user 1: view(10) -> click(50) -> purchase(100): 2 touches
+        (1, 10, "view", s(10)), (1, 11, "click", s(50)), (1, 12, "purchase", s(100)),
+        # user 2: click(0) alone then purchase(500): 1 touch
+        (2, 20, "click", s(0)), (2, 21, "purchase", s(500)),
+        # user 3: touch OUTSIDE the window is ignored
+        (3, 30, "view", s(0)), (3, 31, "purchase", s(5000)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, event_type string, ts timestamp")
+    out = {r.event_type: r for r in touch_attribution(
+        df, "user_id", "event_id", "ts", "event_type", "purchase",
+        window_s=600, max_touches=5).collect()}
+    # user1: click is last (rn=1), view is first (rn=n=2); linear 30 each
+    # user2: click is both last and first, linear 60
+    assert out["click"].last_credit == 2 and out["click"].first_credit == 1
+    assert out["view"].last_credit == 0 and out["view"].first_credit == 1
+    assert out["click"].linear_credit_x60 == 30 + 60
+    assert out["view"].linear_credit_x60 == 30
+    assert "purchase" not in out  # conversions never credit themselves
+    assert out["view"].n_touches == 1  # user3's stale view dropped
+
+
+def test_touch_attribution_caps_at_max_touches(spark):
+    from raptor_spark.operators.relational import touch_attribution
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [(1, i, "view", s(i)) for i in range(8)] + [(1, 99, "purchase", s(100))]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, event_type string, ts timestamp")
+    r = touch_attribution(
+        df, "user_id", "event_id", "ts", "event_type", "purchase",
+        window_s=600, max_touches=5).collect()[0]
+    assert r.n_touches == 5          # capped at the 5 most recent
+    assert r.linear_credit_x60 == 60  # 5 touches x 12 each

@@ -841,3 +841,21 @@ def test_knn_label_agreement_duplicate_twin_keeps_slot(spark):
     assert out["A"].n_agree == 6 and out["A"].mean_agree == 1.0
     # B doc's 2 neighbors are both A
     assert out["B"].n_agree == 0
+
+
+def test_threshold_sweep_census_monotone(spark):
+    from raptor_spark.operators.dedup import threshold_sweep_census
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.96), (2, 3, 0.91), (3, 4, 0.85), (4, 5, 0.82), (6, 7, 0.99)],
+        "a long, b long, jaccard double",
+    )
+    out = {r.threshold_pct: r for r in threshold_sweep_census(pairs, (80, 90, 95)).collect()}
+    # 80: chain 1-2-3-4-5 plus 6-7 -> largest 5
+    assert (out[80].n_vertices, out[80].n_components, out[80].largest_cc) == (7, 2, 5)
+    # 90: 1-2-3 and 6-7
+    assert (out[90].n_vertices, out[90].n_components, out[90].largest_cc) == (5, 2, 3)
+    # 95: 1-2 and 6-7
+    assert (out[95].n_vertices, out[95].largest_cc) == (4, 2)
+    # tightening the threshold never grows the largest component
+    assert out[80].largest_cc >= out[90].largest_cc >= out[95].largest_cc
