@@ -251,3 +251,47 @@ def test_label_centroid_audit_partition_invariant(spark):
              for r in rows}
         )
     assert results[0] == results[1]
+
+
+def test_span_and_mlm_masking_partition_invariant(spark, docs):
+    from raptor_spark.operators.text import mlm_masking, span_corruption
+
+    small = docs.filter(F.col("doc_id") < 60).select("doc_id", "text")
+    base_span = {
+        (r.id, r.input_text, r.target_text)
+        for r in span_corruption(small.coalesce(1), "doc_id", "text").collect()
+    }
+    base_mlm = {
+        (r.id, r.masked_text, r.labels_text)
+        for r in mlm_masking(small.coalesce(1), "doc_id", "text").collect()
+    }
+    for layout in (small.repartition(16), small.orderBy(F.desc("doc_id")).repartition(7)):
+        got_span = {
+            (r.id, r.input_text, r.target_text)
+            for r in span_corruption(layout, "doc_id", "text").collect()
+        }
+        got_mlm = {
+            (r.id, r.masked_text, r.labels_text)
+            for r in mlm_masking(layout, "doc_id", "text").collect()
+        }
+        assert got_span == base_span
+        assert got_mlm == base_mlm
+
+
+def test_kendall_and_quantile_norm_partition_invariant(spark):
+    import random
+
+    from raptor_spark.operators.profile import kendall_tau, quantile_normalize
+
+    rng = random.Random(41)
+    rows = [(f"g{i % 3}", i, rng.randrange(50), rng.randrange(50)) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, id long, x long, y long")
+    base_tau = {
+        tuple(r) for r in kendall_tau(df.coalesce(1), ["g"], "x", "y").collect()
+    }
+    base_qn = {
+        tuple(r) for r in quantile_normalize(df.coalesce(1), ["g"], "id", "x").collect()
+    }
+    for layout in (df.repartition(16), df.orderBy(F.desc("id")).repartition(5, "g")):
+        assert {tuple(r) for r in kendall_tau(layout, ["g"], "x", "y").collect()} == base_tau
+        assert {tuple(r) for r in quantile_normalize(layout, ["g"], "id", "x").collect()} == base_qn
