@@ -4426,6 +4426,21 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal profile of event value
+    (operators/profile.weekday_seasonality): per-weekday active days,
+    exact integer-cents volume, and the per-day-mean seasonal index —
+    the calendar-shape audit beside time_rollup/event_acf. Weekday from
+    pure epoch-day arithmetic (0 = Sunday), index one double expression
+    from four exact integers."""
+    from raptor_spark.operators.profile import weekday_seasonality
+
+    return weekday_seasonality(
+        _t(spark, sf_dir, "events"), "ts", "value"
+    ).orderBy("dow")
+
+
 def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup operating curve (operators/dedup.threshold_sweep_census):
     near-dup component census at Jaccard ≥ {0.80, 0.90, 0.95} from ONE
@@ -5420,6 +5435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier_score": q_brier_score,
         "touch_attribution": q_touch_attribution,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "weekday_seasonality": q_weekday_seasonality,
         "graph_diameter": q_graph_diameter,
         "link_training_pairs": q_link_training_pairs,
         "runs_test": q_runs_test,
@@ -11010,6 +11026,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS source, n_g AS n_rows, w1_scaled,
                    round(w1_scaled::DOUBLE / (n_g * n_total), 6) AS w1
             FROM per ORDER BY source
+        """,
+        "weekday_seasonality": """
+            WITH daily AS (
+              SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+                     CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                       AS dc
+              FROM events
+              GROUP BY CAST(floor(epoch(ts) / 86400) AS BIGINT)
+            ),
+            dows AS (
+              SELECT (d + 4) % 7 AS dow,
+                     CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(sum(dc) AS BIGINT) AS cents
+              FROM daily GROUP BY (d + 4) % 7
+            ),
+            totals AS (
+              SELECT CAST(sum(n_days) AS BIGINT) AS t_days,
+                     CAST(sum(cents) AS BIGINT) AS t_cents
+              FROM dows
+            )
+            SELECT dow, n_days, cents,
+                   CASE WHEN n_days > 0 AND t_cents != 0 THEN
+                     round((CAST(cents AS DOUBLE) * CAST(t_days AS DOUBLE))
+                           / (CAST(n_days AS DOUBLE)
+                              * CAST(t_cents AS DOUBLE)), 6)
+                   END AS seasonal_index
+            FROM dows CROSS JOIN totals
+            ORDER BY dow
         """,
         "dedup_threshold_sweep": f"""
             WITH RECURSIVE {_GRAPH_PAIR_CTE},

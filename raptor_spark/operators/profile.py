@@ -2049,3 +2049,51 @@ def brier_score(
         F.round(brier, 6).alias("brier"),
         (F.round(skill, 6) + 0.0).alias("brier_skill"),
     )
+
+
+def weekday_seasonality(
+    df: DataFrame, ts_col: str, value_col: str
+) -> DataFrame:
+    """Day-of-week seasonal profile of an event stream — per weekday:
+    number of distinct active days, exact integer-cents volume, and the
+    seasonal index (that weekday's per-day mean ÷ the all-days per-day
+    mean). The calendar face of the drift family (time_rollup buckets,
+    event_acf lags; this one answers "is Monday structurally heavier?",
+    the load-shaping/staffing read). Weekday = ((epoch_day + 4) mod 7)
+    (1970-01-01 was a Thursday; 0 = Sunday) — pure integer, identical
+    cross-engine. Sums stay BIGINT; the index is ONE double expression
+    from four exact integers (dow_cents·total_days)/(dow_days·total
+    cents legs cast to double first), round 6.
+
+    Shape: day pre-aggregation (one shuffle), 7-row dow aggregation,
+    1-row totals broadcast back by cross join (the t_closeness
+    pattern)."""
+    day = F.floor(F.col(ts_col).cast("timestamp").cast("double") / 86400.0).cast(
+        "long"
+    )
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    daily = df.select(day.alias("d"), cents.alias("c")).groupBy("d").agg(
+        F.sum("c").alias("dc")
+    )
+    dows = daily.select(
+        ((F.col("d") + 4) % 7).alias("dow"), F.col("dc")
+    ).groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("dc").cast("long").alias("cents"),
+    )
+    totals = dows.agg(
+        F.sum("n_days").cast("long").alias("t_days"),
+        F.sum("cents").cast("long").alias("t_cents"),
+    )
+    joined = dows.crossJoin(F.broadcast(totals))
+    idx = (
+        F.col("cents").cast("double") * F.col("t_days").cast("double")
+    ) / (F.col("n_days").cast("double") * F.col("t_cents").cast("double"))
+    return joined.select(
+        "dow",
+        "n_days",
+        "cents",
+        F.when(
+            (F.col("n_days") > 0) & (F.col("t_cents") != 0), F.round(idx, 6)
+        ).alias("seasonal_index"),
+    )

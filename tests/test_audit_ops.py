@@ -1779,3 +1779,28 @@ def test_quantile_normalize_matches_python_midpoint_rule(spark):
             tr = -(-((2 * idx - 1) * N) // (2 * n_g))
             expect[(g, i)] = pooled[tr - 1][0]
     assert out == expect
+
+
+def test_weekday_seasonality_planted_heavy_day(spark):
+    from raptor_spark.operators.profile import weekday_seasonality
+    import datetime as dt
+
+    # 1970-01-01 is Thursday -> dow (epoch_day+4)%7: Thu=4... check via
+    # planted data: 4 weeks where Sunday carries 10x the value
+    rows = []
+    start = dt.datetime(2024, 1, 7)  # a Sunday
+    for w in range(4):
+        for d in range(7):
+            ts = start + dt.timedelta(days=7 * w + d)
+            v = 100.0 if d == 0 else 10.0
+            rows.append((ts, v))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r.dow: r for r in weekday_seasonality(df, "ts", "value").collect()}
+    assert len(out) == 7 and all(r.n_days == 4 for r in out.values())
+    # Sunday's index: per-day mean 100 vs overall mean (100+60)/7 per day
+    assert out[0].cents == 4 * 10000
+    expected_idx = 100.0 / ((100 + 6 * 10) / 7)
+    assert out[0].seasonal_index == pytest.approx(expected_idx, abs=1e-6)
+    # the other six days share the same lower index
+    others = {round(r.seasonal_index, 6) for d, r in out.items() if d != 0}
+    assert len(others) == 1
