@@ -4427,6 +4427,21 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed source-level shingle containment matrix
+    (operators/curation.source_containment_matrix): what fraction of
+    each source's distinct 3-gram shingles appears in each other source
+    — who copies whom, the corpus-level complement of the doc-pair
+    cross_source_dups. Exact set sizes/intersections, one division."""
+    from raptor_spark.operators.curation import source_containment_matrix
+
+    out = source_containment_matrix(
+        _t(spark, sf_dir, "documents"), "source", "text", n=3
+    )
+    return out.orderBy("source_a", "source_b")
+
+
 def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonal profile of event value
     (operators/profile.weekday_seasonality): per-weekday active days,
@@ -5436,6 +5451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "touch_attribution": q_touch_attribution,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "weekday_seasonality": q_weekday_seasonality,
+        "source_containment": q_source_containment,
         "graph_diameter": q_graph_diameter,
         "link_training_pairs": q_link_training_pairs,
         "runs_test": q_runs_test,
@@ -11026,6 +11042,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS source, n_g AS n_rows, w1_scaled,
                    round(w1_scaled::DOUBLE / (n_g * n_total), 6) AS w1
             FROM per ORDER BY source
+        """,
+        "source_containment": r"""
+            WITH toks AS (
+              SELECT source AS src,
+                     list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x != '') AS ws
+              FROM documents
+            ),
+            pos AS (
+              SELECT src, ws, generate_subscripts(ws, 1) AS i
+              FROM toks WHERE len(ws) >= 3
+            ),
+            sh AS (
+              SELECT DISTINCT src,
+                     array_to_string(list_slice(ws, i, i + 2), ' ') AS s
+              FROM pos WHERE i <= len(ws) - 2
+            ),
+            sizes AS (
+              SELECT src, CAST(count(*) AS BIGINT) AS n_shingles
+              FROM sh GROUP BY src
+            ),
+            inter AS (
+              SELECT a.src AS source_a, b.src AS source_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM sh a JOIN sh b ON a.s = b.s AND a.src != b.src
+              GROUP BY a.src, b.src
+            )
+            SELECT i.source_a, i.source_b, i.n_shared,
+                   z.n_shingles AS n_a,
+                   round(i.n_shared / CAST(z.n_shingles AS DOUBLE), 6)
+                     AS containment
+            FROM inter i JOIN sizes z ON i.source_a = z.src
+            ORDER BY source_a, source_b
         """,
         "weekday_seasonality": """
             WITH daily AS (

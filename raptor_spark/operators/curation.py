@@ -771,3 +771,54 @@ def bloom_from_keys(
         .groupBy("word_idx")
         .agg(F.bit_or("w1").alias("word"))
     )
+
+
+def source_containment_matrix(
+    df: DataFrame, source_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Directed source-level containment — for every ordered source pair
+    (a, b): what fraction of a's DISTINCT word n-gram shingles also
+    appear in b? The corpus-level view the doc-pair dup matrix
+    (cross_source_dups) cannot give: a mirror site shows as containment
+    ≈ 1 in both directions, a quote-heavy source contains its upstream
+    asymmetrically — the direction tells who copies whom. Counts are
+    exact BIGINTs (distinct-shingle set sizes and intersections); the
+    fraction is the single division.
+
+    Shape: the corpus collapses to distinct (source, shingle) in one
+    shuffle (shingle-vocabulary bounded, the Bloom/novelty discipline);
+    the intersection is one shingle-keyed self-join producing
+    |sources|² cells at most; set sizes broadcast back."""
+    from raptor_spark.operators.dedup import word_shingles_col
+
+    sh = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.explode(word_shingles_col(F.col(text_col), n)).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = sh.groupBy("src").agg(F.count("*").cast("long").alias("n_shingles"))
+    inter = (
+        sh.join(sh.select(F.col("src").alias("src_b"), "s"), "s")
+        .filter(F.col("src") != F.col("src_b"))
+        .groupBy(F.col("src").alias("source_a"), F.col("src_b").alias("source_b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("src").alias("source_a"),
+                                     F.col("n_shingles").alias("n_a"))),
+            "source_a",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.col("n_a"),
+            F.round(F.col("n_shared") / F.col("n_a").cast("double"), 6).alias(
+                "containment"
+            ),
+        )
+    )

@@ -723,3 +723,26 @@ def test_word_entropy_closed_form(spark):
     assert got[2].entropy == 0.0 and got[2].ttr == 0.2
     assert got[3].entropy == round(math.log(3) - 2 * math.log(2) / 3, 4)
     assert (got[3].n_words, got[3].n_distinct) == (3, 2)
+
+
+def test_source_containment_directed_asymmetry(spark):
+    from raptor_spark.operators.curation import source_containment_matrix
+
+    # B contains ALL of A's trigram material plus extra of its own:
+    # containment(A->B) = 1.0, containment(B->A) < 1.0
+    rows = [
+        ("A", 1, "one two three four"),
+        ("B", 2, "one two three four five six seven eight"),
+        ("C", 3, "nine ten eleven twelve"),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = {
+        (r.source_a, r.source_b): r
+        for r in source_containment_matrix(df, "source", "text", n=3).collect()
+    }
+    assert out[("A", "B")].containment == 1.0
+    assert out[("B", "A")].containment < 1.0
+    # A: trigrams of a 4-word doc = 2; all shared with B
+    assert out[("A", "B")].n_a == 2 and out[("A", "B")].n_shared == 2
+    # disjoint C never appears against A
+    assert ("A", "C") not in out and ("C", "A") not in out
