@@ -4428,6 +4428,26 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over co-purchased parts
+    (operators/ranking.item_item_topk): per part, the top-3 co-purchase
+    neighbors by binary cosine (min co-support 3) — the carousel read
+    beside basket_lift's association test. Exact BIGINT counts; ranks
+    on the identical unrounded cosine, ties by part key."""
+    from raptor_spark.operators.ranking import item_item_topk
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    out = item_item_topk(li, "l_orderkey", "l_partkey", k=3, min_co=3)
+    return out.select(
+        F.col("i").alias("partkey"),
+        F.col("j").alias("rec_partkey"),
+        "co",
+        F.round("cos", 6).alias("cosine"),
+        "rank",
+    ).orderBy("partkey", "rank")
+
+
 def q_source_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed source-level shingle containment matrix
     (operators/curation.source_containment_matrix): what fraction of
@@ -5452,6 +5472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "weekday_seasonality": q_weekday_seasonality,
         "source_containment": q_source_containment,
+        "part_recommendations": q_part_recommendations,
         "graph_diameter": q_graph_diameter,
         "link_training_pairs": q_link_training_pairs,
         "runs_test": q_runs_test,
@@ -11042,6 +11063,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS source, n_g AS n_rows, w1_scaled,
                    round(w1_scaled::DOUBLE / (n_g * n_total), 6) AS w1
             FROM per ORDER BY source
+        """,
+        "part_recommendations": """
+            WITH bi AS (
+              SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+            ),
+            n AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY i),
+            co AS (
+              SELECT a.i, b.i AS j, CAST(count(*) AS BIGINT) AS co
+              FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+              GROUP BY a.i, b.i
+              HAVING count(*) >= 3
+            ),
+            sym AS (
+              SELECT i, j, co FROM co
+              UNION ALL SELECT j AS i, i AS j, co FROM co
+            ),
+            scored AS (
+              SELECT s.i, s.j, s.co,
+                     s.co / sqrt(CAST(ni.n AS DOUBLE) * CAST(nj.n AS DOUBLE))
+                       AS cos
+              FROM sym s
+              JOIN n ni ON s.i = ni.i
+              JOIN n nj ON s.j = nj.i
+            ),
+            r AS (
+              SELECT i, j, co, cos,
+                     row_number() OVER (
+                       PARTITION BY i ORDER BY cos DESC, j ASC) AS rank
+              FROM scored
+            )
+            SELECT i AS partkey, j AS rec_partkey, co,
+                   round(cos, 6) AS cosine, rank
+            FROM r WHERE rank <= 3
+            ORDER BY partkey, rank
         """,
         "source_containment": r"""
             WITH toks AS (

@@ -818,3 +818,57 @@ def rank_eval_binary(
             6,
         ).alias("ap"),
     )
+
+
+def item_item_topk(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 3,
+    min_co: int = 2,
+) -> DataFrame:
+    """Item-item collaborative filtering — per item, the top-k most
+    similar items by binary cosine over co-purchase baskets:
+    cos(a, b) = co(a,b)/√(n_a·n_b) with co = baskets containing both
+    and n_x = baskets containing x. The actual recommender read beside
+    basket_lift's association test (lift asks "is this pair surprising";
+    this asks "what do I put in the carousel"). All counts exact BIGINT
+    from distinct (basket, item) rows; the cosine is one division (the
+    n_a·n_b product computed in double — BIGINT would overflow at
+    web-scale basket counts); ranks decided on the identical unrounded
+    double, ties by item id.
+
+    Shape: one distinct shuffle, one basket-keyed self-join (per-basket
+    fan-out bounded by basket size, AQE skew-split for hot baskets),
+    min_co pruning before the per-item top-k windows."""
+    bi = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct().localCheckpoint()
+    n = bi.groupBy("i").agg(F.count("*").cast("long").alias("n"))
+    co = (
+        bi.join(bi.select(F.col("b"), F.col("i").alias("j")), "b")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count("*").cast("long").alias("co"))
+        .filter(F.col("co") >= min_co)
+    )
+    sym = co.unionByName(
+        co.select(F.col("j").alias("i"), F.col("i").alias("j"), "co")
+    )
+    scored = (
+        sym.join(n.select(F.col("i"), F.col("n").alias("n_i")), "i")
+        .join(n.select(F.col("i").alias("j"), F.col("n").alias("n_j")), "j")
+        .select(
+            "i",
+            "j",
+            "co",
+            (
+                F.col("co")
+                / F.sqrt(F.col("n_i").cast("double") * F.col("n_j").cast("double"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("i").orderBy(F.desc("cos"), F.asc("j"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -785,3 +785,23 @@ def test_mips_topk_magnitude_beats_direction(spark):
     out = mips_topk(corpus, q, k=3).orderBy("rank").collect()
     assert [r.id for r in out] == [2, 1, 3]
     assert out[0].dot == 10.0
+
+
+def test_item_item_topk_hand_baskets(spark):
+    from raptor_spark.operators.ranking import item_item_topk
+    import math
+
+    # items: A in baskets {1,2,3,4}; B in {1,2,3}; C in {4}; D in {5}
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (3, "B"),
+            (4, "A"), (4, "C"), (5, "D")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {(r.i, r.j): r for r in item_item_topk(df, "b", "i", k=3, min_co=1).collect()}
+    # cos(A,B) = 3 / sqrt(4*3)
+    assert out[("A", "B")].cos == pytest.approx(3 / math.sqrt(12), abs=1e-9)
+    assert out[("B", "A")].co == 3
+    # C pairs only with A; D pairs with nothing (absent)
+    assert out[("C", "A")].co == 1
+    assert all(i != "D" and j != "D" for i, j in out)
+    # min_co pruning removes the A-C pair
+    out2 = {(r.i, r.j) for r in item_item_topk(df, "b", "i", k=3, min_co=2).collect()}
+    assert out2 == {("A", "B"), ("B", "A")}
