@@ -4429,6 +4429,35 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_graph_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local bridges of the near-dup graph (operators/graph.
+    local_bridges): edges whose endpoints share no other common
+    neighbor — Granovetter weak ties, the single edges stitching
+    otherwise-unrelated duplicate groups (first stop of a chaining
+    audit; provably disjoint from the 3-truss, pinned in pytest)."""
+    from raptor_spark.operators.graph import local_bridges
+
+    out = local_bridges(_jaccard_edge_set(spark, sf_dir))
+    return out.select(
+        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
+    ).orderBy("a", "b")
+
+
+def q_event_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival p50/p90/p99 in milliseconds
+    (operators/profile.gap_percentiles): exact nearest-rank order
+    statistics over integer-ms gaps (floor(Δepoch·1000) — same IEEE
+    multiply+floor both engines), picked by cumulative counts over the
+    distinct-gap support (tie-order invariant) — the SLA-report view
+    beside event_burstiness."""
+    from raptor_spark.operators.profile import gap_percentiles
+
+    return gap_percentiles(
+        _t(spark, sf_dir, "events"), ["event_type"], "ts", "event_id"
+    ).orderBy("event_type")
+
+
 def q_part_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item collaborative filtering over co-purchased parts
     (operators/ranking.item_item_topk): per part, the top-3 co-purchase
@@ -5473,6 +5502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekday_seasonality": q_weekday_seasonality,
         "source_containment": q_source_containment,
         "part_recommendations": q_part_recommendations,
+        "graph_bridges": q_graph_bridges,
+        "event_gap_percentiles": q_event_gap_percentiles,
         "graph_diameter": q_graph_diameter,
         "link_training_pairs": q_link_training_pairs,
         "runs_test": q_runs_test,
@@ -11063,6 +11094,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT g AS source, n_g AS n_rows, w1_scaled,
                    round(w1_scaled::DOUBLE / (n_g * n_total), 6) AS w1
             FROM per ORDER BY source
+        """,
+        "graph_bridges": f"""
+            WITH {GRAPH_EDGE_CTE},
+            und AS (SELECT s AS a, d AS b FROM e WHERE s < d)
+            SELECT a, b FROM und u
+            WHERE NOT EXISTS (
+              SELECT 1 FROM e x JOIN e y ON x.d = y.d
+              WHERE x.s = u.a AND y.s = u.b)
+            ORDER BY a, b
+        """,
+        "event_gap_percentiles": """
+            WITH base AS (
+              SELECT event_type, epoch(ts) AS t, event_id AS o FROM events
+            ),
+            gaps AS (
+              SELECT event_type,
+                     CAST(floor((t - lag(t) OVER (
+                       PARTITION BY event_type ORDER BY t, o)) * 1000)
+                       AS BIGINT) AS g
+              FROM base
+            ),
+            gg AS (SELECT event_type, g FROM gaps WHERE g IS NOT NULL),
+            support AS (
+              SELECT event_type, g, CAST(count(*) AS BIGINT) AS c
+              FROM gg GROUP BY event_type, g
+            ),
+            cum AS (
+              SELECT event_type, g,
+                     CAST(sum(c) OVER (
+                       PARTITION BY event_type ORDER BY g
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS BIGINT) AS cum,
+                     CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+              FROM support
+            )
+            SELECT event_type,
+                   CAST(max(n) AS BIGINT) AS n_gaps,
+                   min(CASE WHEN cum >= (50 * n + 99) // 100 THEN g END) AS p50_ms,
+                   min(CASE WHEN cum >= (90 * n + 99) // 100 THEN g END) AS p90_ms,
+                   min(CASE WHEN cum >= (99 * n + 99) // 100 THEN g END) AS p99_ms
+            FROM cum GROUP BY event_type ORDER BY event_type
         """,
         "part_recommendations": """
             WITH bi AS (

@@ -1620,3 +1620,33 @@ def hub_robustness(
     result = out_rows.localCheckpoint()
     sym.unpersist()
     return result
+
+
+def local_bridges(edges: DataFrame) -> DataFrame:
+    """(a, b): the local bridges of the undirected graph — edges whose
+    endpoints share NO other common neighbor (span > 2, Granovetter's
+    weak ties): remove one and its endpoints' shortest reconnection is
+    ≥ 3 hops. In the near-dup graph these are the edges that alone
+    stitch two otherwise-unrelated duplicate groups — exactly the
+    edges a chaining audit inspects first (and the complement of
+    ktruss_edges, whose every edge closes a triangle: k-truss ∩
+    local-bridges = ∅ by definition, pinned in pytest).
+
+    One wedge join: an edge (a, b) is a bridge iff no vertex w is a
+    neighbor of both — left-anti join of the edge list against the
+    triangle-closing wedge set (same degree-bounded shapes as
+    triangle_stats)."""
+    sym = symmetrize(edges).persist()
+    und = sym.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    closed = (
+        sym.select(F.col("src").alias("a"), F.col("dst").alias("w"))
+        .join(sym.select(F.col("src").alias("b"), F.col("dst").alias("w")), "w")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    out = und.join(closed, ["a", "b"], "left_anti").localCheckpoint()
+    sym.unpersist()
+    return out

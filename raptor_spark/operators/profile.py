@@ -2097,3 +2097,59 @@ def weekday_seasonality(
             (F.col("n_days") > 0) & (F.col("t_cents") != 0), F.round(idx, 6)
         ).alias("seasonal_index"),
     )
+
+
+def gap_percentiles(
+    df: DataFrame, group_cols: list[str], ts_col: str, order_tiebreak: str
+) -> DataFrame:
+    """Per-group inter-arrival latency percentiles — p50/p90/p99 of the
+    millisecond gaps between consecutive events, as EXACT rank-selected
+    order statistics (the SLA-report view beside event_burstiness's
+    moment ratios: moments say "bursty", percentiles say "1% of waits
+    exceed 4 minutes"). Gaps are floor(Δepoch·1000) BIGINTs (the same
+    IEEE multiply+floor on both engines — never a float sum); each
+    percentile is the value at rank ⌈p·n/100⌉ (nearest-rank
+    definition), picked by a cumulative count over the distinct-gap
+    support — tie-order invariant, no global fact sort (the
+    wasserstein/conformal discipline).
+
+    Shape: one group window for the lag, a distinct-gap groupBy, and a
+    support-sized cumulative window per group."""
+    from pyspark.sql.window import Window
+
+    ts = F.col(ts_col).cast("timestamp").cast("double")
+    gaps = (
+        df.select(*group_cols, ts.alias("t"), F.col(order_tiebreak).alias("o"))
+        .withColumn("prev", F.lag("t").over(
+            Window.partitionBy(*group_cols).orderBy("t", "o")
+        ))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            *group_cols,
+            F.floor((F.col("t") - F.col("prev")) * 1000).cast("long").alias("__gap"),
+        )
+    )
+    support = gaps.groupBy(*group_cols, "__gap").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    cum = support.select(
+        *group_cols,
+        "__gap",
+        F.sum("c").over(
+            Window.partitionBy(*group_cols)
+            .orderBy("__gap")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("cum"),
+        F.sum("c").over(Window.partitionBy(*group_cols)).cast("long").alias("n"),
+    )
+
+    def pick(p):
+        target = F.expr(f"CAST(({p} * n + 99) div 100 AS BIGINT)")
+        return F.min(F.when(F.col("cum") >= target, F.col("__gap")))
+
+    return cum.groupBy(*group_cols).agg(
+        F.first("n").alias("n_gaps"),
+        pick(50).alias("p50_ms"),
+        pick(90).alias("p90_ms"),
+        pick(99).alias("p99_ms"),
+    )

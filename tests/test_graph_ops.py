@@ -1269,3 +1269,33 @@ def test_hub_robustness_star_shatters_ring_holds(spark):
     assert out2[0].largest_cc == 10
     # 8 surviving vertices stay largely connected (1 or 2 chains)
     assert out2[2].n_vertices == 8 and out2[2].n_components <= 2
+
+
+def test_local_bridges_disjoint_from_truss_and_hand_graph(spark):
+    from raptor_spark.operators.graph import ktruss_edges, local_bridges
+
+    # triangle 1-2-3 plus pendant chain 3-4-5: the chain edges are
+    # local bridges, the triangle edges are not
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+    bridges = {(r.a, r.b) for r in local_bridges(e).collect()}
+    assert bridges == {(3, 4), (4, 5)}
+    truss = {(r.a, r.b) for r in ktruss_edges(e, k=3, max_rounds=6).collect()}
+    assert bridges.isdisjoint(truss)
+    assert truss == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_gap_percentiles_hand_series(spark):
+    from raptor_spark.operators.profile import gap_percentiles
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    # gaps in seconds: nine 1 s gaps and one 100 s gap -> p50 = 1000 ms,
+    # p99 -> rank ceil(99*10/100)=10 -> 100000 ms
+    ts = [t0]
+    for gsec in [1] * 9 + [100]:
+        ts.append(ts[-1] + dt.timedelta(seconds=gsec))
+    rows = [("a", i, t) for i, t in enumerate(ts)]
+    df = spark.createDataFrame(rows, "g string, eid long, ts timestamp")
+    r = gap_percentiles(df, ["g"], "ts", "eid").collect()[0]
+    assert r.n_gaps == 10
+    assert (r.p50_ms, r.p90_ms, r.p99_ms) == (1000, 1000, 100000)
