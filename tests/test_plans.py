@@ -571,7 +571,9 @@ def test_session10_addition_plans_stay_clean(spark):
         "supplier_price_tau", "bloom_join_orders", "hub_robustness",
         "order_trimmed_stats", "length_quantile_norm",
         "incremental_event_counts", "embedding_mips", "brier_score",
-        "mann_kendall",
+        "mann_kendall", "touch_attribution", "dedup_threshold_sweep",
+        "weekday_seasonality", "source_containment",
+        "part_recommendations", "graph_bridges", "event_gap_percentiles",
     )
     for name in names:
         p = plan_str(QUERIES[name](spark, SF_DIR))
