@@ -4444,6 +4444,42 @@ def q_graph_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+
+def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution power-law screen of the near-dup graph: OLS
+    of ln(n_vertices) on ln(degree) over the degree histogram — the
+    graph twin of zipf_audit (a scale-free graph reads slope ≈ −2..−3;
+    a duplication-dense blob reads flat). Histogram counts exact
+    BIGINT; the zipf regression discipline (moment sums, x·x never
+    pow, degenerate variance guarded in-expression, −0 repaired)."""
+    from raptor_spark.operators.graph import degrees
+
+    hist = (
+        degrees(_jaccard_edge_set(spark, sf_dir))
+        .groupBy("degree")
+        .agg(F.count("*").cast("long").alias("n_vertices"))
+    )
+    x = F.log(F.col("degree").cast("double"))
+    y = F.log(F.col("n_vertices").cast("double"))
+    pts = hist.select("degree", "n_vertices", x.alias("x"), y.alias("y"))
+    agg = pts.agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_points").cast("double")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        (F.col("n_points") > 1) & (varx > 0),
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")) / varx,
+    )
+    return agg.select(
+        "n_points", (F.round(slope, 6) + 0.0).alias("loglog_slope")
+    )
+
+
 def q_event_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type inter-arrival p50/p90/p99 in milliseconds
     (operators/profile.gap_percentiles): exact nearest-rank order
@@ -5504,6 +5540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_recommendations": q_part_recommendations,
         "graph_bridges": q_graph_bridges,
         "event_gap_percentiles": q_event_gap_percentiles,
+        "degree_powerlaw": q_degree_powerlaw,
         "graph_diameter": q_graph_diameter,
         "link_training_pairs": q_link_training_pairs,
         "runs_test": q_runs_test,
@@ -11103,6 +11140,32 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM e x JOIN e y ON x.d = y.d
               WHERE x.s = u.a AND y.s = u.b)
             ORDER BY a, b
+        """,
+        "degree_powerlaw": f"""
+            WITH {GRAPH_EDGE_CTE},
+            deg AS (SELECT s AS id, count(*) AS degree FROM e GROUP BY s),
+            hist AS (
+              SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices
+              FROM deg GROUP BY degree
+            ),
+            pts AS (
+              SELECT ln(CAST(degree AS DOUBLE)) AS x,
+                     ln(CAST(n_vertices AS DOUBLE)) AS y
+              FROM hist
+            ),
+            agg AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_points,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM pts
+            )
+            SELECT n_points,
+                   round(CASE WHEN n_points > 1
+                              AND CAST(n_points AS DOUBLE) * sxx - sx * sx > 0
+                         THEN (CAST(n_points AS DOUBLE) * sxy - sx * sy)
+                              / (CAST(n_points AS DOUBLE) * sxx - sx * sx)
+                         END, 6) + 0.0 AS loglog_slope
+            FROM agg
         """,
         "event_gap_percentiles": """
             WITH base AS (

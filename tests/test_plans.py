@@ -574,6 +574,7 @@ def test_session10_addition_plans_stay_clean(spark):
         "mann_kendall", "touch_attribution", "dedup_threshold_sweep",
         "weekday_seasonality", "source_containment",
         "part_recommendations", "graph_bridges", "event_gap_percentiles",
+        "degree_powerlaw",
     )
     for name in names:
         p = plan_str(QUERIES[name](spark, SF_DIR))
