@@ -10323,10 +10323,12 @@ def oracle_sql() -> dict[str, str]:
             ),
             f AS (
               SELECT id, pos, w,
-                     CASE WHEN (id * 61 + pos * 53) % 100 < 15
+                     CASE WHEN (((id % 1000003) + 1000003) % 1000003
+                            * 61 + pos * 53) % 100 < 15
                           THEN 1 ELSE 0 END AS s,
-                     (id * 43 + pos * 29) % 10 AS act,
-                     (id + pos * 7) % n AS rp
+                     (((id % 1000003) + 1000003) % 1000003
+                       * 43 + pos * 29) % 10 AS act,
+                     (((id % 1000003) + 1000003) % 1000003 + pos * 7) % n AS rp
               FROM tok
             ),
             r AS (
@@ -10370,7 +10372,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             f AS (
               SELECT id, pos, w,
-                     CASE WHEN (id * 131 + pos * 31) % 97 < 5
+                     CASE WHEN (((id % 1000003) + 1000003) % 1000003
+                            * 131 + pos * 31) % 97 < 5
                           THEN 1 ELSE 0 END AS sf
               FROM tok
             ),

@@ -910,8 +910,15 @@ def span_corruption(
             )
         ).alias("pos", "w"),
     )
+    # Reduce the doc id with pmod BEFORE mixing: a raw 64-bit id (e.g.
+    # xxhash64) times 131 overflows under Spark 4 ANSI mode, and a negative
+    # id would give negative residues (selecting far more than
+    # start_thresh/start_mod of positions). pmod(id, 1000003) is the
+    # identity on the small non-negative fixture ids, so oracle outputs are
+    # unchanged; the DuckDB oracle applies the same reduction.
+    rid = F.pmod(F.col("id"), F.lit(1000003))
     start = (
-        (F.col("id") * 131 + F.col("pos") * 31) % start_mod < start_thresh
+        (rid * 131 + F.col("pos") * 31) % start_mod < start_thresh
     ).cast("int")
     wdoc = Window.partitionBy("id").orderBy("pos")
     flagged = toks.select("id", "pos", "w", start.alias("sf"))
@@ -1040,10 +1047,15 @@ def mlm_masking(
     ).localCheckpoint()  # feeds both the mask decisions AND the
     # replacement-token lookup self-join (persist-before-self-join pitfall)
     n_w = Window.partitionBy("id")
-    sel = ((F.col("id") * 61 + F.col("pos") * 53) % 100) < select_pct
-    action = (F.col("id") * 43 + F.col("pos") * 29) % 10
+    # Same id reduction as span_corruption: pmod keeps 64-bit / negative
+    # hash ids from overflowing the *61/*43 mixes under ANSI mode or
+    # yielding negative residues (which would select ~50% of positions
+    # instead of select_pct%). Identity for the small fixture ids.
+    rid = F.pmod(F.col("id"), F.lit(1000003))
+    sel = ((rid * 61 + F.col("pos") * 53) % 100) < select_pct
+    action = (rid * 43 + F.col("pos") * 29) % 10
     rep_pos = (
-        (F.col("id") + F.col("pos") * 7) % F.count("*").over(n_w)
+        (rid + F.col("pos") * 7) % F.count("*").over(n_w)
     ).cast("int")
     flagged = toks.select(
         "id", "pos", "w", sel.cast("int").alias("s"), action.alias("act"),

@@ -754,6 +754,39 @@ def test_mlm_masking_invariants(spark):
     assert a == b
 
 
+def test_span_and_mlm_survive_xxhash64_ids(spark):
+    """ADVICE r3 (high): raw 64-bit hash ids (the BENCH/scaling_job.py
+    --mode mask workload uses xxhash64 doc ids) overflowed the *131/*61
+    congruential mixes under Spark 4 ANSI mode, and negative ids gave
+    negative residues selecting ~50% of positions instead of the
+    documented ~5%/15%. Both operators now reduce the id with
+    pmod(id, 1000003) before mixing; this pins (a) no ARITHMETIC_OVERFLOW
+    on int64-extreme ids, (b) the documented sampling rate for negative
+    ids, (c) an exact Python replay of the selection rule."""
+    from raptor_spark.operators.text import mlm_masking, span_corruption
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 40
+    ids = [9223372036854775807, -9223372036854775808, -5, 123456789012345678]
+    df = spark.createDataFrame(
+        [(i, text) for i in ids], "doc_id long, text string"
+    )
+    n = len(text.split())
+
+    span_rows = {r.id: r for r in span_corruption(df, "doc_id", "text").collect()}
+    mlm_rows = {r.id: r for r in mlm_masking(df, "doc_id", "text").collect()}
+    assert set(span_rows) == set(ids) and set(mlm_rows) == set(ids)
+    for i in ids:
+        rid = i % 1000003  # Python % == pmod for a positive modulus
+        expect_starts = [p for p in range(n) if (rid * 131 + p * 31) % 97 < 5]
+        # documented rate: ~span_len * 5/97 of positions; a negative-residue
+        # bug would push this past 40%
+        assert 0 < span_rows[i].n_masked <= 3 * len(expect_starts)
+        assert span_rows[i].n_masked / n < 0.35, i
+        expect_sel = [p for p in range(n) if (rid * 61 + p * 53) % 100 < 15]
+        assert mlm_rows[i].n_selected == len(expect_sel), i
+        assert len(mlm_rows[i].masked_text.split()) == n
+
+
 def test_brier_score_hand_fixture(spark):
     from raptor_spark.operators.profile import brier_score
 
