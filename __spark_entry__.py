@@ -4459,15 +4459,32 @@ def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("degree")
         .agg(F.count("*").cast("long").alias("n_vertices"))
     )
-    x = F.log(F.col("degree").cast("double"))
-    y = F.log(F.col("n_vertices").cast("double"))
-    pts = hist.select("degree", "n_vertices", x.alias("x"), y.alias("y"))
-    agg = pts.agg(
-        F.count("*").cast("long").alias("n_points"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    # The moment sums feed a sign-crossing slope, so they follow the repo's
+    # cross-engine determinism rule: fold in DEGREE-ASCENDING order over the
+    # collected histogram (tiny — one row per distinct degree) instead of a
+    # partition-order-dependent F.sum; the oracle list_reduces the same
+    # sorted list, so both engines run the identical IEEE addition sequence.
+    packed = hist.agg(
+        F.array_sort(
+            F.collect_list(F.struct("degree", "n_vertices"))
+        ).alias("h")
+    )
+
+    def _x(s):
+        return F.log(s["degree"].cast("double"))
+
+    def _y(s):
+        return F.log(s["n_vertices"].cast("double"))
+
+    def _fold(term):
+        return F.aggregate(F.col("h"), F.lit(0.0), lambda a, s: a + term(s))
+
+    agg = packed.select(
+        F.size("h").cast("long").alias("n_points"),
+        _fold(_x).alias("sx"),
+        _fold(_y).alias("sy"),
+        _fold(lambda s: _x(s) * _y(s)).alias("sxy"),
+        _fold(lambda s: _x(s) * _x(s)).alias("sxx"),
     )
     n = F.col("n_points").cast("double")
     varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -11155,16 +11172,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT degree, CAST(count(*) AS BIGINT) AS n_vertices
               FROM deg GROUP BY degree
             ),
-            pts AS (
-              SELECT ln(CAST(degree AS DOUBLE)) AS x,
-                     ln(CAST(n_vertices AS DOUBLE)) AS y
+            hs AS (
+              SELECT list_sort(list({{'d': degree, 'n': n_vertices}})) AS h,
+                     CAST(count(*) AS BIGINT) AS n_points
               FROM hist
             ),
             agg AS (
-              SELECT CAST(count(*) AS BIGINT) AS n_points,
-                     sum(x) AS sx, sum(y) AS sy,
-                     sum(x * y) AS sxy, sum(x * x) AS sxx
-              FROM pts
+              SELECT n_points,
+                     list_reduce(list_transform(h,
+                       s -> ln(s.d::DOUBLE)), (a, b) -> a + b) AS sx,
+                     list_reduce(list_transform(h,
+                       s -> ln(s.n::DOUBLE)), (a, b) -> a + b) AS sy,
+                     list_reduce(list_transform(h,
+                       s -> ln(s.d::DOUBLE) * ln(s.n::DOUBLE)),
+                       (a, b) -> a + b) AS sxy,
+                     list_reduce(list_transform(h,
+                       s -> ln(s.d::DOUBLE) * ln(s.d::DOUBLE)),
+                       (a, b) -> a + b) AS sxx
+              FROM hs
             )
             SELECT n_points,
                    round(CASE WHEN n_points > 1

@@ -1377,7 +1377,10 @@ def maximal_independent_set(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
         .select("id", _mis_priority(F.col("id")).alias("pr"))
         .localCheckpoint()
     )
-    picked = None
+    # Start from an empty frame with the output schema (id type inherited
+    # from the edge ids) so an empty graph returns an empty DataFrame, not
+    # None (ADVICE r3: callers chaining .select()/.orderBy() crashed).
+    picked = alive.select("id", F.lit(0).cast("int").alias("round")).limit(0)
     for rnd in range(1, max_rounds + 1):
         if alive.isEmpty():
             break
@@ -1401,7 +1404,7 @@ def maximal_independent_set(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
         sel = alive.join(dominated, "id", "left_anti").select(
             "id", F.lit(rnd).alias("round")
         ).localCheckpoint()
-        picked = sel if picked is None else picked.unionByName(sel)
+        picked = picked.unionByName(sel)
         nbrs = (
             sym.join(
                 sel.select(F.col("id").alias("src")), "src", "left_semi"
@@ -1414,6 +1417,17 @@ def maximal_independent_set(edges: DataFrame, max_rounds: int = 8) -> DataFrame:
             .join(nbrs, "id", "left_anti")
             .localCheckpoint()
         )
+    else:
+        # Loop hit the cap without draining: the result is independent but
+        # only guaranteed MAXIMAL if the loop converged (ADVICE r3).
+        if not alive.isEmpty():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "maximal_independent_set: %d rounds exhausted with alive "
+                "vertices remaining; result is independent but not maximal",
+                max_rounds,
+            )
     sym.unpersist()
     return picked
 
@@ -1449,7 +1463,8 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
         .select("id", _mis_priority(F.col("id")).alias("pr"))
         .localCheckpoint()
     )
-    colored = None
+    # Empty-graph-safe init, same rationale as maximal_independent_set.
+    colored = alive.select("id", F.lit(0).cast("int").alias("color")).limit(0)
     for rnd in range(1, max_rounds + 1):
         if alive.isEmpty():
             break
@@ -1472,7 +1487,7 @@ def greedy_coloring(edges: DataFrame, max_rounds: int = 12) -> DataFrame:
         sel = alive.join(dominated, "id", "left_anti").select(
             "id", F.lit(rnd).alias("color")
         ).localCheckpoint()
-        colored = sel if colored is None else colored.unionByName(sel)
+        colored = colored.unionByName(sel)
         alive = alive.join(sel.select("id"), "id", "left_anti").localCheckpoint()
     sym.unpersist()
     return colored

@@ -1129,6 +1129,25 @@ def test_mis_path_graph_rounds(spark):
     assert max(out.values()) <= 8
 
 
+def test_mis_and_coloring_empty_graph_returns_empty_frame(spark):
+    """ADVICE r3 (medium): on an empty edge set both operators returned
+    None (picked/colored never assigned), so chained .select()/.orderBy()
+    raised AttributeError. They now return an empty DataFrame with the
+    output schema."""
+    from raptor_spark.operators.graph import (
+        greedy_coloring,
+        maximal_independent_set,
+    )
+
+    e = spark.createDataFrame([], "a long, b long")
+    mis = maximal_independent_set(e)
+    assert mis.columns == ["id", "round"]
+    assert mis.orderBy("id").select("id").count() == 0
+    col = greedy_coloring(e)
+    assert col.columns == ["id", "color"]
+    assert col.orderBy("id").select("id").count() == 0
+
+
 def test_greedy_coloring_proper_and_complete(spark):
     import random
 
