@@ -676,6 +676,102 @@ def q_kg_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_nodes(linked)
 
 
+def _kg_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic code corpus SYNTHESIZED FROM the documents table —
+    the bridge that makes the production triple extractor driver-visible:
+    both engines build byte-identical Python source from each document's
+    own words (so the DuckDB oracle can replay extraction over the same
+    content), and the Spark side feeds it through the REAL
+    extract_triples mapInPandas path. The template exercises every
+    extraction rule: plain/comma/as/from imports, three top-level def
+    spans (closed by the next top-level statement, capped by the next
+    def), a comment line, a blank line, a ')' continuation line, nested
+    indentation, recursion + builtin-keyword call filtering, two calls
+    on one line (dedupe when words collide), a top-level statement
+    between defs, and the raw document text as a final line to drive
+    concept tagging."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("ws"),
+    )
+
+    def w(i: int):
+        return F.coalesce(
+            F.try_element_at(F.col("ws"), F.lit(i)), F.lit(f"pad{i}")
+        )
+
+    nl = [
+        F.concat(F.lit("import "), w(1), F.lit("_mod")),
+        F.concat(F.lit("import "), w(2), F.lit("lib, "), w(3), F.lit("_util as u")),
+        F.concat(F.lit("from "), w(1), F.lit("_pkg.core import "), w(4), F.lit("_thing")),
+        F.concat(F.lit("# helper for "), w(5)),
+        F.concat(F.lit("def "), w(1), F.lit("_run(x):")),
+        F.concat(F.lit("    y = "), w(2), F.lit("_step(x)")),
+        F.concat(F.lit("    "), w(3), F.lit("_emit(y, "), w(2), F.lit("_step(y))")),
+        F.concat(F.lit("    "), w(1), F.lit("_run(y)")),
+        F.lit("    print(y)"),
+        F.lit("    return y"),
+        F.lit(""),
+        F.concat(F.lit("def "), w(4), F.lit("_main(z):")),
+        F.lit("    if z:"),
+        F.concat(F.lit("        "), w(2), F.lit("_step(z)")),
+        F.lit(")"),
+        F.concat(w(6), F.lit("_count = 1")),
+        F.concat(F.lit("def "), w(5), F.lit("_tail(q):")),
+        F.lit("    q = len(q)"),
+        F.concat(F.lit("    "), w(6), F.lit("_fn(q, "), w(7), F.lit("_fn(q))")),
+        F.concat(F.lit("TEXT = "), F.col("text")),
+    ]
+    return docs.select(
+        F.concat(F.lit("r_"), F.col("source")).alias("repo"),
+        F.concat(
+            F.lit("docs/"), F.col("doc_id").cast("string"), F.lit(".py")
+        ).alias("path"),
+        F.lit("c0").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.concat_ws("\n", *nl).alias("content"),
+    )
+
+
+def q_kg_code_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed flagship: the PRODUCTION extractor (extract.
+    extract_triples — the single narrow Arrow mapInPandas stage sharing
+    tokenize.extract_file with the P/R oracle) over code synthesized
+    deterministically from the documents table. The DuckDB oracle
+    re-derives the identical content and replays every extraction rule
+    in SQL — imports, top-level def spans, span-contained call
+    attribution with keyword/recursion filtering and (callee, line)
+    dedupe, concept TF-per-1k tagging, and the per-row sha256 content
+    invariant (north rule) — so the full 9-column triple output is
+    hash-gated, not rows-only."""
+    from raptor_spark.extract import extract_triples
+
+    return extract_triples(_kg_code_files(spark, sf_dir))
+
+
+def q_kg_code_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed call-graph fan-in over the same synthesized corpus:
+    top-20 most-called symbols with distinct-repo reach — kg_call_fanin's
+    read path with a DuckDB-replayable input (ties broken by obj, so the
+    LIMIT boundary is deterministic cross-engine)."""
+    from raptor_spark.extract import extract_triples
+    from raptor_spark.tokenize import PRED_CALLS
+
+    triples = extract_triples(_kg_code_files(spark, sf_dir))
+    return (
+        triples.filter(F.col("pred") == PRED_CALLS)
+        .groupBy("obj")
+        .agg(
+            F.count("*").alias("fanin"),
+            F.countDistinct("repo").alias("n_repos"),
+        )
+        .orderBy(F.desc("fanin"), F.asc("obj"))
+        .limit(20)
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary columns → mapInPandas feature extraction.
     Pixel/sample decode is REAL for PNG/BMP/GIF/WAV (test_multimodal_decode);
@@ -5549,6 +5645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test": q_runs_test,
         "graph_ppr": q_graph_ppr,
         "graph_walks": q_graph_walks,
+        "kg_code_triples": q_kg_code_triples,
+        "kg_code_fanin": q_kg_code_fanin,
         # -- rows-only family (no DuckDB oracle by design) kept at the END
         #    of the dict so the driver's fixed-size CORRECTNESS sample lands
         #    entirely on oracle-backed entries; each of these is pytest-gated
@@ -5757,6 +5855,198 @@ def _kcenter_oracle(k: int = 5) -> str:
             + "\nUNION ALL\n".join(selects) + "\nORDER BY sel_round")
 
 
+def _kg_code_oracles() -> dict[str, str]:
+    """DuckDB replay of the production triple extractor over the code
+    corpus that _kg_code_files synthesizes from documents. The lexicon
+    and the not-a-call keyword list are interpolated FROM
+    raptor_spark.tokenize at call time, so the oracle can never drift
+    from the extractor's constants; the extraction RULES (line split,
+    top-level detection, def-span closure, span-contained call
+    attribution, import comma/as handling, concept TF-per-1k, sha256)
+    are reimplemented generically in SQL — they replay the semantics of
+    tokenize.extract_file, not the template's known line positions."""
+    from raptor_spark.tokenize import _NOT_CALLS, CONCEPT_LEXICON
+
+    lexvals = ", ".join(
+        f"('{c}', '{t}')" for c, terms in CONCEPT_LEXICON.items() for t in terms
+    )
+    notcalls = ", ".join(f"'{w}'" for w in sorted(_NOT_CALLS))
+    nl = "chr(10)"
+    shared = rf"""
+        WITH kd AS (
+          SELECT doc_id, source, coalesce(text, '') AS text,
+                 list_filter(string_split(coalesce(text, ''), ' '),
+                             x -> x != '') AS ws
+          FROM documents
+        ),
+        kw AS (
+          SELECT doc_id, source, text,
+                 coalesce(ws[1], 'pad1') AS w1, coalesce(ws[2], 'pad2') AS w2,
+                 coalesce(ws[3], 'pad3') AS w3, coalesce(ws[4], 'pad4') AS w4,
+                 coalesce(ws[5], 'pad5') AS w5, coalesce(ws[6], 'pad6') AS w6,
+                 coalesce(ws[7], 'pad7') AS w7
+          FROM kd
+        ),
+        kfile AS MATERIALIZED (
+          SELECT repo, path, content, sha256(content) AS sha FROM (
+            SELECT 'r_' || source AS repo,
+                   'docs/' || CAST(doc_id AS VARCHAR) || '.py' AS path,
+                   'import ' || w1 || '_mod' || {nl} ||
+                   'import ' || w2 || 'lib, ' || w3 || '_util as u' || {nl} ||
+                   'from ' || w1 || '_pkg.core import ' || w4 || '_thing' || {nl} ||
+                   '# helper for ' || w5 || {nl} ||
+                   'def ' || w1 || '_run(x):' || {nl} ||
+                   '    y = ' || w2 || '_step(x)' || {nl} ||
+                   '    ' || w3 || '_emit(y, ' || w2 || '_step(y))' || {nl} ||
+                   '    ' || w1 || '_run(y)' || {nl} ||
+                   '    print(y)' || {nl} ||
+                   '    return y' || {nl} ||
+                   '' || {nl} ||
+                   'def ' || w4 || '_main(z):' || {nl} ||
+                   '    if z:' || {nl} ||
+                   '        ' || w2 || '_step(z)' || {nl} ||
+                   ')' || {nl} ||
+                   w6 || '_count = 1' || {nl} ||
+                   'def ' || w5 || '_tail(q):' || {nl} ||
+                   '    q = len(q)' || {nl} ||
+                   '    ' || w6 || '_fn(q, ' || w7 || '_fn(q))' || {nl} ||
+                   'TEXT = ' || text AS content
+            FROM kw
+          )
+        ),
+        klines AS MATERIALIZED (
+          SELECT repo, path, sha,
+                 unnest(string_split(content, {nl})) AS line,
+                 generate_subscripts(string_split(content, {nl}), 1) AS ln
+          FROM kfile
+        ),
+        kflags AS (
+          SELECT repo, path, sha, line, ln,
+                 (line <> '' AND substr(line, 1, 1)
+                    NOT IN (' ', chr(9), ')', '#')
+                  AND trim(line) <> '') AS top,
+                 CASE WHEN regexp_matches(line, '^(?:async\s+)?def\s+\w+\s*\(')
+                      THEN regexp_extract(line,
+                             '^(?:async\s+)?def\s+(\w+)\s*\(', 1)
+                      WHEN regexp_matches(line, '^class\s+\w+')
+                      THEN regexp_extract(line, '^class\s+(\w+)', 1)
+                 END AS defname
+          FROM klines
+        ),
+        knt AS (
+          SELECT *,
+                 min(CASE WHEN top THEN ln END) OVER (
+                   PARTITION BY repo, path ORDER BY ln
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_top,
+                 max(ln) OVER (PARTITION BY repo, path) AS n_lines
+          FROM kflags
+        ),
+        kspans AS MATERIALIZED (
+          SELECT repo, path, sha, defname AS name, ln AS sstart,
+                 greatest(ln, least(
+                   coalesce(next_top - 1, n_lines),
+                   coalesce(lead(ln) OVER (
+                       PARTITION BY repo, path ORDER BY ln) - 1,
+                     coalesce(next_top - 1, n_lines)))) AS send
+          FROM knt WHERE defname IS NOT NULL
+        ),
+        kcalls0 AS (
+          SELECT repo, path, sha, ln,
+                 unnest(regexp_extract_all(line,
+                   '([A-Za-z_][A-Za-z0-9_]*)\s*\(', 1)) AS callee
+          FROM klines
+        ),
+        kcalls AS MATERIALIZED (
+          SELECT DISTINCT c.repo, c.path, c.sha, s.name, c.callee, c.ln
+          FROM kcalls0 c JOIN kspans s
+            ON c.repo = s.repo AND c.path = s.path
+           AND c.ln > s.sstart AND c.ln <= s.send
+          WHERE c.callee NOT IN ({notcalls}) AND c.callee <> s.name
+        ),
+        kimports AS (
+          SELECT repo, path, sha, ln,
+                 unnest(CASE
+                   WHEN regexp_matches(line, '^\s*from\s+[\w\.]+\s+import\b')
+                   THEN [regexp_extract(line,
+                          '^\s*from\s+([\w\.]+)\s+import\b', 1)]
+                   ELSE list_transform(
+                          string_split_regex(
+                            regexp_extract(line,
+                              '^\s*import\s+([\w\.]+(?:\s*,\s*[\w\.]+)*)', 1),
+                            '\s*,\s*'),
+                          x -> string_split(trim(x), ' as ')[1])
+                 END) AS obj
+          FROM klines
+          WHERE regexp_matches(line, '^\s*from\s+[\w\.]+\s+import\b')
+             OR regexp_matches(line, '^\s*import\s+[\w\.]+')
+        ),
+        kwc AS MATERIALIZED (
+          SELECT repo, path, sha, wrd, CAST(count(*) AS BIGINT) AS cnt
+          FROM (
+            SELECT repo, path, sha,
+                   unnest(regexp_extract_all(lower(content),
+                     '[a-z_][a-z0-9_]*')) AS wrd
+            FROM kfile
+          ) GROUP BY repo, path, sha, wrd
+        ),
+        kn AS (
+          SELECT repo, path, CAST(sum(cnt) AS BIGINT) AS n
+          FROM kwc GROUP BY repo, path
+        ),
+        klex(concept, term) AS (VALUES {lexvals}),
+        kconcepts AS (
+          SELECT h.repo, h.path, h.sha, h.concept,
+                 round(CAST(hits * 1000 AS DOUBLE) / n, 6) AS score
+          FROM (
+            SELECT w.repo, w.path, w.sha, l.concept,
+                   CAST(sum(w.cnt) AS BIGINT) AS hits
+            FROM kwc w JOIN klex l ON w.wrd = l.term
+            GROUP BY w.repo, w.path, w.sha, l.concept
+          ) h JOIN kn USING (repo, path)
+          WHERE CAST(hits * 1000 AS DOUBLE) / n >= CAST(1 AS DOUBLE)
+        )"""
+    return {
+        "kg_code_triples": rf"""{shared}
+            SELECT subj, pred, obj, repo, path,
+                   CAST(line AS INTEGER) AS line, score,
+                   'python' AS lang, sha AS sha256
+            FROM (
+              SELECT repo AS subj, 'repo-contains-path' AS pred,
+                     path AS obj, repo, path, 0 AS line,
+                     CAST(1 AS DOUBLE) AS score, sha
+              FROM kfile
+              UNION ALL
+              SELECT repo || ':' || path, 'file-imports-module', obj,
+                     repo, path, ln, CAST(1 AS DOUBLE), sha
+              FROM kimports
+              UNION ALL
+              SELECT repo || ':' || path, 'file-defines-symbol',
+                     name || '@' || CAST(sstart AS VARCHAR), repo, path,
+                     sstart, CAST(1 AS DOUBLE), sha
+              FROM kspans
+              UNION ALL
+              SELECT repo || ':' || path || ':' || name,
+                     'symbol-calls-symbol', callee, repo, path, ln,
+                     CAST(1 AS DOUBLE), sha
+              FROM kcalls
+              UNION ALL
+              SELECT repo || ':' || path, 'file-tagged-concept', concept,
+                     repo, path, 0, score, sha
+              FROM kconcepts
+            )
+        """,
+        "kg_code_fanin": rf"""{shared}
+            SELECT callee AS obj, CAST(count(*) AS BIGINT) AS fanin,
+                   CAST(count(DISTINCT repo) AS BIGINT) AS n_repos
+            FROM kcalls
+            GROUP BY callee
+            ORDER BY fanin DESC, obj ASC
+            LIMIT 20
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     seg = f"{SEG_LEN}"
 
@@ -5894,6 +6184,7 @@ def oracle_sql() -> dict[str, str]:
             ), {bpe_iter_sql}"""
 
     return {
+        **_kg_code_oracles(),
         "bpe_train": rf"""
             {bpe_with_prefix}
             SELECT * FROM ({bpe_union_sql}) ORDER BY rank
