@@ -61,6 +61,34 @@ DRIVER_CC_MAX_EDGES = 4_000_000  # ≤ this many distinct directed edges →
 # ~1-2 GB — fits the default 8g driver with headroom; the loop remains
 # the correct path for truly graph-shaped inputs beyond it). Parity
 # between the two paths is pinned in tests/test_graph_ops.py.
+# The 4M constant assumes that 8g driver: _driver_cc_edge_cap scales it
+# linearly down (500k edges/GiB) when spark.driver.memory is configured
+# smaller, so a 2g driver never collects an edge set sized for 8g.
+
+_EDGES_PER_GIB = DRIVER_CC_MAX_EDGES // 8  # the measured 8g sizing above
+
+
+def _parse_memory_gib(mem: str) -> float:
+    """'8g' / '4096m' / '2048k'-style JVM size string → GiB (bare numbers
+    are bytes, per Spark's byte-string convention)."""
+    m = mem.strip().lower()
+    units = {"k": 1 / (1024**2), "m": 1 / 1024, "g": 1.0, "t": 1024.0}
+    if m and m[-1] in units:
+        return float(m[:-1]) * units[m[-1]]
+    return float(m) / (1024**3)
+
+
+def _driver_cc_edge_cap(spark) -> int:
+    """DRIVER_CC_MAX_EDGES scaled by the session's configured driver
+    memory: the 4M-edge gate was sized against the 8g default, so a
+    smaller driver gets a proportionally smaller cap (and anything
+    unparseable falls back to Spark's 1g default — conservative)."""
+    try:
+        mem = spark.conf.get("spark.driver.memory", "1g")
+        gib = _parse_memory_gib(mem)
+    except Exception:
+        gib = 1.0
+    return min(DRIVER_CC_MAX_EDGES, max(0, int(gib * _EDGES_PER_GIB)))
 
 
 def _driver_union_find(sym: DataFrame) -> DataFrame:
@@ -103,10 +131,16 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
 def connected_components(
     edges: DataFrame,
     max_iterations: int = MAX_ITERATIONS,
-    driver_cc_max_edges: int = DRIVER_CC_MAX_EDGES,
+    driver_cc_max_edges: int | None = None,
 ) -> DataFrame:
     """edges(a, b) undirected → (name, component) where component is the min
-    member name of the component. Vertices = all endpoint names."""
+    member name of the component. Vertices = all endpoint names.
+
+    ``driver_cc_max_edges=None`` (default) sizes the driver fast-path gate
+    from the session's spark.driver.memory (_driver_cc_edge_cap); pass an
+    explicit value to pin it."""
+    if driver_cc_max_edges is None:
+        driver_cc_max_edges = _driver_cc_edge_cap(edges.sparkSession)
     # both directions in ONE pass over edges: a union of two selects scans
     # the (typically unpersisted, expensive) edge lineage twice — at 100k
     # files that recomputed the whole LSH linking stage a second time
