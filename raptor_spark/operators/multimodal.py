@@ -7,10 +7,11 @@ transcode-normalize (svc/audio_recognizer_service/processors/recognizer.py:
 55-85), VLM describe (svc/image_processing_service/image_processor.py:164-222).
 Decode is REAL for the stdlib+numpy-decodable family (PIXEL_FORMATS:
 PNG/BMP/GIF pixels via zlib+spec unfilter/LZW, WAV samples via PCM parse,
-baseline JPEG via Huffman + dequant + IDCT), with content features computed
-from actual pixels/samples and animated-GIF frame sampling decoding real
-frames; payloads needing codec libraries this environment lacks
-(progressive JPEG/MP3/MP4 — no PIL/ffmpeg) fall back to a deterministic
+baseline AND progressive JPEG via Huffman + spectral-selection/
+successive-approximation scan merging + dequant + IDCT), with content
+features computed from actual pixels/samples and animated-GIF frame
+sampling decoding real frames; payloads needing codec libraries this
+environment lacks (MP3/MP4 — no ffmpeg) fall back to a deterministic
 content-hash stub, honestly flagged. The Spark-side contract
 (schema, batch shape, partitioning, error column) is identical either way.
 
@@ -70,17 +71,18 @@ FRAMES_SCHEMA = StructType(
 )
 
 REAL_DECODERS_AVAILABLE = False  # no PIL/ffmpeg in this container — MP3/
-# MP4 payloads (and progressive JPEG) fall back to the deterministic hash
-# stub. The formats a pure stdlib+numpy decode CAN handle are decoded for
-# real (PIXEL_FORMATS below): pixels/samples come from the actual bytes,
-# and the feature vector is computed from them.
+# MP4 payloads fall back to the deterministic hash stub. The formats a
+# pure stdlib+numpy decode CAN handle are decoded for real (PIXEL_FORMATS
+# below): pixels/samples come from the actual bytes, and the feature
+# vector is computed from them.
 HEADER_FORMATS = ("png", "gif", "bmp", "wav", "jpeg")
 PIXEL_FORMATS = ("png", "gif", "bmp", "wav", "jpeg")  # real pixel/sample
 # decode, stdlib+numpy only: PNG (zlib inflate + spec unfilter), BMP
-# (uncompressed 24/32-bit), GIF (LZW), WAV (PCM/IEEE-float), baseline JPEG
-# (Huffman + dequant + IDCT + chroma upsample; progressive returns None and
-# keeps the hash stub). Kept separate from REAL_DECODERS_AVAILABLE, which
-# tracks the codec libraries (PIL/ffmpeg) needed for video/MP3.
+# (uncompressed 24/32-bit), GIF (LZW), WAV (PCM/IEEE-float), JPEG both
+# baseline (Huffman + dequant + IDCT + chroma upsample) and progressive
+# (T.81 Annex G scan merging — round 4; arithmetic/12-bit still return
+# None). Kept separate from REAL_DECODERS_AVAILABLE, which tracks the
+# codec libraries (ffmpeg) needed for video/MP3.
 
 
 def parse_media_header(data: bytes) -> dict | None:
@@ -392,12 +394,14 @@ def _gif_frames(data: bytes):
     return frames or None
 
 
-# --- baseline JPEG (ITU-T T.81 sequential DCT), numpy-only -----------------
-# The one codec-library format this sandbox CAN cover without PIL: baseline
-# Huffman JPEG needs nothing but bit twiddling and an 8×8 IDCT, both exact
-# in numpy. Supported: 8-bit precision, SOF0, 1 or 3 components, arbitrary
-# sampling factors (4:4:4 / 4:2:2 / 4:2:0), restart markers. Progressive
-# (SOF2) and arithmetic coding return None and keep the honest hash stub.
+# --- JPEG (ITU-T T.81), numpy-only -----------------------------------------
+# The one codec-library format this sandbox CAN cover without PIL: Huffman
+# JPEG needs nothing but bit twiddling and an 8×8 IDCT, both exact in
+# numpy. Supported: 8-bit precision, SOF0 (baseline sequential) and SOF2
+# (progressive: spectral selection + successive approximation, Annex G),
+# 1 or 3 components, arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0),
+# restart markers. Arithmetic coding / 12-bit / hierarchical return None
+# and keep the honest hash stub.
 
 _ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -492,8 +496,10 @@ def _jpeg_extend(v: int, t: int) -> int:
 
 
 def _jpeg_pixels(data: bytes):
-    """H×W×3 uint8 RGB (or H×W×1 grayscale) from a baseline sequential JPEG,
-    None for progressive/arithmetic/12-bit or malformed payloads."""
+    """H×W×3 uint8 RGB (or H×W×1 grayscale) from a baseline sequential
+    (SOF0) or progressive (SOF2, spectral selection + successive
+    approximation per ITU-T T.81 Annex G) Huffman JPEG; None for
+    arithmetic/hierarchical/12-bit or malformed payloads."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         return None
     try:
@@ -501,15 +507,19 @@ def _jpeg_pixels(data: bytes):
         qt: dict[int, np.ndarray] = {}
         huff: dict[tuple[int, int], dict] = {}
         frame = None
+        progressive = False
+        state: dict[int, np.ndarray] = {}  # comp id → (bh, bw, 64) zigzag
         restart_interval = 0
-        while pos + 4 <= len(data):
+        while pos + 2 <= len(data):
             if data[pos] != 0xFF:
                 return None
             marker = data[pos + 1]
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue
-            if marker == 0xD9:  # EOI before SOS
+            if marker == 0xD9:  # EOI: progressive reconstructs here
+                if progressive and state:
+                    return _jpeg_progressive_finish(frame, state, qt)
                 return None
             seglen = int.from_bytes(data[pos + 2:pos + 4], "big")
             body = data[pos + 4:pos + 2 + seglen]
@@ -523,12 +533,13 @@ def _jpeg_pixels(data: bytes):
                         body, np.uint8, 64, i + 1
                     ).astype(np.int32)
                     i += 65
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # not baseline sequential Huffman
-            elif marker == 0xC0:  # SOF0
+                return None  # not sequential-baseline / progressive Huffman
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
                 if body[0] != 8:
                     return None
+                progressive = marker == 0xC2
                 h = int.from_bytes(body[1:3], "big")
                 w = int.from_bytes(body[3:5], "big")
                 ncomp = body[5]
@@ -540,6 +551,15 @@ def _jpeg_pixels(data: bytes):
                     comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                                   "tq": tq})
                 frame = (w, h, comps)
+                if progressive:  # MCU-padded coefficient accumulators
+                    hmax = max(c["h"] for c in comps)
+                    vmax = max(c["v"] for c in comps)
+                    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                    for c in comps:
+                        state[c["id"]] = np.zeros(
+                            (mcuy * c["v"], mcux * c["h"], 64), np.int32
+                        )
             elif marker == 0xC4:  # DHT
                 i = 0
                 while i + 17 <= len(body):
@@ -555,6 +575,13 @@ def _jpeg_pixels(data: bytes):
             elif marker == 0xDA:  # SOS
                 if frame is None:
                     return None
+                if progressive:
+                    pos = _jpeg_progressive_scan(
+                        data, pos, frame, state, huff, restart_interval
+                    )
+                    if pos is None:
+                        return None
+                    continue
                 w, h, comps = frame
                 ns = body[0]
                 if ns != len(comps):
@@ -572,6 +599,186 @@ def _jpeg_pixels(data: bytes):
         return None
     except (IndexError, ValueError, KeyError):
         return None
+
+
+def _jpeg_progressive_scan(data, pos, frame, state, huff, restart_interval):
+    """Decode ONE progressive scan (SOS marker at ``pos``) into the
+    per-component zigzag coefficient accumulators, per T.81 Annex G:
+    DC scans (Ss=Se=0) interleave like baseline with the decoded value
+    shifted by the point transform (first pass) or refined one bit at a
+    time (Ah>0, no Huffman codes); AC scans are single-component in block
+    raster order with EOB-run coding (first pass) and the correction-bit
+    refinement walk (Ah>0 — the structure every open implementation of
+    G.2 shares). Returns the offset of the next marker, or None on a
+    malformed scan."""
+    seglen = int.from_bytes(data[pos + 2:pos + 4], "big")
+    body = data[pos + 4:pos + 2 + seglen]
+    w, h, comps = frame
+    byid = {c["id"]: c for c in comps}
+    ns = body[0]
+    scomps = []
+    for c in range(ns):
+        cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+        if cs not in byid:
+            return None
+        scomps.append((byid[cs], tt >> 4, tt & 0x0F))
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+    if se > 63 or ss > se or (ss == 0) != (se == 0):
+        return None
+    if ss > 0 and ns != 1:
+        return None  # AC scans are non-interleaved by spec
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+
+    def units():
+        """Yield MCU units as lists of (scan comp idx, block y, block x)."""
+        if ns == 1:
+            c = scomps[0][0]
+            nbw = (w * c["h"] + 8 * hmax - 1) // (8 * hmax)
+            nbh = (h * c["v"] + 8 * vmax - 1) // (8 * vmax)
+            for by in range(nbh):
+                for bx in range(nbw):
+                    yield [(0, by, bx)]
+        else:
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    unit = []
+                    for si, (c, _, _) in enumerate(scomps):
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                unit.append(
+                                    (si, my * c["v"] + by, mx * c["h"] + bx)
+                                )
+                    yield unit
+
+    bits = _JpegBits(data, pos + 2 + seglen)
+    pred = [0] * ns
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    count = 0
+    for unit in units():
+        if restart_interval and count and count % restart_interval == 0:
+            if not bits.sync_restart():
+                return None
+            pred = [0] * ns
+            eobrun = 0
+        count += 1
+        for si, by, bx in unit:
+            c, td, ta = scomps[si]
+            coef = state[c["id"]][by, bx]
+            if ss == 0:  # DC
+                if ah == 0:
+                    tab = huff.get((0, td))
+                    if tab is None:
+                        return None
+                    t = _jpeg_decode_symbol(bits, tab)
+                    pred[si] += _jpeg_extend(bits.receive(t), t)
+                    coef[0] = pred[si] << al
+                elif bits.read_bit():
+                    coef[0] += p1  # the Al bit is still 0: += ≡ |=
+            elif ah == 0:  # AC first pass for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                tab = huff.get((1, ta))
+                if tab is None:
+                    return None
+                k = ss
+                while k <= se:
+                    rs = _jpeg_decode_symbol(bits, tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r < 15:  # EOBn: run of (1<<r)+ext all-done blocks
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += bits.receive(r)
+                            break
+                        k += 16  # ZRL
+                    else:
+                        k += r
+                        if k > se:
+                            return None
+                        coef[k] = _jpeg_extend(bits.receive(s), s) << al
+                        k += 1
+            else:  # AC refinement: correction bits + newly-nonzero ±1<<Al
+                tab = huff.get((1, ta))
+                if eobrun > 0:
+                    eobrun -= 1
+                    for k in range(ss, se + 1):
+                        if (
+                            coef[k] != 0
+                            and bits.read_bit()
+                            and (coef[k] & p1) == 0
+                        ):
+                            coef[k] += p1 if coef[k] > 0 else m1
+                    continue
+                if tab is None:
+                    return None
+                k = ss
+                while k <= se:
+                    rs = _jpeg_decode_symbol(bits, tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += bits.receive(r)
+                            r = 64  # no new nonzeros; correct to band end
+                    else:
+                        if s != 1:
+                            return None
+                        val = p1 if bits.read_bit() else m1
+                    while k <= se:
+                        if coef[k] != 0:
+                            if bits.read_bit() and (coef[k] & p1) == 0:
+                                coef[k] += p1 if coef[k] > 0 else m1
+                        else:
+                            if r == 0:
+                                if val:
+                                    coef[k] = val
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+    # skip pad bits / stuffing to the next marker
+    p = bits.pos
+    n = len(data)
+    while p + 1 < n:
+        if (
+            data[p] == 0xFF
+            and data[p + 1] != 0x00
+            and not (0xD0 <= data[p + 1] <= 0xD7)
+        ):
+            return p
+        p += 1
+    return None
+
+
+def _jpeg_progressive_finish(frame, state, qt):
+    """Dequantize + de-zigzag + IDCT the accumulated coefficient arrays
+    (vectorized over all blocks) and hand off to the shared plane
+    pipeline."""
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for c in comps:
+        q = qt.get(c["tq"])
+        arr = state.get(c["id"])
+        if q is None or arr is None:
+            return None
+        bh, bw = arr.shape[:2]
+        nat = np.zeros((bh, bw, 64), np.float64)
+        nat[..., _ZIGZAG] = arr * q
+        px = np.einsum(
+            "ki,yxkl,lj->yxij", _DCT_A, nat.reshape(bh, bw, 8, 8), _DCT_A
+        )
+        planes.append(px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return _jpeg_planes_to_pixels(comps, planes, w, h, hmax, vmax)
 
 
 def _jpeg_scan(data, pos, frame, qt, huff, sel, restart_interval):
@@ -629,6 +836,12 @@ def _jpeg_scan(data, pos, frame, qt, huff, sel, restart_interval):
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+    return _jpeg_planes_to_pixels(comps, planes, w, h, hmax, vmax)
+
+
+def _jpeg_planes_to_pixels(comps, planes, w, h, hmax, vmax):
+    """Level-shift, chroma-upsample, crop, and color-convert decoded
+    component planes — shared by the baseline and progressive paths."""
     out = []
     for ci, c in enumerate(comps):
         p = planes[ci] + 128.0
@@ -647,9 +860,9 @@ def _jpeg_scan(data, pos, frame, qt, huff, sel, restart_interval):
 
 
 def decode_image_pixels(data: bytes):
-    """H×W×C uint8 pixel array from PNG/BMP/GIF/baseline-JPEG bytes (first
-    frame for animated GIFs), None when the payload is not decodable here
-    (progressive JPEG needs a codec library)."""
+    """H×W×C uint8 pixel array from PNG/BMP/GIF/JPEG (baseline or
+    progressive) bytes — first frame for animated GIFs; None when the
+    payload is not decodable here (arithmetic-coded JPEG, 12-bit)."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _png_pixels(data)
     if data[:2] == b"BM":

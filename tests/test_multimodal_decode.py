@@ -594,8 +594,10 @@ def test_jpeg_header_dims_and_progressive_rejection():
     meta = parse_media_header(payload)
     assert meta == {"format": "jpeg", "width": 34, "height": 12,
                     "duration_s": None}
-    # flip SOF0 → SOF2 (progressive): header metadata still real, pixel
-    # decode honestly refuses
+    # flip SOF0 → SOF2 on a BASELINE stream: header metadata still real,
+    # but the single Ss=0..Se=63 scan is illegal in progressive (DC and AC
+    # may never share a scan, T.81 G.1.1.1.1) so decode refuses the
+    # malformed file rather than guessing
     prog = bytearray(payload)
     idx = prog.find(b"\xff\xc0")
     prog[idx + 1] = 0xC2
@@ -718,3 +720,330 @@ def test_audio_dhash_planted_near_dup_recall(spark):
     }
     assert (0, 1) in pairs
     assert not any(a >= 10 and b >= 10 for a, b in pairs)
+
+
+# --- progressive JPEG encoder (SOF2, T.81 Annex G) for fixture generation --
+# Same DCT/quant/zigzag machinery as encode_jpeg, but emitted as a
+# libjpeg-style scan script: interleaved DC first scan at Al=dc_al, per-band
+# per-component AC first scans at Al=ac_al (EOB-run coded), then DC and AC
+# successive-approximation refinement scans one bit at a time down to Al=0.
+# Every scan redefines Huffman table id 0 of its class right before its SOS
+# (legal, and keeps table bookkeeping trivial).
+
+
+def _jpeg_quantized_blocks(px, subsample, quant_luma, quant_chroma):
+    """(w, h, samp, qids, quants, qz) where qz[ci] is the (bh, bw, 64)
+    zigzag-order quantized coefficient array over the MCU-padded grid —
+    the shared front half of both encoders."""
+    px = np.atleast_3d(px).astype(np.float64)
+    h, w, nchan = px.shape
+    ql = (np.ones(64) if quant_luma is None else np.asarray(quant_luma)).astype(int)
+    qc = ql if quant_chroma is None else np.asarray(quant_chroma).astype(int)
+    if nchan == 1:
+        planes = [px[:, :, 0]]
+        samp = [(1, 1)]
+        qids = [0]
+    else:
+        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample == "420":
+            pe = lambda p: np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                                  mode="edge")
+            ds = lambda p: pe(p).reshape(
+                (pe(p).shape[0] // 2, 2, pe(p).shape[1] // 2, 2)
+            ).mean(axis=(1, 3))
+            planes = [y, ds(cb), ds(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qids = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    quants = [ql, qc]
+    qz = []
+    for p, (sh, sv), qi in zip(planes, samp, qids):
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        pp = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                    mode="edge")
+        bh, bw = th // 8, tw // 8
+        blocks = np.zeros((bh, bw, 64), int)
+        for by in range(bh):
+            for bx in range(bw):
+                block = pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
+                coefs = _JA @ block @ _JA.T
+                blocks[by, bx] = np.round(
+                    coefs.flatten()[_JZZ] / quants[qi]
+                ).astype(int)
+        qz.append(blocks)
+    return w, h, samp, qids, quants, qz, mcux, mcuy, hmax, vmax
+
+
+def _trunc_pt(v: int, al: int) -> int:
+    """AC point transform: magnitude shift, truncation toward zero."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def encode_progressive_jpeg(
+    px: np.ndarray,
+    subsample: str = "444",
+    quant_luma: np.ndarray | None = None,
+    quant_chroma: np.ndarray | None = None,
+    bands: tuple = ((1, 5), (6, 63)),
+    dc_al: int = 1,
+    ac_al: int = 1,
+) -> bytes:
+    w, h, samp, qids, quants, qz, mcux, mcuy, hmax, vmax = (
+        _jpeg_quantized_blocks(px, subsample, quant_luma, quant_chroma)
+    )
+    ncomp = len(samp)
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big")
+                   + body)
+
+    seg(0xDB, bytes([0x00]) + bytes(quants[0].tolist()))
+    if ncomp == 3:
+        seg(0xDB, bytes([0x01]) + bytes(quants[1].tolist()))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([ncomp])
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, qids[ci]])
+    seg(0xC2, sof)  # SOF2: progressive DCT, Huffman
+
+    def nonpadded_blocks(ci):
+        sh, sv = samp[ci]
+        nbw = (w * sh + 8 * hmax - 1) // (8 * hmax)
+        nbh = (h * sv + 8 * vmax - 1) // (8 * vmax)
+        for by in range(nbh):
+            for bx in range(nbw):
+                yield by, bx
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            yield ci, my * sv + by, mx * sh + bx
+
+    def write_scan(comp_ids, ss, se, ah, al, tokens, table_class):
+        freqs: dict = {}
+        for tok in tokens:
+            if tok[0] == "h":
+                freqs[tok[1]] = freqs.get(tok[1], 0) + 1
+        if table_class is not None and freqs:
+            counts, syms, codes = _jfixed_table(freqs)
+            seg(0xC4, bytes([(table_class << 4) | 0]) + counts + syms)
+        else:
+            codes = {}
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, sos)
+        wtr = _JpegBitWriter()
+        for tok in tokens:
+            if tok[0] == "h":
+                code, length = codes[tok[1]]
+                wtr.put(code, length)
+            else:
+                _, val, nbits = tok
+                if nbits:
+                    wtr.put(val, nbits)
+        wtr.align()
+        out.extend(wtr.out)
+
+    def dc_first_tokens(al):
+        tokens, pred = [], [0] * ncomp
+        for ci, by, bx in mcu_blocks():
+            t = int(qz[ci][by, bx][0]) >> al  # DC: arithmetic shift
+            diff = t - pred[ci]
+            pred[ci] = t
+            s = _jcat(diff)
+            extra = diff if diff >= 0 else diff + (1 << s) - 1
+            tokens.append(("h", s))
+            tokens.append(("b", extra, s))
+        return tokens
+
+    def dc_refine_tokens(al):
+        return [
+            ("b", (int(qz[ci][by, bx][0]) >> al) & 1, 1)
+            for ci, by, bx in mcu_blocks()
+        ]
+
+    def ac_first_tokens(ci, ss, se, al):
+        tokens = []
+        eobrun = 0
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                tokens.append(("h", r << 4))
+                if r:
+                    tokens.append(("b", eobrun - (1 << r), r))
+                eobrun = 0
+
+        for by, bx in nonpadded_blocks(ci):
+            zz = qz[ci][by, bx]
+            tv = [_trunc_pt(int(zz[k]), al) for k in range(ss, se + 1)]
+            last_nz = max((i for i, t in enumerate(tv) if t), default=-1)
+            if last_nz < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            r = 0
+            for i in range(last_nz + 1):
+                t = tv[i]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    tokens.append(("h", 0xF0))
+                    r -= 16
+                s = _jcat(t)
+                extra = t if t >= 0 else t + (1 << s) - 1
+                tokens.append(("h", (r << 4) | s))
+                tokens.append(("b", extra, s))
+                r = 0
+            if last_nz < se - ss:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+        flush()
+        return tokens
+
+    def ac_refine_tokens(ci, ss, se, al):
+        tokens = []
+        eobrun = 0
+        bbuf: list = []
+
+        def flush():
+            nonlocal eobrun, bbuf
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                tokens.append(("h", r << 4))
+                if r:
+                    tokens.append(("b", eobrun - (1 << r), r))
+                tokens.extend(("b", bit, 1) for bit in bbuf)
+                bbuf = []
+                eobrun = 0
+
+        for by, bx in nonpadded_blocks(ci):
+            zz = qz[ci][by, bx]
+            av = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eob = max((i for i, t in enumerate(av) if t == 1), default=-1)
+            r = 0
+            br: list = []
+            for i, temp in enumerate(av):
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    flush()
+                    tokens.append(("h", 0xF0))
+                    tokens.extend(("b", bit, 1) for bit in br)
+                    br = []
+                    r -= 16
+                if temp > 1:
+                    br.append(temp & 1)
+                    continue
+                flush()
+                tokens.append(("h", (r << 4) | 1))
+                tokens.append(("b", 1 if int(zz[ss + i]) > 0 else 0, 1))
+                tokens.extend(("b", bit, 1) for bit in br)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                bbuf.extend(br)
+                if eobrun == 0x7FFF:
+                    flush()
+        flush()
+        return tokens
+
+    all_ids = [ci + 1 for ci in range(ncomp)]
+    write_scan(all_ids, 0, 0, 0, dc_al, dc_first_tokens(dc_al), 0)
+    for ci in range(ncomp):
+        for bs, be in bands:
+            write_scan([ci + 1], bs, be, 0, ac_al,
+                       ac_first_tokens(ci, bs, be, ac_al), 1)
+    for a in range(dc_al, 0, -1):
+        write_scan(all_ids, 0, 0, a, a - 1, dc_refine_tokens(a - 1), None)
+    for a in range(ac_al, 0, -1):
+        for ci in range(ncomp):
+            for bs, be in bands:
+                write_scan([ci + 1], bs, be, a, a - 1,
+                           ac_refine_tokens(ci, bs, be, a - 1), 1)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_jpeg_matches_baseline_gray():
+    """Same pixels, same quant → identical final coefficient state, so the
+    progressive decode must be byte-identical to the baseline decode."""
+    px = _grad(24, 17, 1)
+    base = decode_image_pixels(encode_jpeg(px))
+    prog = decode_image_pixels(encode_progressive_jpeg(px))
+    assert prog is not None and prog.shape == (24, 17, 1)
+    assert np.array_equal(prog, base)
+    diff = np.abs(prog.astype(int) - px.astype(int))
+    assert diff.max() <= 5
+
+
+def test_progressive_jpeg_matches_baseline_rgb_444_three_bands():
+    px = _grad(16, 23, 3)
+    base = decode_image_pixels(encode_jpeg(px))
+    prog = decode_image_pixels(
+        encode_progressive_jpeg(px, bands=((1, 2), (3, 20), (21, 63)))
+    )
+    assert prog is not None and prog.shape == (16, 23, 3)
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_jpeg_420_nonpadded_ac_grid():
+    """18×18 4:2:0: the luma AC scans cover ceil(18/8)=3 block columns while
+    the MCU-padded DC grid has 4 — the non-interleaved block-count rule
+    (T.81 A.2.2) that differs from the padded grid."""
+    y, x = np.mgrid[0:18, 0:18]
+    px = np.stack([
+        np.clip(x * 7 + y, 0, 255),
+        np.clip(y * 6, 0, 255),
+        np.full_like(x, 90),
+    ], axis=-1).astype(np.uint8)
+    base = decode_image_pixels(encode_jpeg(px, subsample="420"))
+    prog = decode_image_pixels(encode_progressive_jpeg(px, subsample="420"))
+    assert prog is not None and prog.shape == (18, 18, 3)
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_jpeg_eob_run_extension_bits():
+    """Mostly-flat image → AC scans collapse to long EOB runs (> 1, so the
+    EOBn extension bits path is exercised on both sides)."""
+    px = np.full((64, 64), 120, np.uint8)
+    px[5, 7] = 200
+    px[40, 33] = 10
+    base = decode_image_pixels(encode_jpeg(px))
+    prog = decode_image_pixels(encode_progressive_jpeg(px))
+    assert prog is not None and np.array_equal(prog, base)
+
+
+def test_progressive_jpeg_coarse_quant_and_deep_ladder():
+    """Q50 quantization plus a 2-bit successive-approximation ladder
+    (Al=2 → 1 → 0): two refinement passes for DC and for every AC band,
+    driving the correction-bit walk over already-nonzero history."""
+    y, x = np.mgrid[0:24, 0:24]
+    px = np.clip(x * 8 + y * 4, 0, 255).astype(np.uint8)
+    base = decode_image_pixels(encode_jpeg(px, quant_luma=_Q50_LUMA))
+    prog = decode_image_pixels(
+        encode_progressive_jpeg(px, quant_luma=_Q50_LUMA, dc_al=2, ac_al=2)
+    )
+    assert prog is not None and np.array_equal(prog, base)
