@@ -594,3 +594,29 @@ def test_session10_addition_plans_stay_clean(spark):
     p = plan_str(QUERIES["bloom_join_orders"](spark, SF_DIR))
     assert p.count("BroadcastHashJoin") >= 3, p[:1500]
     assert "LeftSemi" in p, p[:1500]
+
+
+def test_round4_addition_plans_stay_clean(spark):
+    """Round-4 additions: the oracle-backed KG pair keeps extraction as ONE
+    Arrow mapInPandas stage over JVM-built content (content synthesis is
+    concat/split expressions, never Python); the sketch exact twins are
+    JVM-only, and the heavy-hitter top-k plans as TakeOrderedAndProject
+    (map-side partial top-k, no global sort)."""
+    p = plan_str(QUERIES["kg_code_triples"](spark, SF_DIR))
+    assert "MapInPandas" in p, p[:1200]
+    assert "BatchEvalPython" not in p, p[:1200]
+    import re
+
+    # formatted mode prints every node twice (tree + detail section):
+    # count the detail headers, not substring occurrences
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1, p[:1200]
+    p = plan_str(QUERIES["kg_code_fanin"](spark, SF_DIR))
+    assert "MapInPandas" in p and "BatchEvalPython" not in p, p[:1200]
+    assert "TakeOrderedAndProject" in p, p[:1200]
+    for name in ("exact_distinct_rollup", "exact_heavy_hitters"):
+        p = plan_str(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in p, name
+        assert "PythonUDF" not in p, name
+        assert "CartesianProduct" not in p, name
+    p = plan_str(QUERIES["exact_heavy_hitters"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p, p[:1200]
