@@ -1281,11 +1281,12 @@ def link_training_pairs(
     one-endpoint negative sampler of KG-embedding training (TransE et
     al.), ~|consts| negatives per positive before collisions.
 
-    The dense vertex index is a row_number over the |V|-row vertex
-    table (not the edge table — the single-partition window is bounded
-    by vertex count; at extreme |V| swap in zipWithIndex-style ranks).
+    The dense vertex index comes from relational.global_ranks (per-
+    range-partition row_numbers + broadcast offsets — no single-
+    partition exchange at ANY |V|, the r3 watch item; ranks depend only
+    on the id total order, so the oracle replay is unchanged).
     Everything else is equi-joins and integer arithmetic."""
-    from pyspark.sql.window import Window
+    from raptor_spark.operators.relational import global_ranks
 
     pos = (
         edges.select(
@@ -1300,8 +1301,8 @@ def link_training_pairs(
         .distinct()
     )
     n_v = verts.agg(F.count("*").alias("n_v"))
-    idx = verts.select(
-        "id", (F.row_number().over(Window.orderBy("id")) - 1).alias("rk")
+    idx = global_ranks(verts, ["id"]).select(
+        "id", (F.col("r") - 1).alias("rk")
     )
     ranked = (
         pos.join(idx.select(F.col("id").alias("a"), F.col("rk").alias("ra")), "a")

@@ -620,3 +620,7 @@ def test_round4_addition_plans_stay_clean(spark):
         assert "CartesianProduct" not in p, name
     p = plan_str(QUERIES["exact_heavy_hitters"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in p, p[:1200]
+    # r4: link_training_pairs vertex ranks now come from global_ranks —
+    # no single-partition exchange at any |V|
+    p = plan_str(QUERIES["link_training_pairs"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in p, p[:1500]
