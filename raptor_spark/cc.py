@@ -174,6 +174,8 @@ def connected_components(
         .localCheckpoint()
     )
 
+    from pyspark.sql import Observation
+
     prev_hash = None
     for i in range(max_iterations):
         # propagate: min label among self and neighbors — ONE shuffle
@@ -185,32 +187,39 @@ def connected_components(
             contrib.unionByName(labels)
             .groupBy("name")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()  # eager: compute once, truncate lineage
         )
         if i < JUMP_AFTER:
-            labels = stepped
+            result = stepped
         else:
             # pointer jump (path halving): component ← component(component);
-            # every label is a vertex name, so the left join always resolves
+            # every label is a vertex name, so the left join always
+            # resolves. The self-join input is materialized first
+            # (persist-before-self-join pitfall).
+            stepped = stepped.localCheckpoint()
             jmap = stepped.select(
                 F.col("name").alias("jn"), F.col("component").alias("jc")
             )
-            labels = (
-                stepped.join(jmap, stepped.component == jmap.jn, "left")
-                .select("name", F.coalesce("jc", "component").alias("component"))
-                .localCheckpoint()
-            )
-        # bit_xor: order-insensitive, overflow-free under ANSI (sum overflows).
-        # Two independently-seeded digests: a single 64-bit xor digest
-        # colliding across consecutive non-identical label sets (~2^-64)
-        # would terminate early with a silently wrong assignment; the pair
-        # squares that to ~2^-128 for one extra column in the same agg pass.
-        h = tuple(
-            labels.agg(
-                F.expr("bit_xor(xxhash64(name, component))"),
-                F.expr("bit_xor(xxhash64(name, component, 1))"),
-            ).first()
-        )
+            result = stepped.join(
+                jmap, stepped.component == jmap.jn, "left"
+            ).select("name", F.coalesce("jc", "component").alias("component"))
+        # bit_xor: order-insensitive, overflow-free under ANSI (sum
+        # overflows). Two independently-seeded digests: a single 64-bit xor
+        # digest colliding across consecutive non-identical label sets
+        # (~2^-64) would terminate early with a silently wrong assignment;
+        # the pair squares that to ~2^-128. The digests ride the round's
+        # OWN materialization job via Observation (metrics fire on the
+        # eager localCheckpoint), so a round pays ONE job, not a
+        # materialize + a separate fixpoint agg — at cluster scale the
+        # per-round scheduler latency is the serial Amdahl term the N→4N
+        # gate measures (r3 VERDICT #2 decomposition).
+        obs = Observation(f"cc_digest_{i}")
+        labels = result.observe(
+            obs,
+            F.expr("bit_xor(xxhash64(name, component))").alias("h1"),
+            F.expr("bit_xor(xxhash64(name, component, 1))").alias("h2"),
+        ).localCheckpoint()
+        got = obs.get
+        h = (got["h1"], got["h2"])
         if h == prev_hash:
             sym.unpersist()
             return labels

@@ -125,6 +125,8 @@ def bfs_levels(
     the edge list is persisted once and reused by every round. Rounds =
     graph diameter from the sources, the BFS lower bound.
     """
+    from pyspark.sql import Observation
+
     sym = symmetrize(edges).persist()
     visited = (
         sources.select("id").distinct().withColumn("level", F.lit(0)).localCheckpoint()
@@ -133,15 +135,22 @@ def bfs_levels(
     level = 0
     while level < max_levels:
         level += 1
+        # the frontier-size fixpoint check rides the round's own
+        # materialization job via Observation (metrics fire on the eager
+        # localCheckpoint) instead of a separate isEmpty job — one job per
+        # BFS level, the per-round scheduler-latency cut of the N→4N
+        # decomposition (same fold as cc.connected_components)
+        obs = Observation(f"bfs_frontier_{level}")
         nxt = (
             frontier.join(sym, frontier["id"] == sym["src"])
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(visited.select("id"), "id", "left_anti")
             .withColumn("level", F.lit(level))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        if nxt.isEmpty():
+        if obs.get["n"] == 0:
             break
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt.select("id")
