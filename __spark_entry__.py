@@ -722,6 +722,11 @@ def _kg_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("def "), w(5), F.lit("_tail(q):")),
         F.lit("    q = len(q)"),
         F.concat(F.lit("    "), w(6), F.lit("_fn(q, "), w(7), F.lit("_fn(q))")),
+        # within-doc alias pair for the canonicalization face: {w1}_Run
+        # normalizes to the same "w1 run" as line 5's {w1}_run — the
+        # cross-style symbol aliasing the linking stage exists to merge
+        F.concat(F.lit("def "), w(1), F.lit("_Run(v):")),
+        F.concat(F.lit("    return "), w(4), F.lit("_main(v)")),
         F.concat(F.lit("TEXT = "), F.col("text")),
     ]
     return docs.select(
@@ -770,6 +775,35 @@ def q_kg_code_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("fanin"), F.asc("obj"))
         .limit(20)
     )
+
+
+def q_kg_code_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed canonicalization face over the synthesized corpus:
+    the PRODUCTION name dimension (link.name_features — Arrow-vectorized
+    normalize/shingle), the exact same-nospace link block,
+    cc.connected_components, and link.canonical_mapping, end to end. The
+    template plants a within-doc alias pair ({w1}_run vs {w1}_Run — both
+    normalize to "w1 run"), so every document exercises the cross-style
+    symbol merge the north_star mandates; cross-doc classes merge
+    whenever documents share words. The fuzzy MinHash/LSH block stays
+    pytest-gated (recall vs exact Jaccard) — exact-nospace components
+    are replayable in SQL because the exact block links precisely the
+    equal-nospace pairs, making components = nospace classes and
+    canonical = min(norm) within class."""
+    from raptor_spark.cc import connected_components
+    from raptor_spark.extract import extract_triples
+    from raptor_spark.link import canonical_mapping, name_features
+
+    triples = extract_triples(_kg_code_files(spark, sf_dir))
+    feats = name_features(triples).persist()
+    exact = (
+        feats.alias("a")
+        .join(feats.alias("b"), on="nospace")
+        .filter(F.col("a.name") < F.col("b.name"))
+        .select(F.col("a.name").alias("a"), F.col("b.name").alias("b"))
+    )
+    comps = connected_components(exact)
+    return canonical_mapping(triples, comps, feats).orderBy("name")
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5732,6 +5766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks": q_graph_walks,
         "kg_code_triples": q_kg_code_triples,
         "kg_code_fanin": q_kg_code_fanin,
+        "kg_code_canonical": q_kg_code_canonical,
         "exact_distinct_rollup": q_exact_distinct_rollup,
         "exact_heavy_hitters": q_exact_heavy_hitters,
         # -- rows-only family (no DuckDB oracle by design) kept at the END
@@ -5997,6 +6032,8 @@ def _kg_code_oracles() -> dict[str, str]:
                    'def ' || w5 || '_tail(q):' || {nl} ||
                    '    q = len(q)' || {nl} ||
                    '    ' || w6 || '_fn(q, ' || w7 || '_fn(q))' || {nl} ||
+                   'def ' || w1 || '_Run(v):' || {nl} ||
+                   '    return ' || w4 || '_main(v)' || {nl} ||
                    'TEXT = ' || text AS content
             FROM kw
           )
@@ -6130,6 +6167,30 @@ def _kg_code_oracles() -> dict[str, str]:
             GROUP BY callee
             ORDER BY fanin DESC, obj ASC
             LIMIT 20
+        """,
+        # canonicalization: exact-nospace components ARE the nospace
+        # equivalence classes (the exact block links all equal-nospace
+        # pairs), so canonical = min(norm) within the class; norm replays
+        # tokenize.normalize_identifier's camel/Pascal/snake splits (both
+        # regexes are RE2-safe — no lookbehind)
+        "kg_code_canonical": rf"""{shared},
+            knames AS (SELECT DISTINCT name FROM kspans),
+            knorm AS (
+              SELECT name,
+                     trim(regexp_replace(lower(
+                       replace(replace(
+                         regexp_replace(
+                           regexp_replace(name,
+                             '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+                           '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+                         '_', ' '), '-', ' ')
+                     ), '\s+', ' ', 'g')) AS norm
+              FROM knames
+            )
+            SELECT name,
+                   min(norm) OVER (PARTITION BY replace(norm, ' ', ''))
+                     AS canonical
+            FROM knorm ORDER BY name
         """,
     }
 
