@@ -1047,3 +1047,16 @@ def test_progressive_jpeg_coarse_quant_and_deep_ladder():
         encode_progressive_jpeg(px, quant_luma=_Q50_LUMA, dc_al=2, ac_al=2)
     )
     assert prog is not None and np.array_equal(prog, base)
+
+
+def test_progressive_jpeg_spectral_only_no_refinement():
+    """dc_al=ac_al=0: a valid progressive file with spectral selection but
+    NO successive approximation (no refinement scans at all) — the other
+    corner of the Annex-G scan-script space."""
+    px = _grad(20, 31, 3)
+    base = decode_image_pixels(encode_jpeg(px))
+    prog = decode_image_pixels(
+        encode_progressive_jpeg(px, bands=((1, 63),), dc_al=0, ac_al=0)
+    )
+    assert prog is not None and prog.shape == (20, 31, 3)
+    assert np.array_equal(prog, base)
