@@ -806,6 +806,40 @@ def q_kg_code_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_mapping(triples, comps, feats).orderBy("name")
 
 
+def q_kg_code_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed materialize face over the synthesized corpus: the
+    PRODUCTION extract → exact-link → cc → canonical_mapping →
+    apply_linking → build_nodes chain end to end, hash-gated minus only
+    the xxhash64 repo_bucket layout column (DuckDB has no xxhash64; the
+    bucket layout is plan-gated separately). Completes the KG-face trio:
+    kg_code_triples (extraction), kg_code_canonical (canonicalization),
+    kg_code_nodes (materialization)."""
+    from raptor_spark.cc import connected_components
+    from raptor_spark.extract import extract_triples
+    from raptor_spark.link import (
+        apply_linking,
+        canonical_mapping,
+        name_features,
+    )
+    from raptor_spark.materialize import build_nodes
+
+    triples = extract_triples(_kg_code_files(spark, sf_dir)).persist()
+    feats = name_features(triples).persist()
+    exact = (
+        feats.alias("a")
+        .join(feats.alias("b"), on="nospace")
+        .filter(F.col("a.name") < F.col("b.name"))
+        .select(F.col("a.name").alias("a"), F.col("b.name").alias("b"))
+    )
+    comps = connected_components(exact)
+    linked = apply_linking(triples, canonical_mapping(triples, comps, feats))
+    return (
+        build_nodes(linked)
+        .select("id", "kind", "canonical", "lang", "n_mentions")
+        .orderBy("kind", "canonical")
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary columns → mapInPandas feature extraction.
     Pixel/sample decode is REAL for PNG/BMP/GIF/WAV (test_multimodal_decode);
@@ -5767,6 +5801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_code_triples": q_kg_code_triples,
         "kg_code_fanin": q_kg_code_fanin,
         "kg_code_canonical": q_kg_code_canonical,
+        "kg_code_nodes": q_kg_code_nodes,
         "exact_distinct_rollup": q_exact_distinct_rollup,
         "exact_heavy_hitters": q_exact_heavy_hitters,
         # -- rows-only family (no DuckDB oracle by design) kept at the END
@@ -6130,6 +6165,28 @@ def _kg_code_oracles() -> dict[str, str]:
           ) h JOIN kn USING (repo, path)
           WHERE CAST(hits * 1000 AS DOUBLE) / n >= CAST(1 AS DOUBLE)
         )"""
+    def _norm(e: str) -> str:
+        """DuckDB replay of tokenize.normalize_identifier over expr ``e``
+        (camel/Pascal/snake/kebab → lowercase space-separated tokens;
+        RE2-safe — no lookbehind)."""
+        return (
+            "trim(regexp_replace(lower(replace(replace("
+            "regexp_replace(regexp_replace(" + e + ", "
+            "'([a-z0-9])([A-Z])', '\\1 \\2', 'g'), "
+            "'([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'), "
+            "'_', ' '), '-', ' ')), '\\s+', ' ', 'g'))"
+        )
+
+    kcanon = f""",
+        knames AS (SELECT DISTINCT name FROM kspans),
+        knorm AS (SELECT name, {_norm('name')} AS norm FROM knames),
+        kcanon AS (
+          SELECT name,
+                 min(norm) OVER (PARTITION BY replace(norm, ' ', ''))
+                   AS canonical
+          FROM knorm
+        )"""
+    norm_callee = _norm("k.callee")
     return {
         "kg_code_triples": rf"""{shared}
             SELECT subj, pred, obj, repo, path,
@@ -6173,24 +6230,36 @@ def _kg_code_oracles() -> dict[str, str]:
         # pairs), so canonical = min(norm) within the class; norm replays
         # tokenize.normalize_identifier's camel/Pascal/snake splits (both
         # regexes are RE2-safe — no lookbehind)
-        "kg_code_canonical": rf"""{shared},
-            knames AS (SELECT DISTINCT name FROM kspans),
-            knorm AS (
-              SELECT name,
-                     trim(regexp_replace(lower(
-                       replace(replace(
-                         regexp_replace(
-                           regexp_replace(name,
-                             '([a-z0-9])([A-Z])', '\1 \2', 'g'),
-                           '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
-                         '_', ' '), '-', ' ')
-                     ), '\s+', ' ', 'g')) AS norm
-              FROM knames
+        "kg_code_canonical": rf"""{shared}{kcanon}
+            SELECT name, canonical FROM kcanon ORDER BY name
+        """,
+        # materialized node table (minus the xxhash64 repo_bucket layout
+        # column DuckDB cannot replay): every triple contributes a subj and
+        # an obj mention with the kind map and canonicalization of
+        # materialize._endpoint_canonicals + link.apply_linking — defined
+        # callees canonicalize through the mapping, undefined callees by
+        # normalization alone; node id = sha256(kind:canonical)
+        "kg_code_nodes": rf"""{shared}{kcanon},
+            kmention AS (
+              SELECT 'repo' AS kind, repo AS canonical FROM kfile
+              UNION ALL SELECT 'file', repo || ':' || path FROM kfile
+              UNION ALL SELECT 'file', repo || ':' || path FROM kimports
+              UNION ALL SELECT 'module', obj FROM kimports
+              UNION ALL SELECT 'file', repo || ':' || path FROM kspans
+              UNION ALL SELECT 'symbol', c.canonical
+                FROM kspans s JOIN kcanon c ON s.name = c.name
+              UNION ALL SELECT 'symbol', c.canonical
+                FROM kcalls k JOIN kcanon c ON k.name = c.name
+              UNION ALL SELECT 'symbol',
+                     coalesce(c.canonical, {norm_callee})
+                FROM kcalls k LEFT JOIN kcanon c ON k.callee = c.name
+              UNION ALL SELECT 'file', repo || ':' || path FROM kconcepts
+              UNION ALL SELECT 'concept', concept FROM kconcepts
             )
-            SELECT name,
-                   min(norm) OVER (PARTITION BY replace(norm, ' ', ''))
-                     AS canonical
-            FROM knorm ORDER BY name
+            SELECT sha256(kind || ':' || canonical) AS id, kind, canonical,
+                   'python' AS lang, CAST(count(*) AS BIGINT) AS n_mentions
+            FROM kmention GROUP BY kind, canonical
+            ORDER BY kind, canonical
         """,
     }
 
