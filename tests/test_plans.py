@@ -624,3 +624,13 @@ def test_round4_addition_plans_stay_clean(spark):
     # no single-partition exchange at any |V|
     p = plan_str(QUERIES["link_training_pairs"](spark, SF_DIR))
     assert "Exchange SinglePartition" not in p, p[:1500]
+    # the canonicalize/materialize chain queries: Python only in the two
+    # production Arrow stages (extract + featurize), never row-at-a-time,
+    # no cartesian; the mention joins of the tiny canonical map broadcast
+    for name in ("kg_code_canonical", "kg_code_nodes"):
+        p = plan_str(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert "MapInPandas" in p, name
+    p = plan_str(QUERIES["kg_code_nodes"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p[:1500]
