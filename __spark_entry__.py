@@ -840,6 +840,38 @@ def q_kg_code_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_code_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed edge table over the synthesized corpus — the second
+    half of the materialize face beside kg_code_nodes: build_edges'
+    canonical (src, dst, pred) collapse with mention-count weights, node
+    ids sha256(kind:canonical), minus only the xxhash64 repo_bucket
+    layout column (plan-gated separately)."""
+    from raptor_spark.cc import connected_components
+    from raptor_spark.extract import extract_triples
+    from raptor_spark.link import (
+        apply_linking,
+        canonical_mapping,
+        name_features,
+    )
+    from raptor_spark.materialize import build_edges
+
+    triples = extract_triples(_kg_code_files(spark, sf_dir)).persist()
+    feats = name_features(triples).persist()
+    exact = (
+        feats.alias("a")
+        .join(feats.alias("b"), on="nospace")
+        .filter(F.col("a.name") < F.col("b.name"))
+        .select(F.col("a.name").alias("a"), F.col("b.name").alias("b"))
+    )
+    comps = connected_components(exact)
+    linked = apply_linking(triples, canonical_mapping(triples, comps, feats))
+    return (
+        build_edges(linked)
+        .select("src", "dst", "pred", "lang", "weight")
+        .orderBy("pred", "src", "dst")
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary columns → mapInPandas feature extraction.
     Pixel/sample decode is REAL for PNG/BMP/GIF/WAV (test_multimodal_decode);
@@ -5802,6 +5834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_code_fanin": q_kg_code_fanin,
         "kg_code_canonical": q_kg_code_canonical,
         "kg_code_nodes": q_kg_code_nodes,
+        "kg_code_edges": q_kg_code_edges,
         "exact_distinct_rollup": q_exact_distinct_rollup,
         "exact_heavy_hitters": q_exact_heavy_hitters,
         # -- rows-only family (no DuckDB oracle by design) kept at the END
@@ -6260,6 +6293,40 @@ def _kg_code_oracles() -> dict[str, str]:
                    'python' AS lang, CAST(count(*) AS BIGINT) AS n_mentions
             FROM kmention GROUP BY kind, canonical
             ORDER BY kind, canonical
+        """,
+        # edge table: build_edges' canonical (src, dst, pred) collapse with
+        # mention-count weights; node ids sha256(kind:canonical), same
+        # per-pred kind map and canonicalization as the mention replay
+        "kg_code_edges": rf"""{shared}{kcanon},
+            kedge AS (
+              SELECT sha256('repo:' || repo) AS src,
+                     sha256('file:' || repo || ':' || path) AS dst,
+                     'repo-contains-path' AS pred
+              FROM kfile
+              UNION ALL
+              SELECT sha256('file:' || repo || ':' || path),
+                     sha256('module:' || obj), 'file-imports-module'
+              FROM kimports
+              UNION ALL
+              SELECT sha256('file:' || s.repo || ':' || s.path),
+                     sha256('symbol:' || c.canonical), 'file-defines-symbol'
+              FROM kspans s JOIN kcanon c ON s.name = c.name
+              UNION ALL
+              SELECT sha256('symbol:' || cs.canonical),
+                     sha256('symbol:' ||
+                            coalesce(co.canonical, {norm_callee})),
+                     'symbol-calls-symbol'
+              FROM kcalls k JOIN kcanon cs ON k.name = cs.name
+                   LEFT JOIN kcanon co ON k.callee = co.name
+              UNION ALL
+              SELECT sha256('file:' || repo || ':' || path),
+                     sha256('concept:' || concept), 'file-tagged-concept'
+              FROM kconcepts
+            )
+            SELECT src, dst, pred, 'python' AS lang,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM kedge GROUP BY src, dst, pred
+            ORDER BY pred, src, dst
         """,
     }
 
