@@ -627,7 +627,7 @@ def test_round4_addition_plans_stay_clean(spark):
     # the canonicalize/materialize chain queries: Python only in the two
     # production Arrow stages (extract + featurize), never row-at-a-time,
     # no cartesian; the mention joins of the tiny canonical map broadcast
-    for name in ("kg_code_canonical", "kg_code_nodes"):
+    for name in ("kg_code_canonical", "kg_code_nodes", "kg_code_edges"):
         p = plan_str(QUERIES[name](spark, SF_DIR))
         assert "BatchEvalPython" not in p, name
         assert "CartesianProduct" not in p, name
