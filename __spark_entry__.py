@@ -690,11 +690,17 @@ def _kg_code_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     on one line (dedupe when words collide), a top-level statement
     between defs, and the raw document text as a final line to drive
     concept tagging."""
+    # Coalesce text ONCE and build both ws and the final TEXT line from the
+    # same column: the DuckDB oracle coalesces to '' and always emits
+    # 'TEXT = ', while a NULL text here would null the concat and make
+    # concat_ws silently drop the line — a latent sha256 divergence on any
+    # NULL-text document (ADVICE r4).
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
-        "text",
-        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("ws"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    ).withColumn(
+        "ws", F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     )
 
     def w(i: int):
@@ -795,7 +801,10 @@ def q_kg_code_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raptor_spark.link import canonical_mapping, name_features
 
     triples = extract_triples(_kg_code_files(spark, sf_dir))
-    feats = name_features(triples).persist()
+    # localCheckpoint, not persist: these blocks are GC-cleaned when the
+    # DataFrame goes out of scope, so the 256-query driver run doesn't
+    # accumulate cached lineages across kg_code queries (ADVICE r4).
+    feats = name_features(triples).localCheckpoint()
     exact = (
         feats.alias("a")
         .join(feats.alias("b"), on="nospace")
@@ -823,8 +832,8 @@ def q_kg_code_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from raptor_spark.materialize import build_nodes
 
-    triples = extract_triples(_kg_code_files(spark, sf_dir)).persist()
-    feats = name_features(triples).persist()
+    triples = extract_triples(_kg_code_files(spark, sf_dir)).localCheckpoint()
+    feats = name_features(triples).localCheckpoint()
     exact = (
         feats.alias("a")
         .join(feats.alias("b"), on="nospace")
@@ -855,8 +864,8 @@ def q_kg_code_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from raptor_spark.materialize import build_edges
 
-    triples = extract_triples(_kg_code_files(spark, sf_dir)).persist()
-    feats = name_features(triples).persist()
+    triples = extract_triples(_kg_code_files(spark, sf_dir)).localCheckpoint()
+    feats = name_features(triples).localCheckpoint()
     exact = (
         feats.alias("a")
         .join(feats.alias("b"), on="nospace")

@@ -69,13 +69,15 @@ _EDGES_PER_GIB = DRIVER_CC_MAX_EDGES // 8  # the measured 8g sizing above
 
 
 def _parse_memory_gib(mem: str) -> float:
-    """'8g' / '4096m' / '2048k'-style JVM size string → GiB (bare numbers
-    are bytes, per Spark's byte-string convention)."""
+    """'8g' / '4096m' / '2048k'-style JVM size string → GiB. Bare numbers
+    are MiB: spark.driver.memory is declared bytesConf(ByteUnit.MiB), so
+    'spark.driver.memory=4096' means 4 GiB — treating it as bytes would
+    yield a ~0 edge cap and silently disable the driver fast path."""
     m = mem.strip().lower()
     units = {"k": 1 / (1024**2), "m": 1 / 1024, "g": 1.0, "t": 1024.0}
     if m and m[-1] in units:
         return float(m[:-1]) * units[m[-1]]
-    return float(m) / (1024**3)
+    return float(m) / 1024
 
 
 def _driver_cc_edge_cap(spark) -> int:

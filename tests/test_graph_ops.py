@@ -190,7 +190,10 @@ def test_driver_cc_edge_cap_scales_with_driver_memory(spark):
     assert _parse_memory_gib("8g") == 8.0
     assert _parse_memory_gib("4096m") == 4.0
     assert _parse_memory_gib("2G") == 2.0
-    assert _parse_memory_gib(str(1024**3)) == 1.0
+    # bare numbers are MiB (Spark parses spark.driver.memory with
+    # bytesConf(ByteUnit.MiB)) — ADVICE r4: '4096' means 4 GiB, not bytes
+    assert _parse_memory_gib("4096") == 4.0
+    assert _parse_memory_gib("1024") == 1.0
 
     def fake(mem):
         return SimpleNamespace(
