@@ -5602,8 +5602,76 @@ def q_graph_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("walk_id", "step")
 
 
+# Round-5 sample-window rotation (VERDICT r4 next-round #1): the driver's
+# CORRECTNESS file hashes only the FIRST 50 entries of queries() dict
+# order, and rounds 1-4 sampled the same ~60 names — so 192 oracle-backed
+# entries had never produced a driver-file hard green. This list promotes
+# a fresh slate of 50 oracle-backed, never-before-sampled entries (the
+# kg_code production chain, the iterative/analytic graph family, the TPC-H
+# completions, the sketch exact twins and the IVM face) to the front.
+# Every name here has an oracle_sql() twin; rows-only entries stay pinned
+# at the END of the dict (driver sample must stay all-oracle). The
+# remaining entries keep their relative r4 order, so nothing else moves.
+_R05_FRONT = [
+    # production KG chain (extract → link → cc → materialize), hash-gated
+    "kg_code_triples",
+    "kg_code_fanin",
+    "kg_code_canonical",
+    "kg_code_nodes",
+    "kg_code_edges",
+    # iterative / analytic graph family (materialized unrolled-CTE oracles)
+    "graph_bfs",
+    "graph_pagerank",
+    "graph_communities",
+    "graph_modularity",
+    "graph_kcore",
+    "graph_sssp",
+    "graph_hits",
+    "graph_msf",
+    "graph_ktruss",
+    "graph_mis",
+    "graph_coloring",
+    "graph_bridges",
+    "graph_diameter",
+    "graph_ppr",
+    "graph_walks",
+    "graph_clustering",
+    "harmonic_centrality",
+    "taxonomy_closure",
+    "single_linkage_clusters",
+    "degree_powerlaw",
+    "hub_robustness",
+    "label_spreading",
+    # TPC-H completions
+    "shipping_priority",
+    "nation_trade_volume",
+    "returned_items",
+    "promo_revenue_share",
+    "large_volume_customers",
+    "brand_filtered_revenue",
+    "min_cost_supplier",
+    "nation_market_share",
+    "product_type_profit",
+    "important_part_values",
+    "late_shipment_priority",
+    "top_supplier",
+    "supplier_part_variety",
+    "small_quantity_revenue",
+    "dominant_part_suppliers",
+    "suppliers_kept_waiting",
+    "order_priority_check",
+    "customer_order_distribution",
+    "dormant_high_balance",
+    "pareto_parts",
+    # sketch exact twins + incremental view maintenance
+    "exact_distinct_rollup",
+    "exact_heavy_hitters",
+    "incremental_event_counts",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    base = {
         "interval_argmax": q_interval_argmax,
         "interval_labels": q_interval_labels,
         "latest_order_per_customer": q_latest_order_per_customer,
@@ -5865,6 +5933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_near_dups": q_media_near_dups,
         "audio_near_dups": q_audio_near_dups,
     }
+    ordered = {k: base[k] for k in _R05_FRONT}
+    ordered.update({k: v for k, v in base.items() if k not in ordered})
+    return ordered
 
 
 # ---------------------------------------------------------------------------
