@@ -407,6 +407,63 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_near_pairs(simhash(docs, "doc_id", "text"), max_distance=3).orderBy("a", "b")
 
 
+def q_minhash_near_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, ORACLE-BACKED (VERDICT r4 #2): the
+    engine-portable md5-lane twin of minhash_near_dups — 16 md5 lanes,
+    16 single-lane bands keyed by lane VALUES (high recall at the 0.5
+    threshold: 1-(1-j)^16), capped buckets, one
+    exact-Jaccard verify per distinct candidate pair. DuckDB replays the
+    identical candidate set and verify byte-for-byte, so the LSH dedup
+    path itself (not just its calibration) is value-hash-gated."""
+    from raptor_spark.operators.dedup import minhash_lsh_pairs_md5
+
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs_md5(
+        docs, "doc_id", "text", n=1, n_hashes=16, bands=16,
+        jaccard_threshold=0.5,
+    )
+    return out.select(
+        "a", "b", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("a", "b")
+
+
+def q_near_dup_clusters_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup groups over the md5-lane LSH pair set,
+    ORACLE-BACKED (VERDICT r4 #6): minhash_lsh_pairs_md5 pairs →
+    pointer-jumping connected components → (id, cluster = min member) —
+    the keep-one-representative decision, pinned end-to-end against a
+    DuckDB recursive-CTE transitive closure over the replayed pairs
+    (near_dup_clusters itself stays the production xxhash-lane path,
+    union-find parity-gated in pytest)."""
+    from raptor_spark.operators.dedup import (
+        minhash_lsh_pairs_md5,
+        near_dup_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs_md5(
+        docs, "doc_id", "text", n=1, n_hashes=16, bands=16,
+        jaccard_threshold=0.5,
+    )
+    return near_dup_clusters(pairs).orderBy("id")
+
+
+def q_simhash_near_dups_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-≤3 near-dup pairs, ORACLE-BACKED (VERDICT r4 #2):
+    the md5-bit twin of simhash_near_dups — bit j of a word's hash is bit
+    (j mod 4) of hex digit (j div 4) of md5(word), so DuckDB rebuilds the
+    64-bit fingerprints from its own md5 and verifies every pair with
+    xor + bit_count. The pigeonhole 16-bit-block blocking is lossless at
+    distance ≤ 3, so the oracle's O(n²) scan over 500 fixture docs equals
+    the blocked plan's output exactly."""
+    from raptor_spark.operators.dedup import simhash_md5
+
+    docs = _t(spark, sf_dir, "documents")
+    return hamming_near_pairs(
+        simhash_md5(docs, "doc_id", "text"), max_distance=3
+    ).orderBy("a", "b")
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (filtered vector search read path,
     api_document_search_with_cache.py:157-237)."""
@@ -5914,6 +5971,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_code_edges": q_kg_code_edges,
         "exact_distinct_rollup": q_exact_distinct_rollup,
         "exact_heavy_hitters": q_exact_heavy_hitters,
+        # md5-lane oracle-backed twins of the near-dup family (r5)
+        "minhash_near_dups_md5": q_minhash_near_dups_md5,
+        "near_dup_clusters_md5": q_near_dup_clusters_md5,
+        "simhash_near_dups_md5": q_simhash_near_dups_md5,
         # -- rows-only family (no DuckDB oracle by design) kept at the END
         #    of the dict so the driver's fixed-size CORRECTNESS sample lands
         #    entirely on oracle-backed entries; each of these is pytest-gated
@@ -6462,6 +6523,68 @@ def oracle_sql() -> dict[str, str]:
             j=j, lanes=", ".join(f"mh{j * 4 + i + 1}" for i in range(4))
         )
         for j in range(4)
+    )
+    # minhash_near_dups_md5 / near_dup_clusters_md5 (r5): shared CTE chain
+    # replaying dedup.minhash_lsh_pairs_md5 — md5-lane signatures (same
+    # lanes as minhash_calibration), 16 SINGLE-lane value-keyed bands
+    # (1-(1-j)^16 recall at the 0.5 threshold), the 2..500 bucket-size
+    # window, distinct candidate pairs, exact-Jaccard verify ≥ 0.5 on the
+    # distinct word sets.
+    nd5_bands = " UNION ALL ".join(
+        f"SELECT doc_id AS id, concat_ws('#', {j}, mh{j + 1}) AS bk FROM sig"
+        for j in range(16)
+    )
+    nd5_pairs = f"""
+            w AS MATERIALIZED (
+              SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)),
+                                                      '\\s+')) AS ws
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, unnest(ws) AS s FROM w
+            ), hx AS (
+              SELECT doc_id,
+                     {mh_hx}
+              FROM sh
+            ), sig AS MATERIALIZED (
+              SELECT doc_id,
+                     {mh_min}
+              FROM hx GROUP BY doc_id
+            ), bnd AS MATERIALIZED ({nd5_bands}),
+            bsz AS (
+              SELECT bk, count(*) AS c FROM bnd GROUP BY bk
+            ), cand AS (
+              SELECT DISTINCT x.id AS a, y.id AS b
+              FROM bnd x
+              JOIN bnd y ON x.bk = y.bk AND x.id < y.id
+              JOIN bsz ON bsz.bk = x.bk
+              WHERE bsz.c BETWEEN 2 AND 500
+            ), p AS MATERIALIZED (
+              SELECT cand.a, cand.b,
+                     len(list_filter(wa.ws, x -> list_contains(wb.ws, x)))
+                       * 1.0 /
+                     len(list_distinct(list_concat(wa.ws, wb.ws))) AS jaccard
+              FROM cand
+              JOIN w wa ON wa.doc_id = cand.a
+              JOIN w wb ON wb.doc_id = cand.b
+            )"""
+    # simhash_near_dups_md5 (r5): rebuild dedup.simhash_md5's 64-bit
+    # fingerprint one md5 hex DIGIT at a time, then verify every pair with
+    # xor + bit_count (the pigeonhole blocking is lossless at distance ≤ 3,
+    # so the O(n²) scan over the 500 fixture docs is the same answer).
+    sh5_digits = ",\n                     ".join(
+        f"(strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1) AS d{d}"
+        for d in range(16)
+    )
+    sh5_sums = ",\n                     ".join(
+        f"sum(CASE WHEN (d{j // 4} >> {j % 4}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" AS b{j}"
+        for j in range(64)
+    )
+    sh5_fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({(1 << j) if j < 63 else -(1 << 63)}"
+        f" AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(64)
     )
     # event_acf: lag columns / exact-integer numerators / long-format rows
     acf_lag_cols = ",\n                     ".join(
@@ -9586,6 +9709,52 @@ def oracle_sql() -> dict[str, str]:
             FROM v JOIN mu USING (i) JOIN w12 USING (i)
             GROUP BY v.vec_id, v.label
             ORDER BY v.vec_id
+        """,
+        "minhash_near_dups_md5": f"""
+            WITH {nd5_pairs}
+            SELECT a, b, round(jaccard, 4) AS jaccard
+            FROM p WHERE jaccard >= 0.5
+            ORDER BY a, b
+        """,
+        "near_dup_clusters_md5": f"""
+            WITH RECURSIVE {nd5_pairs},
+            pr AS (SELECT a, b FROM p WHERE jaccard >= 0.5),
+            e AS (
+              SELECT a AS s, b AS d FROM pr
+              UNION SELECT b AS s, a AS d FROM pr
+            ), r AS (
+              SELECT s, d FROM e
+              UNION
+              SELECT r.s, e.d FROM r JOIN e ON r.d = e.s
+            )
+            SELECT s AS id, least(s, min(d)) AS cluster
+            FROM r GROUP BY s ORDER BY id
+        """,
+        "simhash_near_dups_md5": f"""
+            WITH w5 AS (
+              SELECT doc_id,
+                     unnest(list_distinct(string_split_regex(
+                       lower(trim(text)), '\\s+'))) AS wd
+              FROM documents
+            ), hx5 AS (
+              SELECT doc_id, md5(wd) AS h FROM w5
+            ), dg5 AS (
+              SELECT doc_id,
+                     {sh5_digits}
+              FROM hx5
+            ), bs5 AS (
+              SELECT doc_id,
+                     {sh5_sums}
+              FROM dg5 GROUP BY doc_id
+            ), fp5 AS MATERIALIZED (
+              SELECT doc_id, {sh5_fp} AS simhash FROM bs5
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                     AS hamming
+            FROM fp5 a JOIN fp5 b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY a, b
         """,
         "minhash_calibration": rf"""
             WITH w AS MATERIALIZED (

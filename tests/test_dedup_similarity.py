@@ -91,6 +91,71 @@ def test_simhash_hamming_symmetry_and_exactness(spark, docs):
     assert got == _pairs(brute)
 
 
+def test_minhash_md5_recall_and_precision(spark, docs):
+    """The engine-portable md5-lane LSH twin (r5, oracle-backed as
+    minhash_near_dups_md5) must report exact jaccard for everything it
+    emits and recover ≥90% of true 1-gram j≥0.5 pairs."""
+    from raptor_spark.operators.dedup import minhash_lsh_pairs_md5
+
+    sub = docs.filter(F.col("doc_id") < 150)
+    exact = ngram_jaccard_pairs(sub, "doc_id", "text", n=1, threshold=0.5)
+    golden = {(r.a, r.b): r.jaccard for r in exact.collect()}
+    got = {
+        (r.a, r.b): r.jaccard
+        for r in minhash_lsh_pairs_md5(
+            sub, "doc_id", "text", n=1, n_hashes=16, bands=16,
+            jaccard_threshold=0.5,
+        ).collect()
+    }
+    assert golden, "fixture corpus has no near-dup pairs; test is vacuous"
+    for pair, j in got.items():
+        assert pair in golden and abs(golden[pair] - j) < 1e-9, pair
+    recall = len(got) / len(golden)
+    assert recall >= 0.9, f"md5-lane LSH recall {recall:.3f}"
+
+
+def test_simhash_md5_blocking_and_python_replay(spark, docs):
+    """The md5-bit SimHash twin (r5, oracle-backed as simhash_near_dups_md5):
+    (a) pigeonhole blocking matches a brute-force hamming scan, and (b) the
+    fingerprint matches a pure-Python hashlib replay — the cross-engine
+    determinism the DuckDB oracle depends on."""
+    import hashlib
+    import re
+
+    from raptor_spark.operators.dedup import simhash_md5
+
+    sub = docs.filter(F.col("doc_id") < 120)
+    fp = simhash_md5(sub, "doc_id", "text").persist()
+    got = _pairs(hamming_near_pairs(fp, max_distance=3))
+    brute = (
+        fp.alias("a").join(fp.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+    )
+    assert got == _pairs(brute)
+
+    spark_fp = {r.id: r.simhash for r in fp.collect()}
+    for row in sub.limit(5).collect():
+        words = set(re.split(r"\s+", row.text.strip().lower()))
+        sums = [0] * 64
+        for w in words:
+            h = hashlib.md5(w.encode()).hexdigest()
+            for j in range(64):
+                d = int(h[j // 4], 16)
+                sums[j] += 1 if (d >> (j % 4)) & 1 else -1
+        expect = 0
+        for j in range(64):
+            if sums[j] > 0:
+                expect += (1 << j) if j < 63 else -(1 << 63)
+        assert spark_fp[row.doc_id] == expect, row.doc_id
+    fp.unpersist()
+
+
 def test_near_dup_clusters_match_union_find(spark, docs):
     """Cluster assignment must equal a driver-side union-find over the same
     pairs (min-id representative)."""
