@@ -10,7 +10,10 @@
 #        (defaults N=2 → 2 vs 8 cores, FILES=200000, MODE=extract;
 #         MODE=dedup runs MinHash+LSH near-dup pairs instead;
 #         MODE=curation runs Bloom-filter decontamination — use the full
-#         200k corpus, smaller inputs under-drive it, see BASELINE.md)
+#         200k corpus, smaller inputs under-drive it, see BASELINE.md;
+#         MODE=linkskew runs link+cc over a corpus with the 5-head-symbol
+#         skew probe in ~30% of files (r5 skew gate);
+#         MODE=graph honors SCALING_GRAPH_STORAGE=disk for the edge persist)
 #
 # ATTEMPTS > 1 is the off-peak retry loop: external co-tenant load poisons
 # the N vs 4N comparison asymmetrically (see BASELINE.md's dedup forensics),
@@ -58,9 +61,18 @@ SUBMIT_CONF=(
   --conf spark.ui.enabled=false
 )
 
+# linkskew mode: corpus with the 5-head-symbol skew probe appended to ~30%
+# of files (BENCH/gen_corpus.py --skew-frac) — the deliberate-skew stress
+# for the link+cc head-symbol guards, measured instead of asserted.
+GEN_EXTRA=()
+if [ "$MODE" = "linkskew" ]; then
+  GEN_EXTRA=(--skew-frac 0.3)
+fi
+
 echo "== generating corpus ($FILES files) ==" >&2
 spark-submit --master "local[$N4]" "${SUBMIT_CONF[@]}" \
-  --py-files "$ZIP" BENCH/gen_corpus.py --files "$FILES" --output "$CORPUS" >&2
+  --py-files "$ZIP" BENCH/gen_corpus.py --files "$FILES" --output "$CORPUS" \
+  "${GEN_EXTRA[@]}" >&2
 
 run_one() {
   local cores="$1"

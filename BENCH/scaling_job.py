@@ -32,7 +32,7 @@ def main() -> None:
         "--mode",
         default="extract",
         choices=["extract", "pipeline", "dedup", "curation", "lm", "graph",
-                 "mask"],
+                 "mask", "linkskew"],
     )
     ap.add_argument("--output", default="", help="pipeline mode: output dir")
     args = ap.parse_args()
@@ -67,6 +67,9 @@ def main() -> None:
     # the same two-cluster-size gate
     graph_edges = None
     if args.mode == "graph":
+        import os
+
+        from pyspark import StorageLevel
         from pyspark.sql import functions as F
 
         docs = files.select(
@@ -81,9 +84,30 @@ def main() -> None:
             .filter(F.col("w") != "")
             .select(F.col("doc_id").alias("a"), F.xxhash64("w").alias("b"))
             .distinct()
-            .persist()
         )
+        # SCALING_GRAPH_STORAGE=disk keeps the ~50M-edge persist out of the
+        # unified memory pool so the wide leg's shuffle state stops spilling
+        # at 3-4M files (the local-mode ceiling BASELINE.md documents — a
+        # real 4N cluster carries 4x aggregate memory; this knob removes the
+        # single-box artifact from the ladder instead of modeling it).
+        level = (
+            StorageLevel.DISK_ONLY
+            if os.environ.get("SCALING_GRAPH_STORAGE") == "disk"
+            else StorageLevel.MEMORY_AND_DISK
+        )
+        graph_edges = graph_edges.persist(level)
         graph_edges.count()
+
+    # linkskew mode times the LINK + CC stages only, over a corpus generated
+    # with --skew-frac head-symbol skew: extraction runs OUTSIDE the timed
+    # window (it is the input a link job would read from the triple table)
+    # and the measured walls are name_features -> exact+fuzzy blocking ->
+    # connected_components on the production auto-switch path — the
+    # north-rule's deliberate-skew stress, measured instead of asserted.
+    link_triples = None
+    if args.mode == "linkskew":
+        link_triples = extract_triples(files).persist()
+        link_triples.count()
 
     def run_once():
         if args.mode == "extract":
@@ -139,6 +163,11 @@ def main() -> None:
             from raptor_spark.operators.graph import pagerank
 
             return pagerank(graph_edges, n_iter=5).count()
+        if args.mode == "linkskew":
+            from raptor_spark.cc import connected_components
+            from raptor_spark.link import link_edges
+
+            return connected_components(link_edges(link_triples)).count()
         if args.mode == "mask":
             # T5 span-corruption training-pair emission over the corpus
             # content — the pretraining-data face of the same gate: one
