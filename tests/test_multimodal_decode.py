@@ -1060,3 +1060,153 @@ def test_progressive_jpeg_spectral_only_no_refinement():
     )
     assert prog is not None and prog.shape == (20, 31, 3)
     assert np.array_equal(prog, base)
+
+
+# --- MPEG-1 Audio Layer I (round 5) ----------------------------------------
+# From-scratch encoder/decoder roundtrip, same pattern as the JPEG suite:
+# the encoder (encode_mpeg1_layer1) writes real ISO 11172-3 Layer I frames
+# (header tables, 4-bit allocation, 6-bit scalefactors, spec quantization)
+# and the decoder recovers the waveform through the spec synthesis fold
+# with the LS-derived window (see multimodal._mp1_tables).
+
+
+def _mp1_snr(ref, got):
+    e = ref - got
+    return 10 * np.log10((ref ** 2).sum() / max((e ** 2).sum(), 1e-300))
+
+
+def test_mpeg1_layer1_roundtrip_snr_and_determinism():
+    from raptor_spark.operators.multimodal import (
+        decode_audio_samples,
+        encode_mpeg1_layer1,
+        text_waveform,
+    )
+
+    w = text_waveform("the quick brown fox jumps over the lazy dog " * 5)
+    data = encode_mpeg1_layer1(w, rate=32000)
+    assert encode_mpeg1_layer1(w, rate=32000) == data  # deterministic bytes
+    dec = decode_audio_samples(data)
+    assert dec is not None
+    s, rate = dec
+    assert rate == 32000 and s.shape[1] == 1
+    d = 481  # spec filterbank delay (analysis + synthesis cascade)
+    assert len(s) >= d + len(w)
+    seg = s[d:d + len(w), 0]
+    assert _mp1_snr(w, seg) >= 60.0  # measured 69.9 dB; 12-bit allocation
+    s2, _ = decode_audio_samples(data)
+    assert np.array_equal(s, s2)  # deterministic decode
+
+
+def test_mpeg1_layer1_all_sample_rates():
+    from raptor_spark.operators.multimodal import (
+        decode_audio_samples,
+        encode_mpeg1_layer1,
+        text_waveform,
+    )
+
+    w = text_waveform("alpha beta gamma delta epsilon zeta eta theta " * 4)
+    # 44.1/48 kHz frames are smaller (448 kbps cap), so the uniform
+    # allocation drops to 9/8 bits — correspondingly lower SNR floors
+    for rate, floor in ((32000, 60.0), (44100, 40.0), (48000, 35.0)):
+        data = encode_mpeg1_layer1(w, rate=rate)
+        s, r = decode_audio_samples(data)
+        assert r == rate
+        seg = s[481:481 + len(w), 0]
+        assert _mp1_snr(w, seg) >= floor, rate
+
+
+def test_mpeg1_layer1_bitstream_structure():
+    """The emitted frames are valid ISO 11172-3 Layer I: sync, MPEG-1
+    version bits, layer-I bits, bitrate index 14 (448 kbps), correct
+    frame length, mono mode — so any spec demuxer walks them."""
+    from raptor_spark.operators.multimodal import (
+        encode_mpeg1_layer1,
+        parse_media_header,
+        text_waveform,
+    )
+
+    w = text_waveform("one two three four five six seven eight " * 3)
+    data = encode_mpeg1_layer1(w, rate=32000)
+    frame_bytes = 12 * 448000 // 32000 * 4
+    assert len(data) % frame_bytes == 0
+    n_frames = len(data) // frame_bytes
+    for f in range(n_frames):
+        h = data[f * frame_bytes:f * frame_bytes + 4]
+        assert h[0] == 0xFF and (h[1] & 0xE0) == 0xE0  # sync
+        assert (h[1] >> 3) & 0x3 == 0x3  # MPEG-1
+        assert 4 - ((h[1] >> 1) & 0x3) == 1  # Layer I
+        assert (h[2] >> 4) == 14  # 448 kbps
+        assert (h[2] >> 2) & 0x3 == 2  # 32 kHz
+        assert (h[3] >> 6) == 0x3  # single channel
+    meta = parse_media_header(data)
+    assert meta is not None and meta["format"] == "mpeg_audio"
+    assert meta["duration_s"] == round(n_frames * 384 / 32000.0, 3)
+
+
+def test_mpeg1_layer1_rejects_non_layer1_and_garbage():
+    from raptor_spark.operators.multimodal import (
+        decode_audio_samples,
+        encode_mpeg1_layer1,
+        parse_media_header,
+        text_waveform,
+    )
+
+    data = bytearray(
+        encode_mpeg1_layer1(text_waveform("a b c d e f g " * 4), rate=32000)
+    )
+    # flip the layer bits to Layer II (01 -> layer 2 is bits 10): the frame
+    # walk still sizes frames from the header tables, but sample decode
+    # must refuse rather than guess at Layer II's allocation classes
+    frame_bytes = 12 * 448000 // 32000 * 4
+    for f in range(len(data) // frame_bytes):
+        b1 = data[f * frame_bytes + 1]
+        data[f * frame_bytes + 1] = (b1 & ~0x06) | 0x04  # layer bits 10
+    assert decode_audio_samples(bytes(data)) is None
+    # prose bytes never sniff as MPEG (utf-8 can't start 0xFF)
+    assert parse_media_header(b"BMW makes cars " * 10) is None
+    assert decode_audio_samples(b"\xff\xe0 garbage not frames") is None
+
+
+def test_mpeg1_layer1_feature_pipeline_real(spark):
+    """audio_dhash + extract_media_features consume Layer I payloads via
+    the REAL decode path: fingerprints match the ones computed from the
+    decoded samples directly, and media features carry the true duration."""
+    import pandas as pd
+
+    from raptor_spark.operators.multimodal import (
+        audio_dhash,
+        audio_fingerprint64,
+        decode_audio_samples,
+        encode_mpeg1_layer1,
+        extract_media_features,
+        text_waveform,
+    )
+
+    texts = ["red green blue cyan magenta yellow " * 4,
+             "north south east west up down left right " * 4]
+    payloads = [encode_mpeg1_layer1(text_waveform(t), rate=32000)
+                for t in texts]
+    media = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "id long, data binary",
+    )
+    got = {r.id: r.simhash for r in audio_dhash(media).collect()}
+    for i, p in enumerate(payloads):
+        samples, _ = decode_audio_samples(p)
+        assert got[i] == audio_fingerprint64(samples)
+
+    mf = spark.createDataFrame(
+        [(str(i), "audio", "audio/mpeg", bytearray(p))
+         for i, p in enumerate(payloads)],
+        "media_id string, media_type string, mime string, data binary",
+    )
+    rows = {r.media_id: r for r in extract_media_features(mf).collect()}
+    for i, p in enumerate(payloads):
+        r = rows[str(i)]
+        n_frames = len(p) // (12 * 448000 // 32000 * 4)
+        assert r.error is None
+        assert r.duration_s == round(n_frames * 384 / 32000.0, 3)
+        samples, rate = decode_audio_samples(p)
+        mono = samples[:, 0]
+        rms = float(np.sqrt((mono * mono).mean()))
+        assert abs(r.features[0] - round(rms, 6)) < 1e-9
