@@ -102,7 +102,11 @@ def test_dedup_scale_paths_stay_bounded(spark):
     import re
 
     budgets = {"minhash_near_dups": 5, "simhash_near_dups": 9,
-               "near_dup_clusters": 5}
+               "near_dup_clusters": 5,
+               # r5 engine-portable md5-lane twins: same scale discipline,
+               # same (or tighter) exchange shapes as the xxhash paths
+               "minhash_near_dups_md5": 5, "simhash_near_dups_md5": 9,
+               "near_dup_clusters_md5": 5}
     for name, max_exchanges in budgets.items():
         p = plan_str(QUERIES[name](spark, SF_DIR))
         assert "CartesianProduct" not in p, name
