@@ -140,8 +140,11 @@ def parse_media_header(data: bytes) -> dict | None:
                 }
             pos += 2 + int.from_bytes(data[pos + 2:pos + 4], "big")
         return None
-    if len(data) >= 8 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0:
-        # MPEG-1 audio: duration from the frame walk (real for any layer —
+    if len(data) >= 8 and (
+        (data[0] == 0xFF and (data[1] & 0xE0) == 0xE0) or data[:3] == b"ID3"
+    ):
+        # MPEG-1 audio (optionally ID3-wrapped): duration from the frame
+        # walk (real for any layer —
         # frame sizes come from the header tables; sample decode below is
         # Layer I). ≥2 consecutive valid frames required, so prose bytes
         # (which can't start 0xFF in utf-8) never false-positive.
@@ -898,7 +901,9 @@ def decode_audio_samples(data: bytes):
     """(samples, sample_rate) — samples float64 in [-1, 1], shape
     (n, channels): WAV (PCM 8/16/32-bit, IEEE float32) and MPEG-1 Layer I
     (full bitstream decode, _mp1_decode below). None otherwise."""
-    if len(data) >= 8 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0:
+    if len(data) >= 8 and (
+        (data[0] == 0xFF and (data[1] & 0xE0) == 0xE0) or data[:3] == b"ID3"
+    ):
         return _mp1_decode(bytes(data))
     if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         return None
@@ -1072,18 +1077,27 @@ def _mpeg1_frame_header(data: bytes, pos: int):
 
 
 def _mpeg_audio_frames(data: bytes):
-    """Consecutive frame walk from byte 0; ≥2 valid back-to-back frames
-    required (so prose bytes never false-positive). Returns [(pos, hdr)]
-    or None."""
-    frames = []
+    """Consecutive frame walk; ≥2 valid back-to-back frames required (so
+    prose bytes never false-positive). Real-world wrapping is honored: a
+    leading ID3v2 tag is skipped (10-byte header + synchsafe size) and a
+    trailing 128-byte ID3v1 'TAG' block is allowed after the last frame.
+    Returns [(pos, hdr)] or None."""
     pos = 0
-    while pos + 4 <= len(data):
+    end = len(data)
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+                | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+        pos = 10 + size
+    if end - pos >= 128 and data[end - 128:end - 125] == b"TAG":
+        end -= 128
+    frames = []
+    while pos + 4 <= end:
         hdr = _mpeg1_frame_header(data, pos)
         if hdr is None or hdr["frame_bytes"] <= 4:
             break
         frames.append((pos, hdr))
         pos += hdr["frame_bytes"]
-    if len(frames) < 2 or len(data) - pos >= 4:
+    if len(frames) < 2 or end - pos >= 4:
         return None
     return frames
 

@@ -1210,3 +1210,29 @@ def test_mpeg1_layer1_feature_pipeline_real(spark):
         mono = samples[:, 0]
         rms = float(np.sqrt((mono * mono).mean()))
         assert abs(r.features[0] - round(rms, 6)) < 1e-9
+
+
+def test_mpeg1_layer1_id3_wrapped_stream():
+    """Real-world wrapping: ID3v2 head tag (synchsafe size) and ID3v1 tail
+    block are skipped; the wrapped stream decodes identically to the bare
+    one, and prose that merely starts with 'ID3' never sniffs as audio."""
+    from raptor_spark.operators.multimodal import (
+        decode_audio_samples,
+        encode_mpeg1_layer1,
+        parse_media_header,
+        text_waveform,
+    )
+
+    core = encode_mpeg1_layer1(
+        text_waveform("wrap me in tags please do it now " * 4), rate=32000
+    )
+    id3v2 = b"ID3\x03\x00\x00\x00\x00\x00\x14" + b"\x00" * 20
+    wrapped = id3v2 + core + b"TAG" + b"\x00" * 125
+    s1, r1 = decode_audio_samples(core)
+    s2, r2 = decode_audio_samples(wrapped)
+    assert r1 == r2 and np.array_equal(s1, s2)
+    h = parse_media_header(wrapped)
+    assert h is not None and h["format"] == "mpeg_audio"
+    prose = b"ID3 tags are metadata containers " * 8
+    assert decode_audio_samples(prose) is None
+    assert parse_media_header(prose) is None
