@@ -8,7 +8,10 @@ DataFrame ops over a ``(id, text)`` table:
 * exact_dedup            — hash-groupBy on sha256(text)
 * minhash_lsh_pairs      — word-shingle MinHash + banded LSH candidate pairs
                            + exact Jaccard verify (the scale path)
+* minhash_lsh_pairs_md5  — engine-portable twin (md5 lanes, value-keyed
+                           bands) replayable byte-for-byte in any SQL engine
 * simhash                — 64-bit SimHash fingerprints (hamming-near dup)
+* simhash_md5            — engine-portable twin (md5 hex-digit bits)
 * ngram_jaccard_pairs    — exact n-gram Jaccard over a candidate set
 * embedding_near_dup     — cosine ≥ threshold pairs over an embedding column
 
