@@ -57,7 +57,10 @@ SUBMIT_CONF=(
   --conf spark.sql.execution.arrow.maxRecordsPerBatch=2048
   --conf spark.sql.session.timeZone=UTC
   --conf spark.locality.wait=0
-  --conf spark.driver.memory=8g
+  # SCALING_DRIVER_MEM: both legs get the same heap; raise it for the 3M+
+  # graph ladder legs where the single-JVM stand-in otherwise dies at a
+  # memory ceiling a real 4N cluster (4x aggregate memory) would not have
+  --conf "spark.driver.memory=${SCALING_DRIVER_MEM:-8g}"
   --conf spark.ui.enabled=false
 )
 
